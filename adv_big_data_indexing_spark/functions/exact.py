@@ -1,0 +1,75 @@
+"""Bit-deterministic numeric recipes shared by Spark queries and oracles.
+
+The driver's correctness gate hashes result values, so any float that can
+differ by 1 ulp between Spark and DuckDB is a failed query. Strategy
+(SURVEY.md §7 hard-part 5):
+
+- **Money/quantity aggregates**: cast to ``DECIMAL(18,2)`` before
+  summing — decimal addition is exact and association-order-free — then
+  cast the final value to double (correctly-rounded, deterministic).
+- **Averages/ratios**: exact integer/decimal numerator and denominator,
+  one double division at the end (IEEE-754 division is correctly
+  rounded, so both engines produce the same bits).
+- **Vector math**: quantize float embeddings to integers
+  (``floor(x * 1e6)``), do exact 64-bit integer dot products, and only
+  then apply double ``sqrt``/division (both correctly rounded).
+
+Never: sum doubles directly, round doubles on a decimal grid, or convert
+doubles to strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,2)"
+
+
+def dec(col: Column | str) -> Column:
+    """Exact money/quantity representation for aggregation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(MONEY)
+
+
+def sum_money(col: Column | str, alias: str) -> Column:
+    """Exact decimal sum surfaced as double (deterministic conversion)."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def avg_money(col: Column | str, alias: str) -> Column:
+    """Exact-sum / count, single double division at the end."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)
+
+
+def quantize_vec(col: Column, scale: int = 1_000_000) -> Column:
+    """array<float> -> array<bigint> via floor(x * scale).
+
+    float->double widening is exact and floor is exact, so both engines
+    produce identical integers from identical parquet floats.
+    """
+    return F.transform(col, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("bigint"))
+
+
+# DuckDB fragment mirroring quantize_vec (embedding list -> BIGINT list).
+DUCK_QUANTIZE = "list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch from a (NTZ) timestamp.
+
+    NTZ wall-clock is interpreted as UTC (the session timezone is pinned
+    to UTC), matching DuckDB's epoch_us on naive timestamps.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact dot product of two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )

@@ -1,0 +1,892 @@
+"""Reference-parity relational operators + EXT relational set.
+
+Each ``OP-*`` id maps to SURVEY.md §2's inventory of the reference
+(paurush11/Adv-Big-Data-Indexing). The reference expresses these against
+Redis/Elasticsearch (src/utils/apiLogicForSearch.ts, apiLogicForCRUD.ts);
+here they are declarative DataFrame plans over the star-schema test
+tables so Catalyst gets pushdown/pruning/join-selection for free.
+
+Parent-child analogy used throughout (FIXTURES.md §B): customer ≈ plan
+root, orders ≈ child objects, lineitem ≈ grandchildren; `routing` (the
+reference's shard co-location key, src/utils/elasticSearch.ts:135-147)
+≈ the parent-key column.
+
+Scale notes are inline per operator: broadcast the dimension side,
+semi-joins instead of join+distinct, aggregates exact-decimal so results
+are deterministic under any partitioning/order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.exact import avg_money, dec, epoch_us, sum_money
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# 2.A — scans, sources, sinks (read-side analogs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_a1_point_lookup",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 7",
+    doc="OP-A1 point lookup by key (ref: fetchObjectFromRedis, apiLogicForCRUD.ts:360-363). "
+    "Key filter pushed to parquet stats → only matching row-groups scanned.",
+)
+def op_a1_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 7)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@query(
+    "op_a2_existence_probe",
+    oracle="SELECT count(*) > 0 AS exists_flag FROM orders WHERE o_orderkey = 7",
+    doc="OP-A2 EXISTS probe (ref: checkObjectExists, apiLogicForCRUD.ts:356-359).",
+)
+def op_a2_existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 7)
+        .agg((F.count("*") > 0).alias("exists_flag"))
+    )
+
+
+@query(
+    "op_a3_point_lookup_hash",
+    oracle="""
+    SELECT o_orderkey,
+           md5(concat_ws('|', o_orderkey, o_orderstatus, o_orderpriority,
+                         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))) AS content_hash
+    FROM orders WHERE o_orderkey = 7
+    """,
+    doc="OP-A3 point lookup + content-equality hash (ref: ObjectExists compares stored "
+    "vs supplied body, elasticSearch.ts:216-238; ETag md5 jwtAuth.ts:71-73).",
+)
+def op_a3_point_lookup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 7)
+    return o.select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+                dec("o_totalprice").cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+
+
+@query(
+    "op_a5_full_scan_limit",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation LIMIT 1000",
+    doc="OP-A5 full scan with the reference's fixed 1000-doc cap "
+    "(match_all size:1000, elasticSearch.ts:201-215). Limit pushes into the scan.",
+)
+def op_a5_full_scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey").limit(1000)
+
+
+# ---------------------------------------------------------------------------
+# 2.B — projections, filters, predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_b1_conjunctive_filter",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5
+    """,
+    doc="OP-B1 conjunctive exact-match search (/search/plans bool.must of match_phrase, "
+    "apiLogicForSearch.ts:295-326). Both predicates push to parquet.",
+)
+def op_b1_conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") == 5))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    )
+
+
+@query(
+    "op_b2_filter_by_id",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 77",
+    doc="OP-B2 match_phrase on _id (apiLogicForSearch.ts:44-55).",
+)
+def op_b2_filter_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 77).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "op_b3_filter_by_routing",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_orderkey = 7",
+    doc="OP-B3 filter by routing/parent key — all children co-routed with a parent "
+    "(match _routing, apiLogicForSearch.ts:56-67). Parent key ≡ partition column at scale.",
+)
+def op_b3_filter_by_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") == 7)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "op_b4_range_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 3.0
+    """,
+    doc="OP-B4 strict range predicate on a child attribute (range lt/gt DSL, "
+    "apiLogicForSearch.ts:193-221; strict per the DSL, not the README prose).",
+)
+def op_b4_range_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 3.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "op_b5_projection",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+    doc="OP-B5 projection / column pruning (_source projection, "
+    "apiLogicForSearch.ts:275-279). ReadSchema in the scan should show only 3 columns.",
+)
+def op_b5_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+
+
+@query(
+    "op_b6_prefix_scan",
+    oracle="""
+    SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'red%' AND p_name NOT LIKE '%bolt'
+    """,
+    doc="OP-B6 key-prefix scan with exclusions (ref ops scan: KEYS * minus prefixes, README.md:18).",
+)
+def op_b6_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("red%") & ~F.col("p_name").like("%bolt")).select(
+        "p_partkey", "p_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.C — joins (the heart of the reference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_c1_reconstruct_flat",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+           l.l_linenumber, l.l_quantity, l.l_extendedprice
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey < 100
+    """,
+    doc="OP-C1 reconstruction join, flat form (reconstructObject recursive lookup "
+    "elasticSearch.ts:257-300 → one set-oriented equi-join; the N+1 loop disappears). "
+    "Nested form is op_c1_reconstruct_nested (rows-only check).",
+)
+def op_c1_reconstruct_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    l = load_table(spark, sf_dir, "lineitem")
+    return o.join(l, o.o_orderkey == l.l_orderkey).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "op_c1_reconstruct_nested",
+    oracle=None,  # nested array<struct> not hash-comparable via the DuckDB bridge
+    doc="OP-C1 faithful nested reconstruction: parent rows re-nested with an "
+    "objectId-sorted array of children (collect_list(struct(...)) after sort), "
+    "mirroring reconstructObject's output shape. Verified by round-trip tests "
+    "in tests/test_document_pipeline.py; driver does a rows-only check here.",
+)
+def op_c1_reconstruct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    l = load_table(spark, sf_dir, "lineitem")
+    children = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_quantity", "l_extendedprice"))
+            ).alias("lineitems")
+        )
+    )
+    return o.join(children, o.o_orderkey == children.l_orderkey, "left").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "lineitems"
+    )
+
+
+@query(
+    "op_c2_has_child_eq",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    bench=True,
+    doc="OP-C2 has_child semi-join, equality predicate (allParentsHaving, "
+    "apiLogicForSearch.ts:245-294). left_semi: parents stream once, no fan-out dedup.",
+)
+def op_c2_has_child_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "op_c3_has_child_range",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+    """,
+    doc="OP-C3 has_child semi-join with range predicate "
+    "(allChildrenHavingCopayLessOrGreater, apiLogicForSearch.ts:182-244).",
+)
+def op_c3_has_child_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "op_c4_has_parent",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+    """,
+    doc="OP-C4 has_parent semi-join — children whose parent matches. The reference "
+    "never got this working (two attempts labeled 'Failed Query', "
+    "apiLogicForSearch.ts:123-162); trivial as a Spark left_semi, shipped working.",
+)
+def op_c4_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return l.join(o, l.l_orderkey == o.o_orderkey, "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "op_c5_edges",
+    oracle="""
+    SELECT concat_ws('_', 'order', o_orderkey) AS child_id,
+           concat_ws('_', 'customer', o_custkey) AS parent_id,
+           'customer_order' AS rel_name
+    FROM orders
+    UNION ALL
+    SELECT concat_ws('_', 'lineitem', l_orderkey, l_linenumber) AS child_id,
+           concat_ws('_', 'order', l_orderkey) AS parent_id,
+           'order_lineitem' AS rel_name
+    FROM lineitem
+    """,
+    doc="OP-C5 relationship-edge derivation (generateRelationships/updateChildWithParent, "
+    "elasticSearch.ts:50-151) as a pure projection+union — no imperative walk, and the "
+    "key synthesis is OP-F1 (objectType_objectId, elasticSearch.ts:44).",
+)
+def op_c5_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    order_edges = o.select(
+        F.concat_ws("_", F.lit("order"), F.col("o_orderkey")).alias("child_id"),
+        F.concat_ws("_", F.lit("customer"), F.col("o_custkey")).alias("parent_id"),
+        F.lit("customer_order").alias("rel_name"),
+    )
+    line_edges = l.select(
+        F.concat_ws("_", F.lit("lineitem"), F.col("l_orderkey"), F.col("l_linenumber")).alias("child_id"),
+        F.concat_ws("_", F.lit("order"), F.col("l_orderkey")).alias("parent_id"),
+        F.lit("order_lineitem").alias("rel_name"),
+    )
+    return order_edges.unionAll(line_edges)
+
+
+# ---------------------------------------------------------------------------
+# 2.D — aggregation surface of the reference
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_d1_hit_count",
+    oracle="SELECT count(*) AS n_hits FROM lineitem WHERE l_quantity < 10.0",
+    doc="OP-D1 hit count (hits.total.value, apiLogicForSearch.ts:274). "
+    "Partial counts map-side, one exchange of a single long.",
+)
+def op_d1_hit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 10.0)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.F — scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_f1_key_synthesis",
+    oracle="""
+    SELECT concat_ws('_', 'order', o_orderkey) AS pk, o_orderkey FROM orders WHERE o_orderkey < 50
+    """,
+    doc="OP-F1 primary-key synthesis objectType_objectId (elasticSearch.ts:44).",
+)
+def op_f1_key_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 50)
+    return o.select(
+        F.concat_ws("_", F.lit("order"), F.col("o_orderkey")).alias("pk"), "o_orderkey"
+    )
+
+
+@query(
+    "op_f2_content_hash",
+    oracle="""
+    SELECT n_nationkey, md5(concat_ws('|', n_nationkey, n_name, n_regionkey)) AS etag FROM nation
+    """,
+    doc="OP-F2 content hash / ETag = md5 of the serialized row (generateEtag, "
+    "jwtAuth.ts:71-73). Deterministic field order via explicit concat.",
+)
+def op_f2_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.md5(F.concat_ws("|", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey"))).alias(
+            "etag"
+        ),
+    )
+
+
+@query(
+    "op_f3_date_validation",
+    oracle="""
+    WITH raw AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS src_id, strftime(o_orderdate, '%d-%m-%Y') AS date_str
+      FROM orders WHERE o_orderkey < 100
+      UNION ALL SELECT -1, '31-02-2024'
+      UNION ALL SELECT -2, '99-99-9999'
+      UNION ALL SELECT -3, '15-06-2020'
+    )
+    SELECT src_id, date_str,
+           CAST(try_strptime(date_str, '%d-%m-%Y') AS DATE) AS parsed,
+           (try_strptime(date_str, '%d-%m-%Y') IS NOT NULL
+            AND regexp_matches(date_str, '^[0-9]{2}-[0-9]{2}-[0-9]{4}$')) AS is_valid
+    FROM raw
+    """,
+    doc="OP-F3 DD-MM-YYYY date validation incl. real-calendar check — rejects 31-02 "
+    "(dateValidator.ts:1-14, schema.txt:16-19). try_to_date does calendar validity; "
+    "rlike enforces the format.",
+)
+def op_f3_date_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("src_id"),
+            F.date_format("o_orderdate", "dd-MM-yyyy").alias("date_str"),
+        )
+    )
+    spark_extra = spark.createDataFrame(
+        [(-1, "31-02-2024"), (-2, "99-99-9999"), (-3, "15-06-2020")], "src_id bigint, date_str string"
+    )
+    raw = o.unionAll(spark_extra)
+    parsed = F.expr("try_to_date(date_str, 'dd-MM-yyyy')")
+    return raw.select(
+        "src_id",
+        "date_str",
+        parsed.alias("parsed"),
+        (parsed.isNotNull() & F.col("date_str").rlike(r"^[0-9]{2}-[0-9]{2}-[0-9]{4}$")).alias(
+            "is_valid"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.G — mutation/merge analogs expressed as selects
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_g2_merge_patch",
+    oracle="""
+    WITH patch AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS new_acctbal,
+             'PATCHED' AS new_segment
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c.c_custkey,
+           c.c_name,
+           CAST(coalesce(p.new_acctbal, CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
+           coalesce(p.new_segment, c.c_mktsegment) AS mktsegment,
+           (p.c_custkey IS NOT NULL) AS was_patched
+    FROM customer c LEFT JOIN patch p ON c.c_custkey = p.c_custkey
+    """,
+    doc="OP-G2 merge-patch: scalar fields overwritten when present in the patch, "
+    "otherwise kept (modifyObject.ts:32-87) — set-oriented as left-join + coalesce. "
+    "Keyed array-merge semantics live in operators/mutate.py (pytest-verified).",
+)
+def op_g2_merge_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    patch = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("p_custkey"),
+            (dec("c_acctbal") + 100).alias("new_acctbal"),
+            F.lit("PATCHED").alias("new_segment"),
+        )
+    )
+    joined = c.join(patch, c.c_custkey == patch.p_custkey, "left")
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("new_acctbal"), dec("c_acctbal")).cast("double").alias("acctbal"),
+        F.coalesce(F.col("new_segment"), F.col("c_mktsegment")).alias("mktsegment"),
+        F.col("p_custkey").isNotNull().alias("was_patched"),
+    )
+
+
+@query(
+    "op_g4_cascade_closure",
+    oracle="""
+    SELECT 'customer' AS entity_type, CAST(c_custkey AS VARCHAR) AS entity_id
+    FROM customer WHERE c_custkey = 7
+    UNION ALL
+    SELECT 'order', CAST(o_orderkey AS VARCHAR) FROM orders WHERE o_custkey = 7
+    UNION ALL
+    SELECT 'lineitem', concat_ws('_', l.l_orderkey, l.l_linenumber)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey = 7
+    """,
+    doc="OP-G4 cascading-delete closure (deleteObject recursion, "
+    "elasticSearch.ts:311-357): the id set to delete, computed by 2 joins since the "
+    "hierarchy depth is schema-bounded — no recursion.",
+)
+def op_g4_cascade_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    root = c.filter(F.col("c_custkey") == 7).select(
+        F.lit("customer").alias("entity_type"), F.col("c_custkey").cast("string").alias("entity_id")
+    )
+    child_orders = o.filter(F.col("o_custkey") == 7)
+    order_ids = child_orders.select(
+        F.lit("order").alias("entity_type"), F.col("o_orderkey").cast("string").alias("entity_id")
+    )
+    line_ids = (
+        l.join(child_orders.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "inner")
+        .select(
+            F.lit("lineitem").alias("entity_type"),
+            F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber")).alias("entity_id"),
+        )
+    )
+    return root.unionAll(order_ids).unionAll(line_ids)
+
+
+# ---------------------------------------------------------------------------
+# EXT — aggregations (SURVEY §2.D extension set)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    doc="EXT hash aggregate (TPC-H Q1 shape). Exact decimal sums → order-independent, "
+    "partial aggregation map-side; only the tiny grouped state shuffles.",
+)
+def ext_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_money("l_quantity", "sum_qty"),
+        sum_money("l_extendedprice", "sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        avg_money("l_quantity", "avg_qty"),
+        avg_money("l_extendedprice", "avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "ext_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="EXT multi-distinct aggregate. Spark expands distinct aggregates; "
+    "at scale prefer approx_count_distinct (HLL) — exact here for the oracle.",
+)
+def ext_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "ext_agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="EXT rollup (hierarchical grouping-sets).",
+)
+def ext_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), sum_money("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "ext_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="EXT cube over both grouping dims.",
+)
+def ext_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), sum_money("l_quantity", "sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — window functions, sorts, limits, set ops (SURVEY §2.E)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+    bench=True,
+    doc="EXT ranking window: top-3 orders per customer. Deterministic rank via "
+    "the unique o_orderkey tie-break. One shuffle on the partition key.",
+)
+def ext_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "ext_window_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                - coalesce(CAST(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(18,2)), 0) AS DOUBLE) AS price_delta
+    FROM orders
+    """,
+    doc="EXT lag/lead navigation window with exact-decimal delta.",
+)
+def ext_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_price"),
+        (dec("o_totalprice") - F.coalesce(dec(prev), F.lit(0))).cast("double").alias("price_delta"),
+    )
+
+
+@query(
+    "ext_window_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="EXT running aggregate with an explicit ROWS frame; exact decimal running sum.",
+)
+def ext_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "ext_topk_orderby",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="EXT global top-k. Spark runs TakeOrderedAndProject — per-partition heaps, "
+    "no full sort; deterministic via the o_orderkey tie-break.",
+)
+def ext_topk_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "ext_setops",
+    oracle="""
+    SELECT 'both' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT
+       SELECT c_custkey FROM customer WHERE c_nationkey < 10)
+    UNION ALL
+    SELECT 'building_only', c_custkey FROM
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       EXCEPT
+       SELECT c_custkey FROM customer WHERE c_nationkey < 10)
+    """,
+    doc="EXT set operations (intersect / except, distinct semantics).",
+)
+def ext_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    low_nation = c.filter(F.col("c_nationkey") < 10).select("c_custkey")
+    both = building.intersect(low_nation).select(F.lit("both").alias("tag"), "c_custkey")
+    only = building.exceptAll(low_nation).distinct().select(
+        F.lit("building_only").alias("tag"), "c_custkey"
+    )
+    return both.unionAll(only)
+
+
+@query(
+    "ext_join_left_null",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_big_orders
+    FROM customer c LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_totalprice > 490000.0
+    GROUP BY c.c_custkey
+    """,
+    doc="EXT left outer join with nulls on the probe side, then count-skipping-nulls.",
+)
+def ext_join_left_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 490000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+    )
+
+
+@query(
+    "ext_join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="EXT anti join (guarded-insert OP-A7's building block: left-anti before append).",
+)
+def ext_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "ext_join_broadcast_star",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    bench=True,
+    doc="EXT star join through two broadcast dimensions — nation/region are "
+    "fixed-cardinality, so the fact side never shuffles for the join.",
+)
+def ext_join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), sum_money("c_acctbal", "sum_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — scalar function coverage (SURVEY §2.F extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           substr(c_name, 10, 9) AS digits,
+           replace(c_name, 'Customer#', 'C#') AS short_name,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+           concat_ws(':', c_mktsegment, c_custkey) AS tagged
+    FROM customer
+    """,
+    doc="EXT string scalar coverage: case, length, substring, replace, pad, concat.",
+)
+def ext_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 10, 9).alias("digits"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C#")).alias("short_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.concat_ws(":", F.col("c_mktsegment"), F.col("c_custkey")).alias("tagged"),
+    )
+
+
+@query(
+    "ext_scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS o_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_epoch_start,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS ts_micros
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    doc="EXT date/time scalar coverage; epoch micros is the tz-free exchange format.",
+)
+def ext_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        epoch_us("o_orderdate").alias("ts_micros"),
+    )
+
+
+@query(
+    "ext_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(abs(CAST(l_discount AS DECIMAL(18,2)) - 0.05) AS DOUBLE) AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           l_orderkey % 7 AS key_mod,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), -2) AS DOUBLE) AS price_100
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    doc="EXT math scalar coverage. sqrt/division are IEEE correctly-rounded (bit-stable "
+    "across engines); rounding happens on exact decimals, never raw doubles.",
+)
+def ext_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(dec("l_discount") - F.lit(0.05).cast("decimal(18,2)")).cast("double").alias("disc_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).cast("bigint").alias("qty_bucket"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(dec("l_extendedprice"), -2).cast("double").alias("price_100"),
+    )
+
+
+@query(
+    "ext_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           event_type
+    FROM events WHERE event_id < 2000
+    """,
+    doc="EXT JSON path extraction (the reference's JSON.parse boundary, OP-F4, "
+    "as a column op).",
+)
+def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        "event_type",
+    )

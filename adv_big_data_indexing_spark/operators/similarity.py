@@ -1,0 +1,217 @@
+"""Similarity search over the ``embeddings`` table (north-star set).
+
+Brute-force cosine top-k as the correctness baseline, and a
+random-hyperplane LSH-bucketed variant as the 100 TB path: signatures
+build in one pass (broadcast of an 8×64 hyperplane table), then
+candidate generation is an equi-join on the bucket key instead of a
+cross join.
+
+Determinism: embeddings are integer-quantized (functions/exact.py), dot
+products and norms are exact BIGINTs, hyperplane weights derive from md5
+(portable), and the final cosine is two correctly-rounded double ops —
+so the DuckDB oracle reproduces every bit, including tie-free ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, int_dot, quantize_vec
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # query set = vec_id < 10
+N_HYPERPLANES = 8
+DIM = 64
+WEIGHT_MOD = 2001  # weights in [-1000, 1000]
+
+_DUCK_NRM_CTE = f"""
+  qv AS (SELECT vec_id, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings),
+  nrm AS (
+    SELECT vec_id, q,
+           CAST(list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * q[i])) AS BIGINT) AS n2
+    FROM qv
+  )
+"""
+
+_COSINE = "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE))"
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("q")
+    )
+    return e.withColumn("n2", int_dot(F.col("q"), F.col("q")))
+
+
+def _ranked_topk(pairs: DataFrame) -> DataFrame:
+    """pairs(query_id, neighbor_id, dot, na, nb) -> top-k by exact cosine."""
+    cosine = (
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double"))
+        / F.sqrt(F.col("nb").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@query(
+    "ns_ann_topk_bruteforce",
+    oracle=f"""
+    WITH {_DUCK_NRM_CTE},
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM nrm a JOIN nrm b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COSINE} AS cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM scored WHERE rank <= {TOP_K}
+    """,
+    bench=True,
+    doc="NS brute-force cosine top-k (k=5) for 10 query vectors. The query side "
+    "broadcasts; candidates stream partition-local, then a per-query top-k window. "
+    "At 100 TB this is the exact-rescoring stage; candidate pruning is the LSH op.",
+)
+def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("na")
+        )
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"), F.col("n2").alias("nb"))
+    pairs = q.crossJoin(n).filter(F.col("neighbor_id") != F.col("query_id"))
+    pairs = pairs.select(
+        "query_id", "neighbor_id", int_dot(F.col("qq"), F.col("nq")).alias("dot"), "na", "nb"
+    )
+    out = _ranked_topk(pairs)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
+# --- LSH-bucketed variant --------------------------------------------------
+
+# Hyperplane weight w[j][i] (j hyperplane, i dim 1-based): parse the first 12
+# hex chars of md5('hp:j:i') as an integer, then center mod WEIGHT_MOD.
+# Both engines compute it from md5, so the planes agree bit-for-bit.
+_DUCK_HYPERPLANES_CTE = f"""
+  hp AS (
+    SELECT j, i,
+           CAST(list_sum(list_transform(generate_series(1, 12),
+                p -> (strpos('0123456789abcdef', substr(md5('hp:' || j || ':' || i), p, 1)) - 1)
+                     * (16 ** (12 - p)))) AS BIGINT) % {WEIGHT_MOD} - {WEIGHT_MOD // 2} AS w
+    FROM (SELECT unnest(generate_series(0, {N_HYPERPLANES - 1})) AS j)
+         CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i)
+  ),
+  buckets AS (
+    SELECT v.vec_id,
+           string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket
+    FROM (
+      SELECT qv.vec_id, hp.j, sum(hp.w * qv.q[hp.i]) AS s
+      FROM qv CROSS JOIN hp GROUP BY 1, 2
+    ) v GROUP BY v.vec_id
+  )
+"""
+
+
+def _hyperplanes(spark: SparkSession) -> DataFrame:
+    """(j, i, w) hyperplane weights — tiny, broadcast everywhere."""
+    js = spark.range(N_HYPERPLANES).select(F.col("id").cast("int").alias("j"))
+    exploded = js.select("j", F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"))
+    return exploded.selectExpr(
+        "j",
+        "i",
+        f"CAST(aggregate(transform(sequence(1, 12),"
+        f" p -> CAST(instr('0123456789abcdef', substr(md5(concat('hp:', j, ':', i)), p, 1)) - 1 AS BIGINT)"
+        f" * CAST(pow(16, 12 - p) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        f" AS BIGINT) % {WEIGHT_MOD} - {WEIGHT_MOD // 2} AS w",
+    )
+
+
+def _buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
+    hp = F.broadcast(_hyperplanes(spark))
+    proj = (
+        e.crossJoin(hp)
+        .select("vec_id", "j", (F.col("w") * F.element_at(F.col("q"), F.col("i"))).alias("t"))
+        .groupBy("vec_id", "j")
+        .agg(F.sum("t").alias("s"))
+    )
+    return (
+        proj.select(
+            "vec_id", "j", F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("bit")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("j", "bit"))), lambda x: x.bit), ""
+            ).alias("bucket")
+        )
+    )
+
+
+@query(
+    "ns_ann_lsh_bucketed",
+    oracle=f"""
+    WITH {_DUCK_NRM_CTE},
+    {_DUCK_HYPERPLANES_CTE},
+    cand AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
+      FROM buckets qa JOIN buckets qb
+        ON qa.bucket = qb.bucket AND qb.vec_id != qa.vec_id
+      WHERE qa.vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM cand c JOIN nrm a ON a.vec_id = c.query_id JOIN nrm b ON b.vec_id = c.neighbor_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COSINE} AS cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM scored WHERE rank <= {TOP_K}
+    """,
+    doc="NS LSH-bucketed ANN: 8 md5-derived random hyperplanes → 8-bit sign "
+    "bucket; candidates share the query's bucket (equi-join, no cross join); "
+    "exact integer cosine re-scores candidates. Approximate by design — the "
+    "oracle replicates the same algorithm, so results still match exactly.",
+)
+def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spark, sf_dir)
+    buckets = _buckets(spark, e)
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    cand = qb.join(nb, "bucket").filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id"
+    )
+    a = e.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("na"))
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"), F.col("n2").alias("nb")
+    )
+    pairs = (
+        cand.join(a, "query_id")
+        .join(b, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", int_dot(F.col("qq"), F.col("nq")).alias("dot"), "na", "nb"
+        )
+    )
+    out = _ranked_topk(pairs)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))

@@ -1,0 +1,168 @@
+"""Text-analysis operators over the ``documents`` table (north-star set).
+
+Language-ID (marker-word heuristic), quality scoring, token counting
+(whitespace + BPE-ish subword estimate), and document fingerprinting.
+All pure column expressions — no Python in the hot path — so they run
+JVM-side at 100 TB with zero shuffle (per-row ops) or a single
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, tokens
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+# Marker stopword lists for the language-ID heuristic. The synthetic corpus
+# is English-ish word salad, so real language separation is not expected —
+# the operator contract is deterministic scoring + argmax with a stable
+# tie-break, which is what the oracle verifies.
+_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "los", "de"),
+    "fr": ("le", "la", "les", "des"),
+    "de": ("der", "die", "das", "und"),
+    "zh": ("de", "le", "shi", "bu"),
+}
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _marker_hits(toks, words: tuple[str, ...]):
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+@query(
+    "ns_text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {" , ".join(
+                 f"len(list_filter({DUCK_TOKENS.format(col='text')}, t -> t IN ({_sql_list(w)}))) AS score_{code}"
+                 for code, w in _MARKERS.items()
+             )}
+      FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CAST(score_en AS BIGINT) AS score_en,
+           CASE greatest(score_en, score_es, score_fr, score_de, score_zh)
+             WHEN score_de THEN 'de' WHEN score_en THEN 'en' WHEN score_es THEN 'es'
+             WHEN score_fr THEN 'fr' WHEN score_zh THEN 'zh' END AS pred_lang
+    FROM scored
+    """,
+    doc="NS language-ID: marker-stopword scores per language, argmax with "
+    "alphabetical tie-break (CASE order de<en<es<fr<zh on the max).",
+)
+def ns_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scores = {code: _marker_hits(toks, w) for code, w in _MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["de"] == best, "de")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        scores["en"].cast("bigint").alias("score_en"),
+        pred.alias("pred_lang"),
+    )
+
+
+@query(
+    "ns_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {DUCK_TOKENS.format(col="text")} AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars_m
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x IN ({_sql_list(_STOPWORDS)}))) AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio
+    FROM t
+    """,
+    bench=True,
+    doc="NS quality scoring: length, token stats, stopword ratio, punctuation "
+    "ratio — integer counts with one exact double division each.",
+)
+def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_m"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double") / n_tok
+        ).alias("stopword_ratio"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), r"[.!?,;]", ""))
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+    )
+
+
+@query(
+    "ns_text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(toks, x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe_estimate
+    FROM t
+    """,
+    doc="NS token counting: whitespace tokens + BPE-ish subword estimate "
+    "(ceil(len/4) per token ≈ 4-chars-per-merge-unit).",
+)
+def ns_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bpe = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        bpe.cast("bigint").alias("bpe_estimate"),
+    )
+
+
+@query(
+    "ns_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    doc="NS document fingerprint: md5 over casefolded, punctuation-stripped, "
+    "whitespace-collapsed text — the normalization layer of exact dedup.",
+)
+def ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))

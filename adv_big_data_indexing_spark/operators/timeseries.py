@@ -1,0 +1,143 @@
+"""Event-time operators over the ``events`` table (SURVEY §2.H EXT set).
+
+Batch-mode equivalents of the streaming operators in
+``streaming/`` — same windowing semantics, verifiable against the
+DuckDB oracle. The true ``readStream`` forms (watermarks, state) are in
+``adv_big_data_indexing_spark.streaming`` and covered by pytest.
+
+Window starts are epoch-aligned (Spark's default origin), which the
+oracle reproduces with integer epoch arithmetic — exact, tz-free under
+the UTC session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.exact import epoch_us, sum_money
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+
+@query(
+    "ts_tumbling_window",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00' + ((epoch_us(ts) // 600000000) * 600) * INTERVAL 1 SECOND AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    bench=True,
+    doc="EXT tumbling event-time window (10 min) — streaming form: "
+    "readStream.withWatermark('ts','10 minutes').groupBy(window(ts,'600 seconds')).",
+)
+def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "600 seconds").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), sum_money("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "ts_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT e.*, TIMESTAMP '1970-01-01 00:00:00' + (((epoch_us(ts) // 300000000) - k) * 300) * INTERVAL 1 SECOND AS window_start
+      FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      WHERE epoch_us(ts) >= ((epoch_us(ts) // 300000000) - k) * 300000000
+        AND epoch_us(ts) <  (((epoch_us(ts) // 300000000) - k) * 300 + 600) * 1000000
+    )
+    SELECT window_start, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM slid GROUP BY 1
+    """,
+    doc="EXT sliding window 10 min / 5 min slide: each event lands in 2 windows. "
+    "The oracle enumerates the window set explicitly (Spark's window() does the same "
+    "expansion internally).",
+)
+def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "600 seconds", "300 seconds").alias("w"))
+        .agg(F.count("*").alias("n_events"), sum_money("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "ts_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    bench=True,
+    doc="EXT gap-based sessionization (30-min gap) via lag + running sum — the batch "
+    "analog of session_window(ts, '30 minutes'); streaming form in streaming/events.py.",
+)
+def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 1800 * 1_000_000
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (epoch_us("ts") - epoch_us(F.lag("ts").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select("*", F.sum("is_new").over(run).alias("session_seq"))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "ts_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="EXT keyed dedup keep-first — batch analog of streaming "
+    "dropDuplicates(['user_id','event_type']) with deterministic ordering.",
+)
+def ts_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

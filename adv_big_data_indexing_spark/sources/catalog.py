@@ -1,0 +1,57 @@
+"""Parquet source catalog for the driver test tables.
+
+Reads are plain ``spark.read.parquet`` so Catalyst gets the native
+vectorized parquet scan with predicate pushdown, column pruning and
+min/max row-group skipping for free — the Spark analog of the
+reference's delegated index lookups (SURVEY.md §4.2: ES term/range
+pruning ≈ parquet stats pruning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Tables small enough to broadcast in any join at any scale factor
+#: (region/nation are fixed-cardinality dimensions even at 100 TB).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the Spark vectorized
+        # reader rejects outright. Read nanos as long and truncate to micros
+        # (integer DIV — exact; matches DuckDB's ns→us truncation). NTZ keeps
+        # wall-clock semantics independent of session timezone.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for ``spark.sql`` entry points."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -22,13 +22,17 @@ def tokens(col: Column | str) -> Column:
 DUCK_TOKENS = "regexp_split_to_array(trim({col}), '\\s+')"
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, as array<string>.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* tokens column.
+
+    ``toks`` must be a plain column reference (project ``tokens(...)``
+    first): Spark does no subexpression elimination inside higher-order
+    lambdas, so passing the split expression directly re-tokenizes the
+    document for every element access (~100× slower).
 
     Uses transform over an index sequence rather than a window — no
     shuffle, purely per-row, scales embarrassingly.
     """
-    toks = tokens(col)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)])  # noqa: E731
     return F.array_distinct(F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(F.array()))

@@ -30,7 +30,8 @@ from adv_big_data_indexing_spark.functions.text import (
     DUCK_SHINGLES3,
     DUCK_TOKENS,
     minhash_hex,
-    shingles,
+    shingles_from_tokens,
+    tokens,
 )
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
@@ -47,7 +48,12 @@ _DUCK_SHINGLE_CTE = f"""
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.explode(shingles("text")).alias("sh"))
+    # The test parquet is a single row-group; without a repartition the
+    # 50×-expansion (shingle explode × minhash seeds) runs in ONE task.
+    # On a real multi-file table this is a no-op cost (tiny pre-explode rows).
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    toked = d.select("doc_id", tokens("text").alias("toks"))
+    return toked.select("doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"))
 
 
 def _jaccard_pairs(sh: DataFrame, pair_filter: DataFrame | None = None) -> DataFrame:
@@ -55,9 +61,17 @@ def _jaccard_pairs(sh: DataFrame, pair_filter: DataFrame | None = None) -> DataF
     to a candidate pair set — the LSH verify path)."""
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    joined = a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b"))
     if pair_filter is not None:
-        joined = joined.join(F.broadcast(pair_filter), ["doc_a", "doc_b"], "left_semi")
+        # Candidate-driven: the (small) pair set probes each side's shingles,
+        # so work is O(|candidates| × shingles/doc), never the full
+        # inverted-index self-join.
+        joined = (
+            F.broadcast(pair_filter)
+            .join(a, "doc_a")
+            .join(b, ["doc_b", "sh"])
+        )
+    else:
+        joined = a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b"))
     inter = joined.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -243,6 +257,7 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from adv_big_data_indexing_spark.functions.text import tokens
 
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")

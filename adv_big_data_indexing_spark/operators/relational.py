@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.functions.exact import avg_money, dec, epoch_us, sum_money
-from adv_big_data_indexing_spark.sources.catalog import load_table
+from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
 # ---------------------------------------------------------------------------
 # 2.A — scans, sources, sinks (read-side analogs)
@@ -521,7 +521,7 @@ def op_g4_cascade_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial aggregation map-side; only the tiny grouped state shuffles.",
 )
 def ext_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem").filter(
+    l = spread(load_table(spark, sf_dir, "lineitem")).filter(
         F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
@@ -551,7 +551,7 @@ def ext_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "lineitem")
+        spread(load_table(spark, sf_dir, "lineitem"))
         .groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_suppkey").alias("n_supp"),
@@ -589,7 +589,7 @@ def ext_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "lineitem")
+        spread(load_table(spark, sf_dir, "lineitem"))
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n_rows"), sum_money("l_quantity", "sum_qty"))
     )

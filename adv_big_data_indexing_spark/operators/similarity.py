@@ -41,9 +41,10 @@ _COSINE = "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUB
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", quantize_vec(F.col("embedding")).alias("q")
-    )
+    e = load_table(spark, sf_dir, "embeddings")
+    # single-row-group input → spread the O(n·k) vector math across cores
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    e = e.select("vec_id", quantize_vec(F.col("embedding")).alias("q"))
     return e.withColumn("n2", int_dot(F.col("q"), F.col("q")))
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, tokens
-from adv_big_data_indexing_spark.sources.catalog import load_table
+from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
 # Marker stopword lists for the language-ID heuristic. The synthetic corpus
 # is English-ish word salad, so real language separation is not expected —
@@ -61,7 +61,7 @@ def _marker_hits(toks, words: tuple[str, ...]):
     "alphabetical tie-break (CASE order de<en<es<fr<zh on the max).",
 )
 def ns_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     scores = {code: _marker_hits(toks, w) for code, w in _MARKERS.items()}
     best = F.greatest(*scores.values())
@@ -100,7 +100,7 @@ def ns_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ratio — integer counts with one exact double division each.",
 )
 def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     n_tok = F.size(toks)
     return d.select(
@@ -136,7 +136,7 @@ def ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(ceil(len/4) per token ≈ 4-chars-per-merge-unit).",
 )
 def ns_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     bpe = F.aggregate(
         F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0)),
@@ -161,7 +161,7 @@ def ns_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whitespace-collapsed text — the normalization layer of exact dedup.",
 )
 def ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
     )

@@ -47,6 +47,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Ensure minimum scan parallelism before CPU-heavy per-row work.
+
+    Single-row-group parquet (the local testdata) pins the whole scan to
+    one task; a round-robin repartition lets the expensive expressions
+    above it run on all cores. A no-op when the source already has at
+    least cores/factor partitions — so on a real multi-file table this
+    introduces no extra exchange.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "bench_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query materializes through the noop sink (full computation, no
+driver-side collect), timed after a JVM/session warmup query. Set
+BENCH_ALL=1 to time every registered query instead of the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from adv_big_data_indexing_spark.contract import registry
+from adv_big_data_indexing_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("adv-big-data-indexing-bench")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    specs = registry()
+    names = sorted(
+        n for n, s in specs.items() if (os.environ.get("BENCH_ALL") == "1" or s.bench)
+    )
+
+    # warmup: spin executors + parquet footers before timing
+    materialize(specs["op_d1_hit_count"].fn(spark, sf_dir))
+
+    # Steady-state timing: run each query once to pay plan compilation +
+    # codegen (amortized in any real deployment), then time the second run.
+    timings: dict[str, float] = {}
+    for name in names:
+        df = specs[name].fn(spark, sf_dir)
+        materialize(df)
+        t0 = time.perf_counter()
+        materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

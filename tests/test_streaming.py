@@ -1,0 +1,130 @@
+"""Streaming tests: CDC indexer exactly-once/replay semantics (SURVEY
+§5.2 item 3) and the event-time streaming operators against their batch
+twins."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.streaming import cdc, events as ev
+
+
+def _doc(i: int, v: int = 0) -> str:
+    return json.dumps({"objectId": f"plan-{i}", "v": v})
+
+
+def test_cdc_insert_update_delete(spark, tmp_path):
+    q, s, c = str(tmp_path / "q"), str(tmp_path / "store"), str(tmp_path / "ck")
+    cdc.enqueue(spark, q, [
+        {"key": "plan_1", "op": "insert", "seq": 1, "doc": _doc(1)},
+        {"key": "plan_2", "op": "insert", "seq": 1, "doc": _doc(2)},
+    ])
+    cdc.drain(cdc.run_indexer(spark, q, s, c))
+    got = {r.key: r for r in cdc.read_store(spark, s).collect()}
+    assert set(got) == {"plan_1", "plan_2"}
+
+    cdc.enqueue(spark, q, [
+        {"key": "plan_1", "op": "update", "seq": 2, "doc": _doc(1, v=9)},
+        {"key": "plan_2", "op": "delete", "seq": 2, "doc": None},
+        {"key": "plan_3", "op": "insert", "seq": 1, "doc": _doc(3)},
+    ])
+    cdc.drain(cdc.run_indexer(spark, q, s, c))
+    got = {r.key: r for r in cdc.read_store(spark, s).collect()}
+    assert set(got) == {"plan_1", "plan_3"}
+    assert json.loads(got["plan_1"].doc)["v"] == 9
+
+
+def test_cdc_replay_idempotent(spark, tmp_path):
+    """At-least-once delivery: replaying the whole queue from a fresh
+    checkpoint must converge to the same store state (the reference gets
+    this from ES upsert-by-_id; we get it from max-seq merge)."""
+    q, s, c1 = str(tmp_path / "q"), str(tmp_path / "store"), str(tmp_path / "ck1")
+    recs = [
+        {"key": "k1", "op": "insert", "seq": 1, "doc": _doc(1)},
+        {"key": "k1", "op": "update", "seq": 2, "doc": _doc(1, v=5)},
+        {"key": "k2", "op": "insert", "seq": 1, "doc": _doc(2)},
+    ]
+    cdc.enqueue(spark, q, recs)
+    cdc.drain(cdc.run_indexer(spark, q, s, c1))
+    state1 = sorted((r.key, r.seq, r.doc) for r in cdc.read_store(spark, s).collect())
+
+    # replay: new checkpoint → the source re-delivers every file
+    c2 = str(tmp_path / "ck2")
+    cdc.drain(cdc.run_indexer(spark, q, s, c2))
+    state2 = sorted((r.key, r.seq, r.doc) for r in cdc.read_store(spark, s).collect())
+    assert state1 == state2
+
+    # out-of-order late duplicate of an old seq must not regress the row
+    cdc.enqueue(spark, q, [{"key": "k1", "op": "update", "seq": 1, "doc": _doc(1, v=0)}])
+    cdc.drain(cdc.run_indexer(spark, q, s, c1))
+    got = {r.key: json.loads(r.doc)["v"] for r in cdc.read_store(spark, s).collect()}
+    assert got["k1"] == 5
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """A small deterministic event file the file-source stream reads."""
+    d = tmp_path_factory.mktemp("events_src")
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", i % 3, "click" if i % 2 else "view", float(i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "data"))
+    return str(d / "data"), df
+
+
+def _run_stream_to_memory(spark, stream_df, name: str, mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_matches_batch(spark, event_stream_dir):
+    path, batch_df = event_stream_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_stream_to_memory(spark, ev.tumbling_counts(stream), "t_tumble", "append")
+    # append mode emits only windows below the final watermark; complete
+    # batch equivalent restricted to those windows must agree.
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value) for r in out.collect()
+    }
+    batch = ev.tumbling_counts(batch_df)  # same builder works on batch DFs
+    exp_all = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value) for r in batch.collect()
+    }
+    for k, v in got.items():
+        assert exp_all[k] == v
+    assert len(got) > 0
+
+
+def test_streaming_dedup(spark, event_stream_dir):
+    path, batch_df = event_stream_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_stream_to_memory(spark, ev.dedup_events(stream), "t_dedup", "append")
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert sorted(ids) == sorted(set(ids)) == list(range(30))
+
+
+def test_streaming_sessions(spark, event_stream_dir):
+    path, batch_df = event_stream_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_stream_to_memory(spark, ev.session_counts(stream), "t_sess", "append")
+    # 30 events, one per minute, 3 users round-robin, 30-min gap → all
+    # events per user form one session, but append mode only emits
+    # sessions closed before the final watermark — tolerate emptiness,
+    # assert no session exceeds its user's event count.
+    rows = out.collect()
+    for r in rows:
+        assert r.n_events <= 10

@@ -55,6 +55,7 @@ def registry() -> dict[str, QuerySpec]:
     """All registered specs (importing operator modules as a side effect)."""
     # Imports deferred so `import adv_big_data_indexing_spark` stays cheap.
     from adv_big_data_indexing_spark.operators import (  # noqa: F401
+        advanced,
         dedup,
         documents,
         multimodal,

@@ -1,0 +1,375 @@
+"""Advanced relational operators the reference lacks entirely (SURVEY
+§2.E/§2.C "not present" lists): as-of join, interval/range join, pivot,
+grouping sets, ordered string aggregation, arg-max, exact percentiles,
+distribution windows, correlated-aggregate filters.
+
+Where Spark has no single built-in (as-of, scalable range join), the
+operator is a composition of DataFrame primitives with an explicit
+100 TB strategy — never a Python UDF, never a cross join:
+
+- **as-of join**: union both sides, one window pass carrying the last
+  match forward (O(n log n) within partitions, one shuffle on the key).
+  DuckDB verifies with its native ASOF JOIN.
+- **range join**: time-bucket both sides and probe adjacent buckets
+  (equi-join), then filter the exact interval — linear work instead of
+  the O(n·m) broadcast-nested-loop Spark falls back to for pure
+  inequality joins. DuckDB verifies with a plain range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.exact import dec, epoch_us, sum_money
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, the right row with the greatest ``right_ts`` ≤
+    ``left_ts`` within the same ``on`` key (left join semantics).
+
+    Composition: tag and union both sides, then one window pass with
+    ``last(..., ignorenulls)`` carries the most recent right values
+    forward. Right side must be unique per (on, right_ts).
+    """
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(r.schema[f"__r_{c}"].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left at equal ts → "at or before" semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.filter(F.col("__tag") == 1)
+        .drop("__ts", "__tag", *[f"__r_{c}" for c in right_cols])
+    )
+
+
+@query(
+    "ext_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS c_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    errors AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS err_us,
+           c.c_id AS click_event_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    bench=True,
+    doc="EXT as-of join: each error event matched to the user's most recent "
+    "click at/before it. Spark composition (union + window carry-forward) "
+    "verified against DuckDB's native ASOF JOIN.",
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("c_id"))
+    )
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    out = asof_join(errors, clicks, "user_id", "ts", "ts", ["c_id", "ts"])
+    return out.select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("err_us"),
+        F.col("asof_c_id").alias("click_event_id"),
+        epoch_us(F.col("asof_ts")).alias("click_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# range / interval join (bucketed)
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_US = 60 * 1_000_000  # clicks within the 60 s before an error
+
+
+@query(
+    "ext_range_join",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, count(c.event_id) AS n_recent_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND epoch_us(c.ts) >= epoch_us(e.ts) - {RANGE_WINDOW_US}
+     AND epoch_us(c.ts) < epoch_us(e.ts)
+    GROUP BY 1, 2
+    """,
+    doc="EXT interval join: clicks in the 60 s before each error, per user. "
+    "Spark path buckets both sides by minute and probes 2 adjacent buckets "
+    "(equi-join + residual filter) — linear, shuffle on (user, bucket) — "
+    "instead of the O(n·m) nested-loop a raw inequality join triggers. "
+    "DuckDB verifies with the plain range join.",
+)
+def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = lambda c: (epoch_us(c) / F.lit(RANGE_WINDOW_US)).cast("bigint")  # noqa: E731
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        epoch_us("ts").alias("c_us"),
+        bucket(F.col("ts")).alias("c_bucket"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", epoch_us("ts").alias("e_us"), bucket(F.col("ts")).alias("e_bucket")
+    )
+    probes = errors.select(
+        "*", F.explode(F.array(F.col("e_bucket") - 1, F.col("e_bucket"))).alias("probe")
+    )
+    joined = probes.join(
+        clicks,
+        (probes.user_id == clicks.c_user) & (probes.probe == clicks.c_bucket),
+        "left",
+    )
+    in_window = F.col("c_id").isNotNull() & (
+        (F.col("c_us") >= F.col("e_us") - RANGE_WINDOW_US) & (F.col("c_us") < F.col("e_us"))
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(F.count(F.when(in_window, 1)).alias("n_recent_clicks"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / grouping sets / ordered aggregation
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIAS = {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+                   "4-NOT SPECIFIED": "notspec", "5-LOW": "low"}
+
+
+@query(
+    "ext_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
+           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
+           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
+           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS notspec,
+           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="EXT pivot: order counts status × priority. Explicit pivot values → "
+    "single-pass aggregation, no value-discovery job.",
+)
+def ext_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(_PRIORITY_ALIAS[p]) for p in _PRIORITIES],
+    )
+    return renamed
+
+
+@query(
+    "ext_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="EXT explicit grouping sets (neither pure rollup nor cube).",
+)
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "ext_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY CAST(c_custkey AS VARCHAR)) AS members
+    FROM customer WHERE c_custkey < 200 GROUP BY c_nationkey
+    """,
+    doc="EXT ordered string aggregation (listagg). Deterministic via "
+    "explicit element ordering — collect_list alone is partition-order-"
+    "dependent, so always sort before joining.",
+)
+def ext_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("c_custkey").cast("string"))), ","
+        ).alias("members")
+    )
+
+
+@query(
+    "ext_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS best_order,
+           max(o_totalprice) AS best_price
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="EXT arg-max aggregate: each customer's highest-value order "
+    "(o_totalprice is tie-free in this corpus — verified — so arg_max is "
+    "deterministic; with ties, rank+filter with an explicit tie-break).",
+)
+def ext_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("best_order"),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+@query(
+    "ext_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="EXT exact percentiles (linear interpolation — both engines use the "
+    "same index = p·(n−1) definition, verified bit-equal). At 100 TB use "
+    "approx_percentile (t-digest) — exact percentile is a full sort per group.",
+)
+def ext_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "ext_window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    doc="EXT distribution windows: ntile/percent_rank/cume_dist over a "
+    "tie-free ordering (exact integer-ratio doubles on both engines).",
+)
+def ext_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "ext_correlated_above_avg",
+    oracle="""
+    WITH avgs AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, a.avg_price
+    FROM orders o JOIN avgs a ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.avg_price
+    """,
+    doc="EXT correlated-aggregate filter: orders above their own customer's "
+    "average — the decorrelated join form Catalyst produces for the "
+    "correlated subquery.",
+)
+def ext_correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("a_custkey")).agg(
+        (F.sum(dec("o_totalprice")).cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        o.join(avgs, o.o_custkey == avgs.a_custkey)
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
+    )
+
+
+@query(
+    "ext_scalar_regex",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           string_split(c_name, '#')[1] AS name_head,
+           reverse(c_mktsegment) AS seg_rev,
+           left(c_mktsegment, 3) AS seg3,
+           repeat('*', CAST(c_nationkey % 4 AS INTEGER)) AS stars,
+           (strpos(c_name, '9') > 0) AS has_nine
+    FROM customer WHERE c_custkey < 500
+    """,
+    doc="EXT regex/string coverage: extract, split+index, reverse, left, "
+    "repeat, containment.",
+)
+def ext_scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.split(F.col("c_name"), "#").getItem(0).alias("name_head"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.repeat(F.lit("*"), (F.col("c_nationkey") % 4).cast("int")).alias("stars"),
+        (F.instr(F.col("c_name"), "9") > 0).alias("has_nine"),
+    )

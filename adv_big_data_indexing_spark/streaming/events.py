@@ -57,3 +57,51 @@ def dedup_events(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exactly-once-per-id projection: dropDuplicates on
     event_id within the watermark horizon."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# --- custom stateful operator ----------------------------------------------
+
+USER_STATS_OUTPUT = (
+    "user_id long, n_events long, total_value double, last_event_us long"
+)
+USER_STATS_STATE = "n long, total double, last_us long"
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count / value sum / last-seen timestamp, one update
+    row emitted per user per micro-batch.
+
+    This is the engine's escape hatch for semantics the built-in
+    windowed aggregations can't express (the SURVEY §2.I policy:
+    native first, Arrow-batched state second, never row-at-a-time).
+    State is a 3-field tuple per user — constant size, no growth.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        n, total, last_us = state.get() if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_event_us": [last_us],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_OUTPUT,
+        stateStructType=USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

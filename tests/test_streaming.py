@@ -128,3 +128,25 @@ def test_streaming_sessions(spark, event_stream_dir):
     rows = out.collect()
     for r in rows:
         assert r.n_events <= 10
+
+
+def test_stateful_user_stats(spark, event_stream_dir):
+    """Custom applyInPandasWithState operator: per-user running stats
+    accumulate across micro-batches and match the batch aggregate."""
+    path, batch_df = event_stream_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_stream_to_memory(spark, ev.user_running_stats(stream), "t_state", "update")
+    # last emitted row per user = final running totals
+    import pyspark.sql.functions as F
+
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in out.orderBy("n_events").collect()  # later rows overwrite
+    }
+    expected = {
+        r.user_id: (r.n, r.tot)
+        for r in batch_df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    assert final == expected

@@ -63,6 +63,7 @@ def registry() -> dict[str, QuerySpec]:
         similarity,
         text,
         timeseries,
+        udfs,
     )
 
     return dict(_REGISTRY)

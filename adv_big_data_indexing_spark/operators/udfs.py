@@ -1,0 +1,115 @@
+"""UDF-surface operators (SURVEY §2.I) — the sanctioned escape hatches.
+
+Policy: native Column expressions first; when Python is genuinely
+needed, Arrow-batched Pandas UDFs (grouped-map ``applyInPandas`` /
+``mapInPandas``), never row-at-a-time Python UDFs. This module holds
+the demonstration operators:
+
+- ``ns_udf_group_zscore``: per-group z-score normalization via
+  applyInPandas. The arithmetic uses exact integer sums + a fixed
+  IEEE double op order, so even the Python-side result matches the
+  DuckDB oracle bit-for-bit — proving UDF operators can stay inside
+  the engine's determinism contract.
+- approx aggregates (HLL distinct, t-digest percentile): the 100 TB
+  substitutes for their exact cousins; estimates are engine-specific,
+  so the driver records the weaker rows-only check, and pytest bounds
+  their error against the exact values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+ZSCORE_SCHEMA = "doc_id long, source string, n_chars long, zscore double"
+
+
+def group_zscore(documents: DataFrame) -> DataFrame:
+    """Grouped-map Pandas UDF: z-score of n_chars within each source.
+
+    Exact recipe: integer sums (Python ints, arbitrary precision), then
+    mean = S/n, msq = Q/n, var = msq - mean*mean, z = (x - mean)/sqrt(var)
+    — every double op correctly rounded and order-fixed, so any engine
+    evaluating the same formula produces identical bits.
+    """
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        xs = [int(v) for v in pdf["n_chars"]]
+        n, s, q = len(xs), sum(xs), sum(v * v for v in xs)
+        mean = s / n
+        var = q / n - mean * mean
+        std = math.sqrt(var)
+        z = [(float(x) - mean) / std if std > 0 else 0.0 for x in xs]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_chars": pdf["n_chars"],
+                "zscore": z,
+            }
+        )
+
+    return documents.select("doc_id", "source", "n_chars").groupBy("source").applyInPandas(
+        per_group, schema=ZSCORE_SCHEMA
+    )
+
+
+@query(
+    "ns_udf_group_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS q,
+             count(*) AS n
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CASE WHEN sqrt(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) > 0
+                THEN (CAST(d.n_chars AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                     / sqrt(CAST(q AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                ELSE 0.0 END AS zscore
+    FROM documents d JOIN stats USING (source)
+    """,
+    doc="NS grouped-map Pandas UDF (applyInPandas): per-source z-score "
+    "normalization, Arrow-batched, one Python worker per group partition — "
+    "and still bit-identical to the SQL oracle via exact-order arithmetic.",
+)
+def ns_udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_zscore(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_approx_distinct",
+    oracle=None,  # HLL estimates are engine-specific by construction
+    doc="EXT approx_count_distinct (HyperLogLog++) — the 100 TB form of "
+    "count(DISTINCT): one pass, fixed memory, no distinct expansion. "
+    "Error bound vs exact asserted in tests/test_udfs.py.",
+)
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+    )
+
+
+@query(
+    "ext_approx_percentile",
+    oracle=None,  # interpolation-free sketch, engine-specific
+    doc="EXT approx_percentile — the scale substitute for exact "
+    "percentiles (no per-group sort). Accuracy asserted in tests.",
+)
+def ext_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price")
+    )

@@ -353,3 +353,52 @@ def test_get_mapping(tables):
     m = search.get_mapping(tables)
     assert set(m) == {"plans", "membercostshares", "planservices", "services", "edges", "entities"}
     assert "objectId" in m["plans"]
+
+
+# --- edge cases: absent optional fields ------------------------------------
+
+
+def test_roundtrip_sparse_documents(spark, schema):
+    """Documents with absent optional fields: no costshare, no services,
+    sparse service entries. Canonical form: absent child array → [] after
+    reconstruction; absent struct → null."""
+    docs = [
+        # minimal: only required fields
+        {"objectId": "sparse-1", "objectType": "plan", "creationDate": "01-01-2024"},
+        # costshare but no services
+        {
+            "objectId": "sparse-2",
+            "objectType": "plan",
+            "creationDate": "02-01-2024",
+            "planCostShares": {
+                "objectId": "sc-2",
+                "objectType": "membercostshare",
+                "copay": 5.0,
+            },
+        },
+        # service without grandchildren
+        {
+            "objectId": "sparse-3",
+            "objectType": "plan",
+            "creationDate": "03-01-2024",
+            "linkedPlanServices": [
+                {"objectId": "sps-3", "objectType": "planservice"}
+            ],
+        },
+    ]
+    raw = spark.createDataFrame([(json.dumps(d),) for d in docs], "raw string")
+    v = validate(raw, schema)
+    assert v.filter(~F.col("is_valid")).count() == 0
+    tables = shred(v.select("doc.*"))
+    # no phantom child rows from absent children
+    assert tables["membercostshares"].count() == 1
+    assert tables["planservices"].count() == 1
+    assert tables["services"].count() == 0
+    rec = {r["objectId"]: r for r in
+           (row.asDict(recursive=True) for row in reconstruct(tables).drop("id").collect())}
+    assert rec["sparse-1"]["planCostShares"] is None
+    assert rec["sparse-1"]["linkedPlanServices"] == []
+    assert rec["sparse-2"]["planCostShares"]["copay"] == 5.0
+    assert rec["sparse-2"]["planCostShares"]["deductible"] is None
+    lps = rec["sparse-3"]["linkedPlanServices"]
+    assert len(lps) == 1 and lps[0]["linkedService"] is None

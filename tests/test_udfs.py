@@ -1,0 +1,56 @@
+"""UDF-surface tests: approx aggregates stay within their error bounds
+of the exact answers; the grouped-map z-score op is internally
+consistent (mean≈0, std≈1 per group)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import registry
+from adv_big_data_indexing_spark.sources.catalog import load_table
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_approx_distinct_error_bound(spark):
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_supps)
+        for r in registry()["ext_approx_distinct"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p, r.s)
+        for r in load_table(spark, SF_CORRECTNESS, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("p"), F.countDistinct("l_suppkey").alias("s"))
+        .collect()
+    }
+    for k, (ap, asup) in approx.items():
+        ep, es = exact[k]
+        assert abs(ap - ep) / ep < 0.05
+        assert abs(asup - es) / es < 0.05
+
+
+def test_approx_percentile_close_to_exact(spark):
+    approx = {
+        r.l_returnflag: r.approx_median_price
+        for r in registry()["ext_approx_percentile"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    exact = {
+        r.l_returnflag: r.m
+        for r in load_table(spark, SF_CORRECTNESS, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+        .collect()
+    }
+    for k, a in approx.items():
+        assert abs(a - exact[k]) / exact[k] < 0.05
+
+
+def test_zscore_group_properties(spark):
+    out = registry()["ns_udf_group_zscore"].fn(spark, SF_CORRECTNESS)
+    stats = out.groupBy("source").agg(
+        F.avg("zscore").alias("mu"), F.stddev_pop("zscore").alias("sd"), F.count("*").alias("n")
+    )
+    for r in stats.collect():
+        assert abs(r.mu) < 1e-9
+        assert abs(r.sd - 1.0) < 1e-9 or r.n == 1

@@ -890,3 +890,100 @@ def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
         "event_type",
     )
+
+
+# ---------------------------------------------------------------------------
+# 2.A sink-side analogs (upsert / guarded insert / keyed + predicate delete)
+# expressed as the SELECT shapes that a MERGE/DELETE would compute
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_a6_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS price, 2 AS version
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    unioned AS (
+      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price, 1 AS version FROM orders
+      UNION ALL
+      SELECT o_orderkey, CAST(price AS DOUBLE), version FROM updates
+    )
+    SELECT o_orderkey, price, version FROM unioned
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+    """,
+    doc="OP-A6/A8 keyed upsert (SET key / ES index-by-_id, "
+    "elasticSearch.ts:3-11, rabbitMq.ts:43-49): last-writer-wins resolved "
+    "set-oriented — union + row_number per key, the exact state a Delta "
+    "MERGE would leave. Idempotent under replay (max version wins).",
+)
+def op_a6_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.operators.mutate import upsert_last_writer
+
+    o = load_table(spark, sf_dir, "orders")
+    existing = o.select(
+        "o_orderkey", dec("o_totalprice").cast("double").alias("price"), F.lit(1).alias("version")
+    )
+    updates = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        (dec("o_totalprice") + 1).cast("double").alias("price"),
+        F.lit(2).alias("version"),
+    )
+    return upsert_last_writer(existing, updates, "o_orderkey", "version")
+
+
+@query(
+    "op_a7_guarded_insert",
+    oracle="""
+    WITH incoming AS (SELECT o_orderkey + 14000 AS o_orderkey FROM orders WHERE o_orderkey < 2000)
+    SELECT i.o_orderkey, NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = i.o_orderkey) AS insertable
+    FROM incoming i
+    """,
+    doc="OP-A7 guarded insert (insert-iff-absent else 409, "
+    "apiLogicForCRUD.ts:390-416): membership probe as an anti-join flag — "
+    "no row data moves for the existence test.",
+)
+def op_a7_guarded_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    incoming = o.filter(F.col("o_orderkey") < 2000).select(
+        (F.col("o_orderkey") + 14000).alias("o_orderkey")
+    )
+    existing = o.select(F.col("o_orderkey").alias("e_key"))
+    return (
+        incoming.join(existing, incoming.o_orderkey == existing.e_key, "left")
+        .select("o_orderkey", F.col("e_key").isNull().alias("insertable"))
+    )
+
+
+@query(
+    "op_a9_keyed_delete",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 = 0)
+    """,
+    doc="OP-A9 keyed delete (DEL key, apiLogicForCRUD.ts:364-389): the "
+    "surviving set after an anti-join against the delete keys — what "
+    "DELETE WHERE key IN (...) rewrites to on immutable storage.",
+)
+def op_a9_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    delete_keys = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        F.col("o_orderkey").alias("d_key")
+    )
+    return o.join(delete_keys, o.o_orderkey == delete_keys.d_key, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@query(
+    "op_a10_predicate_delete",
+    oracle="""
+    SELECT count(*) AS surviving FROM lineitem WHERE NOT (l_quantity < 5.0)
+    """,
+    doc="OP-A10 bulk delete by predicate (deleteByQuery, "
+    "elasticSearch.ts:186-200): survivors of DELETE WHERE pred.",
+)
+def op_a10_predicate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(~(F.col("l_quantity") < 5.0)).agg(F.count("*").alias("surviving"))

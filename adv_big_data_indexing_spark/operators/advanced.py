@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.functions.exact import dec, epoch_us, sum_money
-from adv_big_data_indexing_spark.sources.catalog import load_table
+from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
 # ---------------------------------------------------------------------------
 # as-of join
@@ -372,4 +372,126 @@ def ext_scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_mktsegment", 1, 3).alias("seg3"),
         F.repeat(F.lit("*"), (F.col("c_nationkey") % 4).cast("int")).alias("stars"),
         (F.instr(F.col("c_name"), "9") > 0).alias("has_nine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# array ops / conditionals / moment statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_array_ops",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, regexp_split_to_array(p_name, ' ') AS name_toks,
+             regexp_split_to_array(lower(p_type), '') AS type_chars
+      FROM part WHERE p_partkey < 500
+    )
+    SELECT p_partkey,
+           CAST(len(name_toks) AS INTEGER) AS n_toks,
+           list_sort(list_distinct(name_toks)) AS toks_sorted,
+           list_sort(list_intersect(name_toks, ['red', 'blue', 'small'])) AS color_hits,
+           array_to_string(list_sort(name_toks || ['zz']), '|') AS joined
+    FROM t
+    """,
+    doc="EXT array function coverage: split, distinct, sort, intersect, "
+    "concat, join — per-row array algebra entirely in codegen.",
+)
+def ext_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(toks).alias("n_toks"),
+        F.array_sort(F.array_distinct(toks)).alias("toks_sorted"),
+        F.array_sort(
+            F.array_intersect(toks, F.array(F.lit("red"), F.lit("blue"), F.lit("small")))
+        ).alias("color_hits"),
+        F.array_join(F.array_sort(F.concat(toks, F.array(F.lit("zz")))), "|").alias("joined"),
+    )
+
+
+@query(
+    "ext_conditionals",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 400000 THEN 'high'
+                WHEN o_totalprice > 200000 THEN 'mid' ELSE 'low' END AS bucket,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           greatest(CAST(o_custkey % 7 AS BIGINT), CAST(o_orderkey % 5 AS BIGINT)) AS g,
+           least(CAST(o_custkey % 7 AS BIGINT), CAST(o_orderkey % 5 AS BIGINT)) AS l
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    doc="EXT conditional-expression coverage: CASE ladders, nullif, "
+    "coalesce, greatest/least.",
+)
+def ext_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 400000, "high")
+        .when(F.col("o_totalprice") > 200000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_label"),
+        F.greatest(F.col("o_custkey") % 7, F.col("o_orderkey") % 5).alias("g"),
+        F.least(F.col("o_custkey") % 7, F.col("o_orderkey") % 5).alias("l"),
+    )
+
+
+@query(
+    "ext_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq2,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sxy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sp,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sp2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(sq AS DOUBLE) / n AS mean_qty,
+           CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n) AS var_qty,
+           (CAST(sxy AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n))
+             / sqrt((CAST(sq2 AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))
+                    * (CAST(sp2 AS DOUBLE) / n - (CAST(sp AS DOUBLE) / n) * (CAST(sp AS DOUBLE) / n))) AS corr_qty_price
+    FROM s
+    """,
+    doc="EXT moment statistics (variance, correlation) from EXACT integer/"
+    "decimal power sums with a fixed double-op order — deterministic across "
+    "engines and partitionings, unlike streaming Welford updates whose "
+    "result depends on merge order. The exact-sums form is also the "
+    "map-side-combinable one (one pass, tiny state).",
+)
+def ext_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = spread(load_table(spark, sf_dir, "lineitem"))
+    qi = F.col("l_quantity").cast("bigint")
+    pd_ = dec("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qi).alias("sq"),
+        F.sum(qi * qi).alias("sq2"),
+        F.sum(qi * pd_).cast("decimal(38,2)").alias("sxy"),
+        F.sum(pd_).cast("decimal(38,2)").alias("sp"),
+        F.sum(pd_ * pd_).cast("decimal(38,4)").alias("sp2"),
+    )
+    n = F.col("n")
+    mq = F.col("sq").cast("double") / n
+    mp = F.col("sp").cast("double") / n
+    vq = F.col("sq2").cast("double") / n - mq * mq
+    vp = F.col("sp2").cast("double") / n - mp * mp
+    cov = F.col("sxy").cast("double") / n - mq * mp
+    return s.select(
+        "l_returnflag",
+        "n",
+        mq.alias("mean_qty"),
+        vq.alias("var_qty"),
+        (cov / F.sqrt(vq * vp)).alias("corr_qty_price"),
     )

@@ -141,3 +141,96 @@ def ts_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY e.user_id
+    )
+    SELECT s.user_id,
+           CAST(epoch_us(s.signup_ts) AS BIGINT) AS signup_us,
+           CAST(epoch_us(c.click_ts) AS BIGINT) AS click_us,
+           CAST(epoch_us(p.purchase_ts) AS BIGINT) AS purchase_us,
+           (c.user_id IS NOT NULL) AS reached_click,
+           (p.user_id IS NOT NULL) AS reached_purchase
+    FROM s LEFT JOIN c ON s.user_id = c.user_id LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    doc="EXT event funnel: signup → first later click → first later "
+    "purchase, per user. Three keyed min-aggregations chained by "
+    "left joins; every stage is a partial-aggregable groupBy.",
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            epoch_us("signup_ts").alias("signup_us"),
+            epoch_us("click_ts").alias("click_us"),
+            epoch_us("purchase_ts").alias("purchase_us"),
+            F.col("click_ts").isNotNull().alias("reached_click"),
+            F.col("purchase_ts").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+@query(
+    "ts_retention_cohort",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ),
+    first_day AS (SELECT user_id, min(day) AS cohort_day FROM daily GROUP BY user_id)
+    SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+           count(DISTINCT d.user_id) AS active_users
+    FROM daily d JOIN first_day f ON d.user_id = f.user_id
+    WHERE d.day - f.cohort_day <= 7
+    GROUP BY 1, 2
+    """,
+    doc="EXT cohort retention: users bucketed by first-active day, "
+    "distinct-active counts per day offset — the standard training-data "
+    "freshness/engagement rollup.",
+)
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = (epoch_us("ts") / F.lit(86_400_000_000)).cast("bigint")
+    daily = e.select("user_id", day.alias("day")).distinct()
+    first = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = daily.join(first, "user_id").withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+    return (
+        j.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -264,28 +264,39 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", F.md5("tok"))
     )
-    exploded = tf.select(
-        "doc_id", "cnt", "h", F.explode(F.sequence(F.lit(0), F.lit(N_SIMHASH_BITS - 1))).alias("b")
-    )
-    # bit b of the 64-bit prefix of md5(tok): nibble b div 4, bit (3 - b%4)
-    contrib = exploded.selectExpr(
+    # One wide aggregate instead of a 64× row explosion: 64 partial-sum
+    # columns (bit b of md5(tok) contributes ±cnt), combined map-side —
+    # the shuffle carries one 64-column row per doc, not 64 rows.
+    # Nibbles project once (16 substr) so the 64 bit exprs are cheap shifts.
+    nibbled = tf.selectExpr(
         "doc_id",
-        "b",
-        "cnt * (2 * (shiftright(instr('0123456789abcdef', substr(h, CAST(b DIV 4 AS INT) + 1, 1)) - 1,"
-        " CAST(3 - b % 4 AS INT)) & 1) - 1) AS contrib",
+        "cnt",
+        *[
+            f"instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS n{i}"
+            for i in range(N_SIMHASH_BITS // 4)
+        ],
     )
-    bits = (
-        contrib.groupBy("doc_id", "b")
-        .agg(F.when(F.sum("contrib") >= 0, 1).otherwise(0).alias("bit"))
+    bit_sums = nibbled.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"cnt * (2 * (shiftright(n{b // 4}, {3 - b % 4}) & 1) - 1)")
+            ).alias(f"s{b}")
+            for b in range(N_SIMHASH_BITS)
+        ]
     )
-    sig = (
-        bits.selectExpr(
-            "doc_id",
-            "CAST(b DIV 16 AS INT) AS chunk",
-            "bit * CAST(pow(2, 15 - b % 16) AS BIGINT) AS w",
-        )
-        .groupBy("doc_id", "chunk")
-        .agg(F.sum("w").cast("bigint").alias("chunk_val"))
+    chunk_cols = []
+    for chunk in range(N_CHUNKS):
+        terms = [
+            f"(CASE WHEN s{chunk * 16 + j} >= 0 THEN 1 ELSE 0 END) * {1 << (15 - j)}"
+            for j in range(16)
+        ]
+        chunk_cols.append(f"CAST({' + '.join(terms)} AS BIGINT) AS c{chunk}")
+    wide = bit_sums.selectExpr("doc_id", *chunk_cols)
+    sig = wide.selectExpr(
+        "doc_id",
+        f"stack({N_CHUNKS}, "
+        + ", ".join(f"{k}, c{k}" for k in range(N_CHUNKS))
+        + ") AS (chunk, chunk_val)",
     )
     a_sig = sig.select(F.col("doc_id").alias("doc_a"), "chunk", "chunk_val")
     b_sig = sig.select(F.col("doc_id").alias("doc_b"), "chunk", "chunk_val")

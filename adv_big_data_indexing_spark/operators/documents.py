@@ -206,3 +206,58 @@ def doc_etag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rec = with_etag(reconstruct(shred(synth_plans(spark, sf_dir))))
     return rec.select("id", "etag")
+
+
+@query(
+    "doc_search_rehydrated",
+    oracle=f"""
+    WITH matching AS (
+      SELECT DISTINCT c.c_custkey
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey < {PLAN_CUST_LIMIT} AND o.o_orderpriority = '1-URGENT'
+    )
+    SELECT concat('p', c.c_custkey) AS plan_object_id,
+           concat('ps', o.o_orderkey) AS ps_object_id,
+           o.o_orderpriority AS service_name
+    FROM customer c
+    JOIN matching m ON c.c_custkey = m.c_custkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    doc="OP-C6 fan-out hit rehydration: search hits (has_child semi-join) "
+    "joined back to the reconstructed nested view and re-flattened — the "
+    "reference reconstructs per hit in a loop (apiLogicForSearch.ts:280-286); "
+    "here it is one set-oriented join against the reconstruct view.",
+)
+def doc_search_rehydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.operators.reconstruct import reconstruct
+    from adv_big_data_indexing_spark.operators.search import parents_having
+    from adv_big_data_indexing_spark.operators.shred import shred
+
+    tables = shred(synth_plans(spark, sf_dir))
+    hits = parents_having(tables, "planservice_service", {"name": "1-URGENT"})
+    rec = reconstruct(tables)
+    rehydrated = rec.join(
+        hits.select(F.col("id").alias("hit_id")), rec.id == F.col("hit_id"), "left_semi"
+    )
+    return rehydrated.select(
+        F.col("objectId").alias("plan_object_id"), F.explode("linkedPlanServices").alias("lps")
+    ).select(
+        "plan_object_id",
+        F.col("lps.objectId").alias("ps_object_id"),
+        F.col("lps.linkedService.name").alias("service_name"),
+    )
+
+
+@query(
+    "doc_get_mapping",
+    oracle=None,  # DDL strings are engine-specific (OP-A13 introspection)
+    doc="OP-A13 schema/mapping introspection (GET /getMapping → "
+    "elasticSearch.ts:301-310): one row per document table with its DDL.",
+)
+def doc_get_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.operators.search import get_mapping
+    from adv_big_data_indexing_spark.operators.shred import shred
+
+    tables = shred(synth_plans(spark, sf_dir))
+    mapping = sorted(get_mapping(tables).items())
+    return spark.createDataFrame(mapping, "table_name string, schema_json string")

@@ -402,3 +402,48 @@ def test_roundtrip_sparse_documents(spark, schema):
     assert rec["sparse-2"]["planCostShares"]["deductible"] is None
     lps = rec["sparse-3"]["linkedPlanServices"]
     assert len(lps) == 1 and lps[0]["linkedService"] is None
+
+
+# --- invariants ------------------------------------------------------------
+
+
+def test_merge_patch_idempotent(spark, plans_df):
+    """merge_patch(merge_patch(base, p), p) == merge_patch(base, p) — the
+    property that makes retried PATCHes safe (the reference relies on it
+    implicitly via ES upsert)."""
+    patch_doc = {
+        "objectId": "plan-00003",
+        "planType": "IDEMPOTENT",
+        "linkedPlanServices": [
+            {
+                "linkedService": None,
+                "planserviceCostShares": None,
+                "_org": "patched.org",
+                "objectId": "ps-00003-0",
+                "objectType": "planservice",
+            }
+        ],
+    }
+    patch = spark.createDataFrame([(json.dumps(patch_doc),)], "raw string").select(
+        F.from_json("raw", plans_df.schema).alias("doc")
+    ).select("doc.*")
+    once, _ = mutate.merge_patch(plans_df, patch)
+    twice, _ = mutate.merge_patch(once, patch)
+    canon = lambda df: sorted(  # noqa: E731
+        json.dumps(r.asDict(recursive=True), sort_keys=True, default=str)
+        for r in df.collect()
+    )
+    assert canon(once) == canon(twice)
+
+
+def test_cascade_delete_then_reconstruct_consistent(spark, tables):
+    """After a cascade delete, reconstruction must not resurrect any
+    fragment of the deleted document (referential integrity)."""
+    roots = spark.createDataFrame([("plan_plan-00005",)], "id string")
+    survived = mutate.cascade_delete(tables, roots)
+    rec = reconstruct(survived)
+    assert rec.filter(F.col("objectId") == "plan-00005").count() == 0
+    all_json = json.dumps(
+        [r.asDict(recursive=True) for r in rec.collect()], default=str
+    )
+    assert "ps-00005-" not in all_json and "cs-00005" not in all_json

@@ -131,3 +131,111 @@ def drain(query: StreamingQuery, timeout_sec: int = 120) -> None:
 
 def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
     return spark.read.parquet(store_dir)
+
+
+# ---------------------------------------------------------------------------
+# full document write path as one streaming job (SURVEY §3.1 "Spark shape")
+# ---------------------------------------------------------------------------
+
+
+def run_document_indexer(
+    spark: SparkSession,
+    queue_dir: str,
+    entities_dir: str,
+    rejects_dir: str,
+    checkpoint_dir: str,
+    schema: dict,
+) -> StreamingQuery:
+    """POST /plan, end-to-end, streaming: each micro-batch of CDC records
+    carrying raw plan JSON is validated against the registered schema
+    (plans/json_schema_compiler), invalid docs are routed to a rejects
+    table (the 400 path, with their violation list), valid docs are
+    shredded (operators/shred) and their entity fragments merged into
+    the store by (id, seq) — replacing the reference's 10-step
+    Redis→AMQP→poll→ES choreography (apiLogicForCRUD.ts:82-144) with one
+    exactly-once pipeline.
+    """
+    from adv_big_data_indexing_spark.operators.shred import shred
+    from adv_big_data_indexing_spark.plans.json_schema_compiler import validate
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upserts = latest.filter(F.col("op") != "delete")
+        v = validate(upserts.select("key", "seq", F.col("doc").alias("raw")), schema)
+        bad = v.filter(~F.col("is_valid")).select(
+            "key", "seq", "violations", F.col("raw").alias("doc")
+        )
+        if bad.take(1):
+            bad.write.mode("append").parquet(rejects_dir)
+        good = v.filter(F.col("is_valid"))
+        tables = shred(good.select("doc.*"))
+        # entity fragments inherit the CDC seq of their root document
+        seq_of = good.select(
+            F.concat_ws("_", F.lit("plan"), F.col("doc.objectId")).alias("root_key"),
+            "seq",
+        )
+        edges = tables["edges"]
+        root_of = edges.alias("e1").join(
+            edges.alias("e2"),
+            F.col("e1.parent_id") == F.col("e2.child_id"),
+            "left",
+        ).select(
+            F.col("e1.child_id").alias("id"),
+            F.coalesce(F.col("e2.parent_id"), F.col("e1.parent_id"), F.col("e1.child_id")).alias(
+                "root_key"
+            ),
+        )
+        fragments = (
+            tables["entities"]
+            .join(root_of, "id")
+            .join(seq_of, "root_key")
+            .select("id", "root_key", "seq", "object_type", "payload")
+        )
+        # deletes remove the whole document closure by root key
+        delete_roots = latest.filter(F.col("op") == "delete").select(
+            F.col("key").alias("root_key"), "seq"
+        )
+        try:
+            current = spark.read.parquet(entities_dir)
+        except Exception:
+            current = None
+        merged = fragments if current is None else current.unionByName(fragments)
+        # last-writer per fragment id by root seq, then drop deleted roots
+        w2 = Window.partitionBy("id").orderBy(F.col("seq").desc())
+        merged = (
+            merged.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if delete_roots.take(1):
+            kill = delete_roots.select("root_key").distinct()
+            merged = merged.join(kill, "root_key", "left_anti")
+        tmp = f"{entities_dir}__stage_{batch_id}_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{entities_dir}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(entities_dir):
+            os.rename(entities_dir, old)
+        os.rename(tmp, entities_dir)
+        if os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(queue_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

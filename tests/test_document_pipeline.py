@@ -447,3 +447,37 @@ def test_cascade_delete_then_reconstruct_consistent(spark, tables):
         [r.asDict(recursive=True) for r in rec.collect()], default=str
     )
     assert "ps-00005-" not in all_json and "cs-00005" not in all_json
+
+
+# --- schema registry (the /schema CRUD surface) ----------------------------
+
+
+def test_schema_registry_crud(spark, schema):
+    from adv_big_data_indexing_spark.plans.registry import (
+        SchemaConflictError,
+        SchemaNotFoundError,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    assert reg.register("plan", schema) == 1
+    # 409 on duplicate (apiLogicForCRUD.ts:417-429)
+    with pytest.raises(SchemaConflictError):
+        reg.register("plan", schema)
+    # replace bumps the version and invalidates the compile cache key
+    st1 = reg.struct("plan")
+    assert reg.register("plan", schema, replace=True) == 2
+    st2 = reg.struct("plan")
+    assert st1 == st2  # same schema → same struct, different cache entry
+    # the registered struct drives validation end-to-end
+    raw = spark.createDataFrame([(json.dumps(make_plan(0)),)], "raw string")
+    parsed = raw.select(F.from_json("raw", reg.struct("plan")).alias("d")).select("d.*")
+    assert parsed.collect()[0].objectId == "plan-00000"
+    # persistable table mirror
+    rows = reg.to_rows()
+    assert rows[0][0] == "plan" and rows[0][1] == 2
+    reg.delete("plan")
+    with pytest.raises(SchemaNotFoundError):
+        reg.get("plan")
+    with pytest.raises(SchemaNotFoundError):
+        reg.delete("plan")

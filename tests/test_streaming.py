@@ -150,3 +150,42 @@ def test_stateful_user_stats(spark, event_stream_dir):
         .collect()
     }
     assert final == expected
+
+
+def test_document_indexer_end_to_end(spark, tmp_path):
+    """The reference's whole POST /plan choreography as one streaming
+    job: validate → 400-split → shred → keyed merge → delete closure."""
+    from tests.fixtures import make_plan, reference_schema
+
+    q = str(tmp_path / "q"); ents = str(tmp_path / "entities")
+    rej = str(tmp_path / "rejects"); ck = str(tmp_path / "ck")
+    schema = reference_schema()
+
+    p0, p1 = make_plan(0), make_plan(1)
+    bad = dict(make_plan(2)); bad["creationDate"] = "31-02-2024"
+    cdc.enqueue(spark, q, [
+        {"key": "plan_plan-00000", "op": "insert", "seq": 1, "doc": json.dumps(p0)},
+        {"key": "plan_plan-00001", "op": "insert", "seq": 1, "doc": json.dumps(p1)},
+        {"key": "plan_plan-00002", "op": "insert", "seq": 1, "doc": json.dumps(bad)},
+    ])
+    cdc.drain(cdc.run_document_indexer(spark, q, ents, rej, ck, schema))
+    store = spark.read.parquet(ents)
+    # 2 valid plans × 8 fragments each; the invalid one rejected whole
+    assert store.count() == 16
+    rejects = spark.read.parquet(rej)
+    assert rejects.count() == 1
+    assert "$.creationDate:calendar_valid" in rejects.collect()[0].violations
+
+    # update plan 0 (rename a service) then delete plan 1
+    p0b = make_plan(0)
+    p0b["linkedPlanServices"][0]["linkedService"]["name"] = "RENAMED"
+    cdc.enqueue(spark, q, [
+        {"key": "plan_plan-00000", "op": "update", "seq": 2, "doc": json.dumps(p0b)},
+        {"key": "plan_plan-00001", "op": "delete", "seq": 2, "doc": None},
+    ])
+    cdc.drain(cdc.run_document_indexer(spark, q, ents, rej, ck, schema))
+    store = spark.read.parquet(ents)
+    assert store.count() == 8  # plan-00001's closure fully gone
+    assert store.filter(F.col("root_key") == "plan_plan-00001").count() == 0
+    svc = store.filter(F.col("id") == "service_svc-00000-0").collect()[0]
+    assert "RENAMED" in svc.payload

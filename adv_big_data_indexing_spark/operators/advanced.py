@@ -495,3 +495,53 @@ def ext_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         vq.alias("var_qty"),
         (cov / F.sqrt(vq * vp)).alias("corr_qty_price"),
     )
+
+
+@query(
+    "ext_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+           count(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="EXT grouping indicators: distinguish 'NULL because rolled up' "
+    "from 'NULL in the data' — required for correct rollup consumers.",
+)
+def ext_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+    ).select("o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n")
+
+
+@query(
+    "ext_scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS quarter_later,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    doc="EXT date arithmetic: interval add, month add (end-of-month "
+    "clamped identically in both engines), last_day, day-of-week "
+    "(normalized to Spark's 1=Sunday), ISO week, quarter.",
+)
+def ext_scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.add_months("o_orderdate", 3).cast("timestamp_ntz").alias("quarter_later"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )

@@ -105,3 +105,42 @@ def user_running_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def error_click_interval_join(
+    errors: DataFrame, clicks: DataFrame, window_sec: int = 60
+) -> DataFrame:
+    """Stream-stream interval join: each error joined to same-user clicks
+    from the preceding ``window_sec``. Both sides watermarked so the join
+    state is bounded (Spark buffers only rows inside the watermark
+    horizon — the contract that keeps state finite at 100 TB/day volumes).
+    """
+    e = errors.withWatermark("ts", "5 minutes").select(
+        F.col("user_id").alias("e_user"), F.col("event_id").alias("e_id"), F.col("ts").alias("e_ts")
+    )
+    c = clicks.withWatermark("ts", "5 minutes").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {window_sec} SECONDS"))
+        & (F.col("c_ts") < F.col("e_ts"))
+    )
+    return e.join(c, cond, "inner").select("e_user", "e_id", "e_ts", "c_id", "c_ts")
+
+
+def index_lag(queue_df: DataFrame, store_df: DataFrame) -> DataFrame:
+    """The reference's eventual-consistency observable (README.md:117 —
+    Redis authoritative, index lags): max enqueued seq vs max applied seq
+    per key; lag 0 everywhere == fully caught up."""
+    q = queue_df.groupBy("key").agg(F.max("seq").alias("enqueued_seq"))
+    s = store_df.groupBy("key").agg(F.max("seq").alias("applied_seq"))
+    return (
+        q.join(s, "key", "left")
+        .select(
+            "key",
+            "enqueued_seq",
+            F.coalesce(F.col("applied_seq"), F.lit(0)).alias("applied_seq"),
+            (F.col("enqueued_seq") - F.coalesce(F.col("applied_seq"), F.lit(0))).alias("lag"),
+        )
+    )

@@ -189,3 +189,37 @@ def test_document_indexer_end_to_end(spark, tmp_path):
     assert store.filter(F.col("root_key") == "plan_plan-00001").count() == 0
     svc = store.filter(F.col("id") == "service_svc-00000-0").collect()[0]
     assert "RENAMED" in svc.payload
+
+
+def test_stream_stream_interval_join(spark, event_stream_dir):
+    """Watermarked stream-stream interval join equals its batch twin."""
+    path, batch_df = event_stream_dir
+    errors_s = spark.readStream.schema(batch_df.schema).parquet(path).filter("event_type = 'view'")
+    clicks_s = spark.readStream.schema(batch_df.schema).parquet(path).filter("event_type = 'click'")
+    out = _run_stream_to_memory(
+        spark, ev.error_click_interval_join(errors_s, clicks_s, window_sec=240), "t_ssjoin", "append"
+    )
+    got = sorted((r.e_id, r.c_id) for r in out.collect())
+    batch = ev.error_click_interval_join(
+        batch_df.filter("event_type = 'view'"), batch_df.filter("event_type = 'click'"), window_sec=240
+    )
+    expected = sorted((r.e_id, r.c_id) for r in batch.collect())
+    assert got == expected and len(got) > 0
+
+
+def test_index_lag_observable(spark, tmp_path):
+    q, s, c = str(tmp_path / "q"), str(tmp_path / "store"), str(tmp_path / "ck")
+    cdc.enqueue(spark, q, [
+        {"key": "k1", "op": "insert", "seq": 1, "doc": _doc(1)},
+        {"key": "k2", "op": "insert", "seq": 1, "doc": _doc(2)},
+    ])
+    cdc.drain(cdc.run_indexer(spark, q, s, c))
+    # enqueue more WITHOUT draining → lag appears
+    cdc.enqueue(spark, q, [{"key": "k1", "op": "update", "seq": 3, "doc": _doc(1, v=1)}])
+    queue_df = spark.read.schema(cdc.CDC_SCHEMA).json(q)
+    lag = {r.key: r.lag for r in ev.index_lag(queue_df, cdc.read_store(spark, s)).collect()}
+    assert lag == {"k1": 2, "k2": 0}
+    # drain → lag closes
+    cdc.drain(cdc.run_indexer(spark, q, s, c))
+    lag = {r.key: r.lag for r in ev.index_lag(queue_df, cdc.read_store(spark, s)).collect()}
+    assert lag == {"k1": 0, "k2": 0}

@@ -1,0 +1,202 @@
+"""Property-based tests (SURVEY §5.2 item 4): the param→predicate
+compiler agrees with a reference evaluator on random inputs, and
+reconstruct(shred(x)) == canon(x) for generated documents with random
+shapes (absent fields, 0..3 children, duplicate-free ids)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.operators.reconstruct import reconstruct
+from adv_big_data_indexing_spark.operators.shred import shred
+from adv_big_data_indexing_spark.plans.json_schema_compiler import validate
+from adv_big_data_indexing_spark.plans.predicate import compile_params
+from tests.fixtures import reference_schema
+
+FIELDS = {"planType": ["inNetwork", "outOfNetwork", "gold"], "copay": [0.0, 10.0, 99.5], "n": [1, 2, 3]}
+
+ROWS = [
+    {"planType": pt, "copay": c, "n": n}
+    for pt in FIELDS["planType"]
+    for c in FIELDS["copay"]
+    for n in FIELDS["n"]
+]
+
+
+def _python_eval(row: dict, params: dict) -> bool:
+    ops = {"lt": lambda a, b: a < b, "gt": lambda a, b: a > b,
+           "lte": lambda a, b: a <= b, "gte": lambda a, b: a >= b}
+    for field, cond in params.items():
+        v = row[field]
+        if isinstance(cond, dict):
+            for op, bound in cond.items():
+                if not ops[op](v, bound):
+                    return False
+        elif v != cond:
+            return False
+    return True
+
+
+# Values are type-compatible with their field (the translator inherits
+# ANSI SQL typing: a mistyped literal raises rather than coercing —
+# pinned explicitly in test_predicate_compiler_rejects_mistyped).
+_range = st.fixed_dictionaries(
+    {},
+    optional={
+        "lt": st.sampled_from([0.0, 2, 50.0]),
+        "gt": st.sampled_from([0.0, 1, 10.0]),
+    },
+).filter(bool)
+
+param_strategy = st.fixed_dictionaries(
+    {},
+    optional={
+        "planType": st.sampled_from(FIELDS["planType"]),
+        "copay": st.one_of(st.sampled_from(FIELDS["copay"]), _range),
+        "n": st.one_of(st.sampled_from(FIELDS["n"]), _range),
+    },
+)
+
+
+@pytest.fixture(scope="module")
+def param_df(spark):
+    return spark.createDataFrame(ROWS).cache()
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(params=param_strategy)
+def test_predicate_compiler_matches_reference_eval(spark, param_df, params):
+    got = {
+        (r.planType, r.copay, r.n)
+        for r in param_df.filter(compile_params(params)).collect()
+    }
+    expected = {
+        (row["planType"], row["copay"], row["n"])
+        for row in ROWS
+        if _python_eval(row, params)
+    }
+    assert got == expected, f"params={params}"
+
+
+doc_strategy = st.builds(
+    lambda i, has_cs, n_sv, sparse: {
+        "objectId": f"h-{i}",
+        "objectType": "plan",
+        "creationDate": "05-03-2021",
+        **({"planType": "inNetwork"} if not sparse else {}),
+        **(
+            {
+                "planCostShares": {
+                    "objectId": f"h-cs-{i}",
+                    "objectType": "membercostshare",
+                    **({"copay": float(i % 7)} if i % 2 == 0 else {}),
+                }
+            }
+            if has_cs
+            else {}
+        ),
+        **(
+            {
+                "linkedPlanServices": [
+                    {
+                        "objectId": f"h-ps-{i}-{j}",
+                        "objectType": "planservice",
+                        **(
+                            {
+                                "linkedService": {
+                                    "objectId": f"h-svc-{i}-{j}",
+                                    "objectType": "service",
+                                    "name": f"svc{j}",
+                                }
+                            }
+                            if j % 2 == 0
+                            else {}
+                        ),
+                    }
+                    for j in range(n_sv)
+                ]
+            }
+            if n_sv > 0
+            else {}
+        ),
+    },
+    i=st.integers(0, 10_000),
+    has_cs=st.booleans(),
+    n_sv=st.integers(0, 3),
+    sparse=st.booleans(),
+)
+
+
+def _canon_doc(d: dict) -> dict:
+    """Expected reconstruction: all schema fields present (absent → None),
+    child arrays sorted, absent arrays → []."""
+    cs = d.get("planCostShares")
+    return {
+        "objectId": d["objectId"],
+        "objectType": d["objectType"],
+        "_org": d.get("_org"),
+        "planType": d.get("planType"),
+        "creationDate": d["creationDate"],
+        "planCostShares": None
+        if cs is None
+        else {
+            "objectId": cs["objectId"],
+            "deductible": cs.get("deductible"),
+            "_org": cs.get("_org"),
+            "copay": cs.get("copay"),
+            "objectType": cs["objectType"],
+        },
+        "linkedPlanServices": sorted(
+            (
+                {
+                    "objectId": e["objectId"],
+                    "linkedService": None
+                    if e.get("linkedService") is None
+                    else {
+                        "_org": e["linkedService"].get("_org"),
+                        "objectId": e["linkedService"]["objectId"],
+                        "objectType": e["linkedService"]["objectType"],
+                        "name": e["linkedService"].get("name"),
+                    },
+                    "planserviceCostShares": None,
+                    "_org": e.get("_org"),
+                    "objectType": e["objectType"],
+                }
+                for e in d.get("linkedPlanServices", [])
+            ),
+            key=lambda e: e["objectId"],
+        ),
+    }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(doc_strategy, min_size=1, max_size=6, unique_by=lambda d: d["objectId"]))
+def test_roundtrip_random_documents(spark, docs):
+    raw = spark.createDataFrame([(json.dumps(d),) for d in docs], "raw string")
+    v = validate(raw, reference_schema())
+    assert v.filter(~F.col("is_valid")).count() == 0
+    rec = reconstruct(shred(v.select("doc.*")))
+    got = {
+        r["objectId"]: r
+        for r in (row.asDict(recursive=True) for row in rec.drop("id").collect())
+    }
+    assert len(got) == len(docs)
+    for d in docs:
+        assert got[d["objectId"]] == _canon_doc(d), d["objectId"]
+
+
+def test_predicate_compiler_rejects_mistyped(spark, param_df):
+    """ANSI contract: a wrong-typed literal raises loudly instead of
+    silently matching nothing."""
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        param_df.filter(compile_params({"planType": 10.0})).collect()
+
+
+def test_predicate_compiler_unknown_op(spark):
+    with pytest.raises(ValueError, match="unsupported range op"):
+        compile_params({"copay": {"between": [1, 2]}})

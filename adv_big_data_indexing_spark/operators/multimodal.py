@@ -127,3 +127,59 @@ def ns_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull().alias("has_embedding"),
         F.coalesce(F.size("embedding"), F.lit(0)).cast("int").alias("dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# frame-sampling / resize plumbing (video & image modalities)
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_bytes", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 64, frame_len: int = 16) -> DataFrame:
+    """Frame sampling over opaque media payloads via mapInPandas.
+
+    STUB decode (no av/ffmpeg in this container): frames are fixed-size
+    byte slices at a regular stride with synthetic 4:3 geometry — a
+    deterministic stand-in with the REAL Spark plumbing: one input asset
+    row fans out to N frame rows inside the Arrow batch iterator (the
+    shape a real decoder produces), schema is typed, and partitioning
+    is inherited from the asset table so decode parallelism == scan
+    parallelism.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "frame_index", "frame_ts_ms", "frame_bytes", "width", "height")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                for idx, off in enumerate(range(0, len(data), every_n_bytes)):
+                    out["asset_id"].append(asset_id)
+                    out["frame_index"].append(idx)
+                    out["frame_ts_ms"].append(idx * 40)  # 25 "fps"
+                    out["frame_bytes"].append(data[off : off + frame_len])
+                    out["width"].append(4)
+                    out["height"].append(3)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_frames(frames: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize stub: geometry metadata transforms JVM-side (column ops);
+    only the pixel resample itself would live in the decode UDF. Keeping
+    metadata transforms out of Python is the pattern — predicates on
+    width/height prune before any byte moves to a worker."""
+    return frames.withColumn("width", F.lit(target_w)).withColumn("height", F.lit(target_h))

@@ -216,3 +216,112 @@ def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _ranked_topk(pairs)
     return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer → probe one cell → exact re-score
+# ---------------------------------------------------------------------------
+
+
+
+@query(
+    "ns_ann_ivf",
+    oracle=f"""
+    WITH qv AS (SELECT vec_id, label, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings),
+    nrm AS (
+      SELECT vec_id, label, q,
+             CAST(list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * q[i])) AS BIGINT) AS n2
+      FROM qv
+    ),
+    flat AS (
+      SELECT label, i, CAST(sum(q[i]) AS BIGINT) AS s
+      FROM qv CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(s ORDER BY i) AS csum,
+             (SELECT count(*) FROM qv v WHERE v.label = flat.label) AS n_members
+      FROM flat GROUP BY label
+    ),
+    assign AS (
+      SELECT a.vec_id AS query_id, a.q AS qq, a.n2 AS na, c.label AS probe_label,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY CAST(list_sum(list_transform(generate_series(1, {DIM}), i -> a.q[i] * c.csum[i])) AS DOUBLE) / c.n_members DESC,
+                        c.label
+             ) AS cr
+      FROM nrm a CROSS JOIN cent c
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT s.query_id, s.qq, s.na, b.vec_id AS neighbor_id, b.q AS nq, b.n2 AS nb
+      FROM (SELECT * FROM assign WHERE cr = 1) s
+      JOIN nrm b ON b.label = s.probe_label AND b.vec_id != s.query_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, {DIM}), i -> qq[i] * nq[i])) AS BIGINT) AS dot,
+             na, nb
+      FROM cand
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, {_COSINE} AS cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    doc="NS IVF-style ANN: coarse cells = label groups with exact integer "
+    "centroid sums; each query probes its nearest cell (by exact "
+    "query·centroid score — integer dot / member count, deterministic "
+    "label tie-break) and re-scores only that cell's members with exact "
+    "cosine. The inverted-file pattern: candidate work is |cell|, not n; "
+    "at 100 TB cells are partitions and the probe is partition pruning.",
+)
+def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
+        "vec_id", "label", quantize_vec(F.col("embedding")).alias("q")
+    )
+    e = e.withColumn("n2", int_dot(F.col("q"), F.col("q")))
+
+    # exact integer centroid sums per cell: elementwise array sum via
+    # posexplode + groupBy (one shuffle of n·d small rows)
+    flat = e.select("label", F.posexplode("q").alias("i", "v"))
+    cent_flat = flat.groupBy("label", "i").agg(F.sum("v").alias("s"))
+    cent = (
+        cent_flat.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x.s
+            ).alias("csum")
+        )
+        .join(e.groupBy("label").agg(F.count("*").alias("n_members")), "label")
+    )
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("na")
+    )
+    scored_cells = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qq",
+        "na",
+        F.col("label").alias("probe_label"),
+        (int_dot(F.col("qq"), F.col("csum")).cast("double") / F.col("n_members")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("probe_label"))
+    assign = scored_cells.withColumn("cr", F.row_number().over(w)).filter(F.col("cr") == 1)
+
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("probe_label"),
+        F.col("q").alias("nq"),
+        F.col("n2").alias("nb"),
+    )
+    cand = assign.join(b, "probe_label").filter(F.col("neighbor_id") != F.col("query_id"))
+    pairs = cand.select(
+        "query_id", "neighbor_id", int_dot(F.col("qq"), F.col("nq")).alias("dot"), "na", "nb"
+    )
+    out = _ranked_topk(pairs)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))

@@ -53,3 +53,31 @@ def test_extract_features_batched(assets):
 def test_decode_media_is_gated(assets):
     with pytest.raises(NotImplementedError):
         mm.decode_media(assets)
+
+
+def test_frame_sampling_fanout(assets):
+    frames = mm.sample_frames(assets, every_n_bytes=64, frame_len=16)
+    one = assets.orderBy("asset_id").first()
+    got = sorted(
+        (r.frame_index, r.frame_ts_ms, len(bytes(r.frame_bytes)))
+        for r in frames.filter(F.col("asset_id") == one.asset_id).collect()
+    )
+    import math
+
+    expected_n = math.ceil(one.n_bytes / 64)
+    assert len(got) == expected_n
+    assert got[0] == (0, 0, 16)
+    assert all(ts == idx * 40 for idx, ts, _ in got)
+    # total fan-out: one row per 64-byte stride across every asset
+    total = frames.count()
+    expected_total = sum(
+        math.ceil(r.n_bytes / 64) for r in assets.select("n_bytes").collect()
+    )
+    assert total == expected_total
+
+
+def test_resize_metadata_only(assets):
+    frames = mm.sample_frames(assets)
+    resized = mm.resize_frames(frames, 224, 224)
+    r = resized.first()
+    assert (r.width, r.height) == (224, 224)

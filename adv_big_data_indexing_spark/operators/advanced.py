@@ -545,3 +545,77 @@ def ext_scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").alias("woy"),
         F.quarter("o_orderdate").alias("qtr"),
     )
+
+
+@query(
+    "ext_posexplode",
+    oracle="""
+    WITH t AS (SELECT p_partkey, regexp_split_to_array(p_name, ' ') AS toks
+               FROM part WHERE p_partkey < 300)
+    SELECT p_partkey,
+           CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+           unnest(toks) AS tok
+    FROM t
+    """,
+    doc="EXT positional explode: array element + 0-based ordinal "
+    "(posexplode ≡ unnest WITH ORDINALITY).",
+)
+def ext_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey", F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "tok")
+    )
+
+
+@query(
+    "ext_union_by_name",
+    oracle="""
+    SELECT * FROM
+      (SELECT c_custkey AS entity_key, c_acctbal AS balance, c_mktsegment AS segment
+       FROM customer WHERE c_custkey < 50)
+    UNION ALL BY NAME
+      (SELECT s_suppkey AS entity_key, s_acctbal AS balance
+       FROM supplier WHERE s_suppkey < 50)
+    """,
+    doc="EXT union-by-name with missing columns (schema evolution's "
+    "bread-and-butter: late columns null-fill).",
+)
+def ext_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50).select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 50).select(
+        F.col("s_suppkey").alias("entity_key"), F.col("s_acctbal").alias("balance")
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "ext_window_values",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS latest_so_far,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="EXT value windows: first/last/nth over an explicit running frame "
+    "(deterministic ordering, frame-sensitive last_value semantics).",
+)
+def ext_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_so_far"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )

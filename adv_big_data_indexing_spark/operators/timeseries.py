@@ -234,3 +234,50 @@ def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "ts_gap_filled_minutes",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(min(ts)) // 3600000000) * 3600 AS t0,
+             (epoch_us(max(ts)) // 3600000000) * 3600 AS t1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(t0, t1, 3600)) AS hour_epoch FROM bounds
+    ),
+    hourly AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.hour_epoch, coalesce(h.n, 0) AS n_purchases,
+           (h.hour_epoch IS NULL) AS was_gap
+    FROM spine s LEFT JOIN hourly h USING (hour_epoch)
+    """,
+    doc="EXT calendar-spine gap filling: generate the full hour spine "
+    "between min/max event time and left-join the sparse aggregate — "
+    "zero-filled buckets are explicit rows (required for correct "
+    "windowed rates / charting). The spine generates distributed "
+    "(sequence + explode), never on the driver.",
+)
+def ts_gap_filled_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hour = ((epoch_us("ts") / F.lit(3_600_000_000)).cast("bigint") * 3600).alias("hour_epoch")
+    bounds = e.agg(
+        F.min(hour).alias("t0"),
+        F.max(((epoch_us("ts") / F.lit(3_600_000_000)).cast("bigint") * 3600)).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("t0"), F.col("t1"), F.lit(3600))).alias("hour_epoch")
+    )
+    hourly = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(hour)
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(hourly, "hour_epoch", "left").select(
+        "hour_epoch",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"),
+        F.col("n").isNull().alias("was_gap"),
+    )

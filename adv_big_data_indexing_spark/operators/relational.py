@@ -987,3 +987,51 @@ def op_a9_keyed_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_a10_predicate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return l.filter(~(F.col("l_quantity") < 5.0)).agg(F.count("*").alias("surviving"))
+
+
+@query(
+    "ext_scalar_hash",
+    oracle="""
+    SELECT n_nationkey,
+           md5(n_name) AS h_md5,
+           sha256(n_name) AS h_sha256,
+           CAST(length(md5(concat_ws('|', n_nationkey, n_name))) AS INTEGER) AS md5_len
+    FROM nation
+    """,
+    doc="EXT hash-function coverage beyond the ETag md5: sha256 for "
+    "content addressing where collision resistance matters (dataset "
+    "lineage ids), with the portable-hex contract.",
+)
+def ext_scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.md5("n_name").alias("h_md5"),
+        F.sha2(F.col("n_name"), 256).alias("h_sha256"),
+        F.length(F.md5(F.concat_ws("|", F.col("n_nationkey"), F.col("n_name")))).alias("md5_len"),
+    )
+
+
+@query(
+    "ext_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 4096 AS with_flag,
+           xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS mixed,
+           CAST(bit_count(l_orderkey) AS INTEGER) AS popcount
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+    doc="EXT bitwise coverage: and/or/xor/popcount — the primitive layer "
+    "under the SimHash/LSH signature operators.",
+)
+def ext_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("bigint")).alias("mixed"),
+        F.bit_count("l_orderkey").cast("int").alias("popcount"),
+    )

@@ -166,3 +166,44 @@ def ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
     )
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@query(
+    "ns_text_bigram_freq",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents),
+    grams AS (
+      SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END) AS bigram
+      FROM t
+    )
+    SELECT bigram, count(*) AS freq FROM grams GROUP BY bigram
+    ORDER BY freq DESC, bigram LIMIT 50
+    """,
+    doc="NS corpus vocabulary analysis: top-50 word bigrams by frequency — "
+    "the n-gram LM / contamination-screening building block. One explode + "
+    "one partial-aggregated groupBy + top-k, no shuffle of raw text.",
+)
+def ns_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toked = d.select(tokens("text").alias("toks"))
+    grams = toked.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram"))
+        .limit(50)
+    )

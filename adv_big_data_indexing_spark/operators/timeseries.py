@@ -281,3 +281,26 @@ def ts_gap_filled_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"),
         F.col("n").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "ts_user_stats",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS last_event_us
+    FROM events GROUP BY user_id
+    """,
+    doc="EXT per-user lifetime stats — the oracle-checked batch twin of the "
+    "custom stateful streaming operator (streaming/events.py "
+    "user_running_stats): the streaming op's final state must converge to "
+    "exactly this aggregate (asserted in tests/test_streaming.py).",
+)
+def ts_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        sum_money("value", "total_value"),
+        F.max(epoch_us("ts")).alias("last_event_us"),
+    )

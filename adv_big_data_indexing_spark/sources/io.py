@@ -74,3 +74,15 @@ def write_csv(df: DataFrame, path: str) -> None:
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def compact(df: DataFrame, path: str, n_files: int) -> None:
+    """Rewrite a table into ``n_files`` evenly-sized parquet files.
+
+    The local testdata ships one row group per table, which pins every
+    scan to a single task (BASELINE.md note 1). Real ingest controls its
+    layout: target row groups of 64–256 MB so scan parallelism matches
+    the cluster. This is the maintenance job that restores that invariant
+    after skewed/streaming writes.
+    """
+    df.repartition(n_files).write.mode("overwrite").parquet(path)

@@ -145,6 +145,7 @@ def run_document_indexer(
     rejects_dir: str,
     checkpoint_dir: str,
     schema: dict,
+    reconstructed_dir: str | None = None,
 ) -> StreamingQuery:
     """POST /plan, end-to-end, streaming: each micro-batch of CDC records
     carrying raw plan JSON is validated against the registered schema
@@ -227,6 +228,10 @@ def run_document_indexer(
             import shutil
 
             shutil.rmtree(old, ignore_errors=True)
+        if reconstructed_dir is not None:
+            refresh_reconstructed(
+                spark, reconstructed_dir, good.select("doc.*"), delete_roots
+            )
 
     stream = (
         spark.readStream.schema(CDC_SCHEMA)
@@ -239,3 +244,50 @@ def run_document_indexer(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def refresh_reconstructed(
+    spark: SparkSession,
+    reconstructed_dir: str,
+    changed_docs: DataFrame,
+    deleted_roots: DataFrame | None,
+) -> None:
+    """Incremental search-projection maintenance: upsert the reconstructed
+    (nested, ETag-stamped) view for CHANGED documents only, drop deleted
+    ones. The Spark analog of the reference's ES index being brought up
+    to date per queue message — but set-oriented per micro-batch, and
+    only touched documents are re-reconstructed, not the corpus.
+    """
+    from adv_big_data_indexing_spark.operators.reconstruct import reconstruct, with_etag
+    from adv_big_data_indexing_spark.operators.shred import shred
+
+    fresh = None
+    if changed_docs is not None and changed_docs.take(1):
+        fresh = with_etag(reconstruct(shred(changed_docs)))
+    try:
+        current = spark.read.parquet(reconstructed_dir)
+    except Exception:
+        current = None
+
+    if current is None:
+        merged = fresh
+    elif fresh is None:
+        merged = current
+    else:
+        replaced_ids = fresh.select("id")
+        merged = current.join(replaced_ids, "id", "left_anti").unionByName(fresh)
+    if merged is None:
+        return
+    if deleted_roots is not None and deleted_roots.take(1):
+        kill = deleted_roots.select(F.col("root_key").alias("id")).distinct()
+        merged = merged.join(kill, "id", "left_anti")
+    tmp = f"{reconstructed_dir}__stage_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{reconstructed_dir}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(reconstructed_dir):
+        os.rename(reconstructed_dir, old)
+    os.rename(tmp, reconstructed_dir)
+    if os.path.exists(old):
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)

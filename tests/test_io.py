@@ -49,3 +49,24 @@ def test_csv_roundtrip(spark, tmp_path):
     eio.write_csv(df, path)
     back = eio.read_csv(spark, path, df.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compact_restores_scan_parallelism(spark, tmp_path):
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    l = load_table(spark, SF_CORRECTNESS, "lineitem")
+    out = str(tmp_path / "lineitem_compact")
+    eio.compact(l, out, 8)
+    back = spark.read.parquet(out)
+    # same data, but the storage now has 8 independently-scannable files
+    # (Spark may still pack small files per task via maxPartitionBytes;
+    # at real sizes one file ≈ one+ splits)
+    assert back.count() == l.count()
+    n_files = back.select(F.input_file_name()).distinct().count()
+    assert n_files == 8
+    # content-identical ((l_orderkey, l_linenumber) is NOT unique in this
+    # synthetic corpus, so compare the full sorted multiset)
+    a = sorted(map(tuple, l.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

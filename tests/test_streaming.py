@@ -223,3 +223,50 @@ def test_index_lag_observable(spark, tmp_path):
     cdc.drain(cdc.run_indexer(spark, q, s, c))
     lag = {r.key: r.lag for r in ev.index_lag(queue_df, cdc.read_store(spark, s)).collect()}
     assert lag == {"k1": 0, "k2": 0}
+
+
+def test_incremental_reconstructed_projection(spark, tmp_path):
+    """The search projection (reconstructed + ETag view) stays in sync
+    incrementally: only changed docs re-reconstruct, deletes drop out,
+    and the store always equals a from-scratch reconstruction."""
+    from tests.fixtures import make_plan, reference_schema
+    from adv_big_data_indexing_spark.operators.reconstruct import reconstruct, with_etag
+    from adv_big_data_indexing_spark.operators.shred import shred
+    from adv_big_data_indexing_spark.plans.json_schema_compiler import validate
+
+    q = str(tmp_path / "q"); ents = str(tmp_path / "e"); rej = str(tmp_path / "r")
+    ck = str(tmp_path / "ck"); rec_dir = str(tmp_path / "rec")
+    schema = reference_schema()
+
+    docs = {i: make_plan(i) for i in range(3)}
+    cdc.enqueue(spark, q, [
+        {"key": f"plan_plan-{i:05d}", "op": "insert", "seq": 1, "doc": json.dumps(d)}
+        for i, d in docs.items()
+    ])
+    cdc.drain(cdc.run_document_indexer(spark, q, ents, rej, ck, schema, reconstructed_dir=rec_dir))
+    rec = spark.read.parquet(rec_dir)
+    assert rec.count() == 3
+    etag0 = {r.id: r.etag for r in rec.select("id", "etag").collect()}
+
+    # update doc 1, delete doc 2
+    docs[1]["planType"] = "CHANGED"
+    cdc.enqueue(spark, q, [
+        {"key": "plan_plan-00001", "op": "update", "seq": 2, "doc": json.dumps(docs[1])},
+        {"key": "plan_plan-00002", "op": "delete", "seq": 2, "doc": None},
+    ])
+    cdc.drain(cdc.run_document_indexer(spark, q, ents, rej, ck, schema, reconstructed_dir=rec_dir))
+    rec = spark.read.parquet(rec_dir)
+    got = {r.id: r for r in rec.collect()}
+    assert set(got) == {"plan_plan-00000", "plan_plan-00001"}
+    assert got["plan_plan-00000"].etag == etag0["plan_plan-00000"]  # untouched
+    assert got["plan_plan-00001"].etag != etag0["plan_plan-00001"]  # changed
+    assert got["plan_plan-00001"].planType == "CHANGED"
+
+    # equals a from-scratch reconstruction of the current corpus
+    raw = spark.createDataFrame(
+        [(json.dumps(docs[0]),), (json.dumps(docs[1]),)], "raw string"
+    )
+    full = with_etag(reconstruct(shred(validate(raw, schema).select("doc.*"))))
+    assert sorted((r.id, r.etag) for r in full.select("id", "etag").collect()) == sorted(
+        (r.id, r.etag) for r in rec.select("id", "etag").collect()
+    )

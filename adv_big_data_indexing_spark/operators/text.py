@@ -207,3 +207,45 @@ def ns_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("bigram"))
         .limit(50)
     )
+
+
+@query(
+    "ns_text_token_entropy",
+    oracle=None,  # ln() is not IEEE correctly-rounded: JVM Math.log and
+    # DuckDB's libm differ by ulps, so exact cross-engine parity is
+    # impossible for transcendental aggregates. Near-equality vs a
+    # Python reference is asserted in tests/test_udfs.py instead.
+    doc="NS token-distribution entropy per document (repetitiveness / "
+    "boilerplate signal for corpus quality filtering). Terms fold in a "
+    "canonical token order; rows-only because ln() is not portable at "
+    "the bit level across math libraries.",
+)
+def ns_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n = tf.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    agg = (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct"),
+            # sort by token word → canonical fold order across engines
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "c"))), lambda x: x.c
+            ).alias("counts"),
+        )
+    )
+    term = lambda c: (c.cast("double") / F.col("n")) * F.log(c.cast("double") / F.col("n"))  # noqa: E731
+    entropy = -F.aggregate(
+        F.col("counts"), F.lit(0.0), lambda acc, c: acc + term(c)
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        entropy.alias("entropy_nats"),
+    )

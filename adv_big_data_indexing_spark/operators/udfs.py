@@ -113,3 +113,44 @@ def ext_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price")
     )
+
+
+EWMA_SCHEMA = "user_id long, event_id long, ts timestamp, value double, ewma double"
+
+
+def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    a sequential recurrence (ewma_i = α·x_i + (1−α)·ewma_{i−1}) that no
+    distributive aggregate expresses. Grouped-map Pandas UDF: each user's
+    history sorts inside one Arrow batch; state never crosses groups, so
+    the operator scales with the number of users, not events-per-shuffle.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ewma = []
+        acc = None
+        for v in pdf["value"]:
+            acc = float(v) if acc is None else alpha * float(v) + (1 - alpha) * acc
+            ewma.append(acc)
+        pdf["ewma"] = ewma
+        return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(per_user, schema=EWMA_SCHEMA)
+    )
+
+
+@query(
+    "ns_udf_ewma",
+    oracle=None,  # sequential recurrence — verified against a pandas
+    # reference implementation in tests/test_udfs.py (rows-only here)
+    doc="NS per-user EWMA via grouped-map Pandas UDF — the recurrence "
+    "pattern (sessionized decay, momentum features) that only the "
+    "Arrow-batched escape hatch expresses cleanly.",
+)
+def ns_udf_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_value_ewma(load_table(spark, sf_dir, "events"))

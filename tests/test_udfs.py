@@ -54,3 +54,43 @@ def test_zscore_group_properties(spark):
     for r in stats.collect():
         assert abs(r.mu) < 1e-9
         assert abs(r.sd - 1.0) < 1e-9 or r.n == 1
+
+
+def test_ewma_matches_pandas_reference(spark):
+    import pandas as pd
+
+    from adv_big_data_indexing_spark.operators.udfs import user_value_ewma
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    events = load_table(spark, SF_CORRECTNESS, "events").filter(F.col("user_id") < 5)
+    got = {
+        (r.user_id, r.event_id): r.ewma for r in user_value_ewma(events).collect()
+    }
+    pdf = events.select("user_id", "event_id", "ts", "value").toPandas()
+    alpha = 0.3
+    for uid, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        acc = None
+        for _, row in grp.iterrows():
+            acc = float(row.value) if acc is None else alpha * float(row.value) + (1 - alpha) * acc
+            assert got[(uid, row.event_id)] == pytest.approx(acc, abs=0, rel=0), (uid, row.event_id)
+
+
+def test_token_entropy_close_to_reference(spark):
+    import math
+    from collections import Counter
+
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy_nats)
+        for r in registry()["ns_text_token_entropy"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select("doc_id", "text").collect()
+    for d in docs[:50]:
+        toks = d.text.split()
+        c = Counter(toks)
+        n = len(toks)
+        ent = -sum((v / n) * math.log(v / n) for v in c.values())
+        gn, gd, ge = got[d.doc_id]
+        assert gn == n and gd == len(c)
+        assert ge == pytest.approx(ent, rel=1e-12)

@@ -58,8 +58,10 @@ def registry() -> dict[str, QuerySpec]:
         advanced,
         dedup,
         documents,
+        graph,
         multimodal,
         relational,
+        sampling,
         similarity,
         text,
         timeseries,

@@ -1,0 +1,171 @@
+"""Graph operators: connected components for near-dup cluster resolution.
+
+Pair-level dedup (MinHash/LSH, SimHash, n-gram Jaccard — ``operators/
+dedup.py``) emits EDGES: (doc_a, doc_b) pairs above a similarity
+threshold. A real training-data pipeline must then resolve TRANSITIVE
+clusters (a~b, b~c ⇒ {a,b,c} is one group) and keep one canonical
+document per cluster. That closure is connected components.
+
+Scale design: the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014 — public). Each round is two shuffles on node id and the
+edge set contracts toward a star per component; convergence is
+O(log^2 n) rounds (O(log n) observed), independent of component
+diameter — unlike naive label propagation, which needs diameter
+rounds and diameter can be O(n) in chain-shaped near-dup clusters
+(doc1~doc2~doc3~...). Every round ends in ``localCheckpoint`` to
+truncate lineage (iterative plans otherwise grow exponentially).
+
+The reference has no graph layer at all (its dedup story stops at
+Elasticsearch search hits — src/utils/elasticSearch.ts); this is
+north-star scope.
+
+Determinism: pure min/least over BIGINT node ids — no floats, no
+hash seeds — so the DuckDB recursive-CTE oracle matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.operators.dedup import (
+    _DUCK_SHINGLE_CTE,
+    JACCARD_THRESHOLD,
+    _jaccard_pairs,
+    _shingle_df,
+)
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a=min, b=max), no loops, distinct."""
+    return (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(Γ(u) ∪ {u})."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", F.col("u")).alias("m"))
+    )
+    return _canon(
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges toward larger endpoint; connect all smaller neighbors
+    (and the center) to the minimum."""
+    d = e.select(F.col("b").alias("u"), F.col("a").alias("v"))  # v < u
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        d.join(mins, "u")
+        .select(F.col("v").alias("x"), "m")
+        .unionAll(mins.select(F.col("u").alias("x"), "m"))
+    )
+    return _canon(out.select(F.col("x").alias("a"), F.col("m").alias("b")))
+
+
+def _fingerprint(e: DataFrame) -> tuple:
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row.n, row.sa, row.sb, row.h)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node, component_id) for every node on an edge; component_id is the
+    minimum node id in the component. Nodes with no edges don't appear
+    (callers coalesce to self).
+
+    `edges` needs columns (a, b); orientation and duplicates don't matter.
+    """
+    e = _canon(edges).localCheckpoint(eager=True)
+    fp = _fingerprint(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp2 = _fingerprint(e2)
+        e = e2
+        if fp2 == fp:
+            break
+        fp = fp2
+    # Converged: star graph, every edge is (root=min, member).
+    return e.select(F.col("b").alias("node"), F.col("a").alias("component_id"))
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE
+{_DUCK_SHINGLE_CTE},
+  inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sh_count na ON inter.doc_a = na.doc_id
+    JOIN sh_count nb ON inter.doc_b = nb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)
+          >= {JACCARD_THRESHOLD}
+  ),
+  edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+  ),
+  reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    WHERE e.v <> r.u
+  ),
+  comp AS (
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+    FROM reach GROUP BY u
+  )
+SELECT d.doc_id,
+       COALESCE(c.component_id, d.doc_id) AS component_id,
+       d.doc_id = COALESCE(c.component_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+@query(
+    "ns_dedup_components",
+    oracle=_COMPONENTS_ORACLE,
+    doc="NS dedup-cluster resolution: n-gram-Jaccard near-dup pairs → "
+    "connected components (large-star/small-star) → one canonical doc "
+    "(min doc_id) per cluster. The oracle computes the same closure via "
+    "DuckDB transitive recursive CTE — an O(V·E) formulation that is "
+    "only viable at oracle scale; the Spark path is the O(E log n) one.",
+)
+def ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    pairs = _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    joined = d.join(cc, d.doc_id == cc.node, "left")
+    comp = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        comp.alias("component_id"),
+        (F.col("doc_id") == comp).alias("is_canonical"),
+    )

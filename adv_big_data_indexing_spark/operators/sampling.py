@@ -1,0 +1,121 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Train/eval/holdout splits and per-stratum downsampling must be
+STABLE: re-running the pipeline on the same corpus (or an appended
+corpus) must assign each document to the same split, regardless of
+partitioning, row order, or cluster size. ``df.sample()`` /
+``sampleBy()`` are seeded per-partition and reshuffle-sensitive, so
+they fail that bar. The portable construction: hash the stable key
+(md5 — identical in every engine), take the first byte as a bucket
+in [0, 256), compare against per-split / per-stratum thresholds.
+
+At 100 TB this is embarrassingly parallel — a map-only projection,
+no shuffle, prunes to the key + stratum columns.
+
+The reference has no sampling layer (north-star scope; its nearest
+analog is the `size: 1000` full-scan cap, src/utils/elasticSearch.ts:209).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.text import DUCK_HEX_NIBBLE, hex_nibble
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+#: split thresholds on the 0..255 bucket: ~90% train, ~5% eval, ~5% holdout
+TRAIN_LT = 230
+EVAL_LT = 243
+
+
+def hash_bucket(key: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, 256): first md5 byte of salt:key."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), key.cast("string")))
+    return (
+        hex_nibble(F.substring(h, 1, 1)) * 16 + hex_nibble(F.substring(h, 2, 1))
+    ).cast("int")
+
+
+def duck_hash_bucket(key_sql: str, salt: str = "split") -> str:
+    h = f"md5('{salt}:' || CAST({key_sql} AS VARCHAR))"
+    n1 = DUCK_HEX_NIBBLE.format(ch=f"substr({h}, 1, 1)")
+    n2 = DUCK_HEX_NIBBLE.format(ch=f"substr({h}, 2, 1)")
+    return f"CAST({n1} * 16 + {n2} AS INTEGER)"
+
+
+def split_assign(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    b = hash_bucket(F.col(key))
+    return df.withColumn("split_bucket", b).withColumn(
+        "split",
+        F.when(b < TRAIN_LT, F.lit("train"))
+        .when(b < EVAL_LT, F.lit("eval"))
+        .otherwise(F.lit("holdout")),
+    )
+
+
+@query(
+    "ns_split_train_eval",
+    oracle=f"""
+    SELECT doc_id,
+           {duck_hash_bucket("doc_id")} AS split_bucket,
+           CASE WHEN {duck_hash_bucket("doc_id")} < {TRAIN_LT} THEN 'train'
+                WHEN {duck_hash_bucket("doc_id")} < {EVAL_LT} THEN 'eval'
+                ELSE 'holdout' END AS split
+    FROM documents
+    """,
+    doc="NS deterministic train/eval/holdout split (~90/5/5) keyed on "
+    "md5(doc_id) — stable across reruns, row order, and corpus appends; "
+    "shuffle-free map-only projection.",
+)
+def ns_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return split_assign(d).select("doc_id", "split_bucket", "split")
+
+
+#: per-language keep-rate numerators over 256 (downsample dominant 'en')
+STRATUM_KEEP = {"en": 64, "de": 128, "fr": 128, "es": 128, "zh": 128}
+DEFAULT_KEEP = 192
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str = "lang", key: str = "doc_id"
+) -> DataFrame:
+    """Keep each row iff its hash bucket clears the stratum's threshold —
+    a deterministic `sampleBy` (per-language rebalance: downsample the
+    dominant language, keep more of the rare ones)."""
+    b = hash_bucket(F.col(key), salt="strat")
+    keep = F.lit(DEFAULT_KEEP)
+    for lang, n in STRATUM_KEEP.items():
+        keep = F.when(F.col(stratum_col) == lang, F.lit(n)).otherwise(keep)
+    return df.filter(b < keep)
+
+
+@query(
+    "ns_stratified_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n_kept
+    FROM (
+      SELECT lang FROM documents
+      WHERE {duck_hash_bucket("doc_id", salt="strat")} <
+            CASE lang WHEN 'en' THEN {STRATUM_KEEP["en"]}
+                      WHEN 'de' THEN {STRATUM_KEEP["de"]}
+                      WHEN 'fr' THEN {STRATUM_KEEP["fr"]}
+                      WHEN 'es' THEN {STRATUM_KEEP["es"]}
+                      WHEN 'zh' THEN {STRATUM_KEEP["zh"]}
+                      ELSE {DEFAULT_KEEP} END
+    )
+    GROUP BY lang
+    """,
+    doc="NS deterministic stratified downsample by language (hash-gated "
+    "sampleBy analog) summarized as kept-count per stratum; the gate is "
+    "a pushdown-able scan predicate — no shuffle until the summary agg.",
+)
+def ns_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d)
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )

@@ -1,0 +1,87 @@
+"""Connected components (large-star/small-star) + deterministic sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.operators.graph import connected_components
+from adv_big_data_indexing_spark.operators.sampling import (
+    split_assign,
+    stratified_sample,
+)
+from adv_big_data_indexing_spark.sources.catalog import load_table
+from tests.conftest import SF_CORRECTNESS
+
+
+def _cc(spark, pairs):
+    e = spark.createDataFrame(pairs, "a long, b long")
+    return {
+        (r.node, r.component_id) for r in connected_components(e).collect()
+    }
+
+
+def test_cc_chain_collapses_to_min(spark):
+    # a 7-node chain: diameter-6, the case naive propagation needs 6
+    # rounds for; star-contraction closes it fast and exactly
+    got = _cc(spark, [(i, i + 1) for i in range(1, 7)])
+    assert got == {(i, 1) for i in range(2, 8)}
+
+
+def test_cc_two_components_and_orientation_invariance(spark):
+    pairs = [(5, 3), (3, 9), (20, 21), (21, 20), (21, 22)]
+    got = _cc(spark, pairs)
+    assert got == {(5, 3), (9, 3), (21, 20), (22, 20)}
+
+
+def test_cc_self_loops_and_duplicates_ignored(spark):
+    got = _cc(spark, [(4, 4), (4, 2), (2, 4), (4, 2)])
+    assert got == {(4, 2)}
+
+
+def test_split_is_stable_and_partition_independent(spark):
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    one = {(r.doc_id, r.split) for r in split_assign(d).collect()}
+    # same corpus, different physical layout → identical assignment
+    two = {
+        (r.doc_id, r.split)
+        for r in split_assign(d.repartition(17, "lang")).collect()
+    }
+    assert one == two
+    frac = sum(1 for _, s in one if s == "train") / len(one)
+    assert 0.8 < frac < 0.97  # ~90% ± hash noise at n=500
+
+
+def test_stratified_sample_downsamples_dominant_stratum(spark):
+    d = load_table(spark, SF_CORRECTNESS, "documents")
+    before = dict(d.groupBy("lang").count().collect())
+    after = dict(stratified_sample(d).groupBy("lang").count().collect())
+    # en keeps ~25%, others ~50%: the dominant stratum's keep-rate is lower
+    en_rate = after["en"] / before["en"]
+    other_rate = sum(v for k, v in after.items() if k != "en") / sum(
+        v for k, v in before.items() if k != "en"
+    )
+    assert en_rate < other_rate
+    # gate is a subset filter: every kept row existed
+    assert all(after[k] <= before[k] for k in after)
+
+
+def test_components_refine_pair_dedup(spark):
+    """Every near-dup pair must land in one component; canonical docs
+    are exactly the component minima."""
+    from adv_big_data_indexing_spark.contract import registry
+
+    r = registry()
+    comp = {
+        row.doc_id: row.component_id
+        for row in r["ns_dedup_components"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    pairs = r["ns_dedup_ngram_jaccard"].fn(spark, SF_CORRECTNESS).collect()
+    assert pairs, "corpus should contain near-dup pairs"
+    for p in pairs:
+        assert comp[p.doc_a] == comp[p.doc_b]
+    # component id is the minimum member
+    members: dict = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ms in members.items():
+        assert c == min(ms)

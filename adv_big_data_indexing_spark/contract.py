@@ -60,6 +60,7 @@ def registry() -> dict[str, QuerySpec]:
         documents,
         graph,
         multimodal,
+        partitioning,
         relational,
         sampling,
         similarity,

@@ -67,3 +67,85 @@ def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
     """Skew diagnosis: heaviest keys by row count (run before choosing
     between AQE skew handling and explicit salting)."""
     return df.groupBy(key).count().orderBy(F.col("count").desc(), F.col(key)).limit(n)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton curve) layout: multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+from adv_big_data_indexing_spark.contract import query  # noqa: E402
+from adv_big_data_indexing_spark.sources.catalog import load_table  # noqa: E402
+
+#: (shift, mask) chain that spreads a 16-bit int onto even bit positions
+_SPREAD16 = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+
+
+def _spread16(x):
+    """16-bit value -> its bits at even positions of a 32-bit word."""
+    x = x.cast("bigint")
+    for sh, mask in _SPREAD16:
+        x = (x.bitwiseOR(F.shiftleft(x, sh))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def zvalue(a, b):
+    """Morton z-value interleaving two 16-bit dimensions (a=even bits,
+    b=odd bits). Sorting by it clusters rows that are close in BOTH
+    dimensions, so parquet row-group min/max stats prune on either
+    predicate column — the layout trick single-column sorting can't do."""
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
+
+
+def duck_spread16(x: str) -> str:
+    e = f"CAST({x} AS BIGINT)"
+    for sh, mask in _SPREAD16:
+        e = f"(({e} | ({e} << {sh})) & {mask})"
+    return e
+
+
+def duck_zvalue(a: str, b: str) -> str:
+    return f"({duck_spread16(a)} | ({duck_spread16(b)} << 1))"
+
+
+def zorder_layout(df: DataFrame, col_a: str, col_b: str, n_partitions: int = 16) -> DataFrame:
+    """Range-partition + sort by z-value: the write-side layout pass a
+    100 TB table gets before persisting (each output file covers a small
+    rectangle of (a, b) space → min/max skipping serves both dimensions)."""
+    z = zvalue(F.pmod(F.col(col_a), F.lit(65536)), F.pmod(F.col(col_b), F.lit(65536)))
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+    )
+
+
+@query(
+    "ns_layout_zorder",
+    oracle=f"""
+    SELECT {duck_zvalue("l_partkey % 65536", "l_suppkey % 65536")} >> 26 AS zbucket,
+           count(*) AS n,
+           min({duck_zvalue("l_partkey % 65536", "l_suppkey % 65536")}) AS zmin,
+           max({duck_zvalue("l_partkey % 65536", "l_suppkey % 65536")}) AS zmax
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="NS z-order (Morton) curve over (l_partkey, l_suppkey): 64-cell "
+    "histogram of the interleaved-bit key used by `zorder_layout` for "
+    "two-dimensional file skipping. Pure bitwise expressions — identical "
+    "integer results in any engine.",
+)
+def ns_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    z = zvalue(
+        F.pmod(F.col("l_partkey"), F.lit(65536)),
+        F.pmod(F.col("l_suppkey"), F.lit(65536)),
+    )
+    return (
+        l.select(z.alias("__z"))
+        .groupBy(F.shiftright(F.col("__z"), 26).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("__z").alias("zmin"),
+            F.max("__z").alias("zmax"),
+        )
+    )

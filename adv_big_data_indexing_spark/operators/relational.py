@@ -1035,3 +1035,59 @@ def ext_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("bigint")).alias("mixed"),
         F.bit_count("l_orderkey").cast("int").alias("popcount"),
     )
+
+
+@query(
+    "ext_join_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="EXT six-table star join (TPC-H Q5 shape): local-supplier revenue "
+    "per nation for one region-year. Scale plan: region/nation/supplier "
+    "broadcast; the selective region+date predicates reduce orders BEFORE "
+    "the lineitem join (Catalyst pushes both), so the only big shuffle is "
+    "lineitem⋈orders on orderkey. Exact decimal revenue.",
+)
+def ext_join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(asia_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    # orders shrink to ~ one region-year before touching lineitem
+    co = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = spread(load_table(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = l.join(co, l.l_orderkey == co.o_orderkey).join(
+        F.broadcast(supp),
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("s_nationkey") == F.col("c_nationkey")),
+    )
+    revenue = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+    return j.groupBy("n_name").agg(revenue.cast("double").alias("revenue"))

@@ -249,3 +249,42 @@ def ns_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         entropy.alias("entropy_nats"),
     )
+
+
+@query(
+    "ns_text_heavy_hitters",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, unnest({DUCK_TOKENS.format(col="text")}) AS w
+      FROM documents
+    ), c AS (
+      SELECT lang, w, count(*) AS freq FROM tf GROUP BY 1, 2
+    ), r AS (
+      SELECT lang, w AS token, freq,
+             row_number() OVER (PARTITION BY lang ORDER BY freq DESC, w) AS rnk
+      FROM c
+    )
+    SELECT lang, token, freq, rnk FROM r WHERE rnk <= 10
+    """,
+    doc="NS per-language heavy hitters: top-10 tokens per stratum "
+    "(vocabulary drift / contamination monitoring). Count shuffles on "
+    "(lang, token) with map-side partial aggregation; the rank window "
+    "then runs over the tiny per-language count table. At 100 TB swap "
+    "the exact count for a count-min sketch only if the token "
+    "vocabulary itself outgrows memory.",
+)
+def ns_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select("lang", F.explode(tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("w"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", F.col("w").alias("token"), "freq", "rnk")
+    )

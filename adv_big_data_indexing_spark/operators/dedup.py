@@ -137,6 +137,28 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+def _band_df(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): the LSH banding of 16 md5-minhashes into
+    4 bands × 4 rows. band_key folds the band's minhashes in seed order."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed")
+    mh = (
+        sh.select("doc_id", "sh", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(minhash_hex(F.col("sh"), F.col("seed"))).alias("mh"))
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    return (
+        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x.mh),
+                ",",
+            ).alias("band_key")
+        )
+    )
+
+
 @query(
     "ns_dedup_minhash_lsh",
     oracle=f"""
@@ -177,23 +199,7 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed")
-    mh = (
-        sh.select("doc_id", "sh", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(minhash_hex(F.col("sh"), F.col("seed"))).alias("mh"))
-    )
-    rows_per_band = N_MINHASH // N_BANDS
-    bands = (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x.mh),
-                ",",
-            ).alias("band_key")
-        )
-    )
+    bands = _band_df(sh)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (
@@ -388,3 +394,73 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(gen, schema="vec_a long, vec_b long, cosine double")
+
+
+# --- Incremental dedup (new batch vs existing index) -----------------------
+
+_JAC = "CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)"
+
+
+@query(
+    "ns_dedup_incremental",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    mh AS (
+      SELECT doc_id, seed, min({DUCK_MINHASH.format(seed="seed", shingle="sh")}) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // {N_MINHASH // N_BANDS} AS band,
+             string_agg(mh, ',' ORDER BY seed) AS band_key
+      FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_a, e.doc_id AS doc_b
+      FROM bands n JOIN bands e
+        ON n.band = e.band AND n.band_key = e.band_key
+      WHERE n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
+    ),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b, count(*) AS n_inter
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.doc_a
+      JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT inter.doc_a AS new_doc_id, inter.doc_b AS dup_of, n_inter,
+           {_JAC} AS jaccard
+    FROM inter
+    JOIN sh_count na ON inter.doc_a = na.doc_id
+    JOIN sh_count nb ON inter.doc_b = nb.doc_id
+    WHERE {_JAC} >= {JACCARD_THRESHOLD}
+    """,
+    doc="NS incremental dedup: probe an arriving batch (doc_id % 10 = 0 "
+    "stands in for 'today's crawl') against the EXISTING corpus via the "
+    "LSH band index — the production shape where you never re-pair the "
+    "whole corpus. The new side's bands broadcast into the index join; "
+    "work scales with batch size + collisions, not corpus size. Exact "
+    "Jaccard verify restricted to candidates, same contract as the "
+    "full-corpus operator.",
+)
+def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    bands = _band_df(sh)
+    n = bands.filter(is_new).select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    e = bands.filter(~is_new).select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        F.broadcast(n)
+        .join(e, ["band", "band_key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    out = _jaccard_pairs(sh, pair_filter=cand).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return out.select(
+        F.col("doc_a").alias("new_doc_id"),
+        F.col("doc_b").alias("dup_of"),
+        "n_inter",
+        "jaccard",
+    )

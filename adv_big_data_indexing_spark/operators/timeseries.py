@@ -304,3 +304,32 @@ def ts_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_money("value", "total_value"),
         F.max(epoch_us("ts")).alias("last_event_us"),
     )
+
+
+@query(
+    "ts_enriched_by_segment",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="EXT stream-static enrichment, batch twin: events pick up the "
+    "customer dimension (broadcast — stateless in streaming), then "
+    "aggregate per (segment, event_type). The streaming form is "
+    "streaming/events.py:enrich_events, exercised in tests/test_streaming.py.",
+)
+def ts_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.streaming.events import enrich_events
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        enrich_events(e, c)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )

@@ -144,3 +144,18 @@ def index_lag(queue_df: DataFrame, store_df: DataFrame) -> DataFrame:
             (F.col("enqueued_seq") - F.coalesce(F.col("applied_seq"), F.lit(0))).alias("lag"),
         )
     )
+
+
+def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: each arriving event picks up its
+    customer's segment/name from the (slowly-changing) dimension table.
+    Stream-static joins are stateless in Structured Streaming — the
+    static side is re-read per micro-batch and broadcast, so no join
+    state accumulates; at 100 TB/day event volume the dimension is the
+    only thing that must fit in executor memory."""
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+        )
+    )
+    return events.join(dim, "user_id", "left")

@@ -270,3 +270,22 @@ def test_incremental_reconstructed_projection(spark, tmp_path):
     assert sorted((r.id, r.etag) for r in full.select("id", "etag").collect()) == sorted(
         (r.id, r.etag) for r in rec.select("id", "etag").collect()
     )
+
+
+def test_stream_static_enrichment(spark, event_stream_dir):
+    path, batch_df = event_stream_dir
+    # static dim: user_id 0..2 -> segment; user 2 deliberately absent
+    dim = spark.createDataFrame(
+        [(0, "cust#0", "BUILDING"), (1, "cust#1", "MACHINERY")],
+        "c_custkey long, c_name string, c_mktsegment string",
+    )
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_stream_to_memory(
+        spark, ev.enrich_events(stream, dim), "t_enrich", "append"
+    )
+    rows = out.collect()
+    assert len(rows) == batch_df.count()  # left join: nothing dropped
+    seg = {r.event_id: r.c_mktsegment for r in rows}
+    for r in batch_df.collect():
+        expected = {0: "BUILDING", 1: "MACHINERY", 2: None}[r.user_id]
+        assert seg[r.event_id] == expected

@@ -325,3 +325,38 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _ranked_topk(pairs)
     return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
+@query(
+    "ns_embed_centroids",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, label, {DUCK_QUANTIZE.format(col="embedding")} AS q
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label, i - 1 AS pos, q[i] AS v
+      FROM qv CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    )
+    SELECT label, pos,
+           sum(v) AS s_quant,
+           count(*) AS n,
+           CAST(sum(v) AS DOUBLE) / 1000000.0 / count(*) AS centroid
+    FROM ex GROUP BY 1, 2
+    """,
+    doc="NS per-label embedding centroids (k-means E-step / IVF coarse-"
+    "quantizer training building block), exploded to (label, dim) rows. "
+    "Sums are exact quantized BIGINTs — merge-order-free, so map-side "
+    "partial aggregation is safe; the centroid double is two correctly-"
+    "rounded ops on identical integers in both engines. At scale: one "
+    "shuffle of (label, dim) partial sums, 64·|labels| rows total.",
+)
+def ns_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_vec(F.col("embedding"))
+    ex = e.select("label", F.posexplode(q).alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        F.sum("v").alias("s_quant"),
+        F.count("*").alias("n"),
+        (F.sum("v").cast("double") / F.lit(1000000.0) / F.count("*")).alias("centroid"),
+    )

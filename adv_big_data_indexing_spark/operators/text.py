@@ -288,3 +288,95 @@ def ns_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("lang", F.col("w").alias("token"), "freq", "rnk")
     )
+
+
+def _grams(toks, n: int):
+    """Non-distinct word n-grams (list) from a materialized tokens column."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_DUCK_GRAMS = (
+    "CASE WHEN len({toks}) >= {n} THEN "
+    "list_transform(generate_series(1, len({toks}) - {n} + 1), i -> {cat}) "
+    "ELSE [] END"
+)
+
+
+def _duck_grams(toks: str, n: int) -> str:
+    cat = " || ' ' || ".join(f"{toks}[i+{k}]" for k in range(n))
+    return _DUCK_GRAMS.format(toks=toks, n=n, cat=cat)
+
+
+@query(
+    "ns_text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents),
+    tri AS (SELECT doc_id, unnest({_duck_grams("toks", 3)}) AS g FROM t),
+    tri_stats AS (
+      SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_tri_distinct
+      FROM tri GROUP BY 1
+    ),
+    bg AS (SELECT doc_id, unnest({_duck_grams("toks", 2)}) AS g FROM t),
+    bg_counts AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    bg_stats AS (SELECT doc_id, max(c) AS max_bg, sum(c) AS n_bg FROM bg_counts GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(n_tri, 0) AS n_tri,
+           COALESCE(n_tri_distinct, 0) AS n_tri_distinct,
+           CASE WHEN COALESCE(n_tri, 0) > 0
+                THEN CAST(n_tri - n_tri_distinct AS DOUBLE) / n_tri
+                ELSE 0.0 END AS dup_tri_frac,
+           CASE WHEN COALESCE(n_bg, 0) > 0
+                THEN CAST(max_bg AS DOUBLE) / n_bg
+                ELSE 0.0 END AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN tri_stats USING (doc_id)
+    LEFT JOIN bg_stats USING (doc_id)
+    """,
+    doc="NS repetition quality signals (Gopher/C4-style): duplicate-trigram "
+    "fraction and top-bigram fraction per document — the boilerplate / "
+    "template-spam filters every pretraining pipeline runs. Integer counts "
+    "+ one correctly-rounded division each, so the oracle matches exactly; "
+    "two explode+groupBy passes that shuffle only (doc_id, gram) pairs.",
+)
+def ns_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    tri = t.select("doc_id", F.explode(_grams(F.col("toks"), 3)).alias("g"))
+    tri_stats = tri.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tri"),
+        F.countDistinct("g").cast("bigint").alias("n_tri_distinct"),
+    )
+    bg = t.select("doc_id", F.explode(_grams(F.col("toks"), 2)).alias("g"))
+    bg_stats = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("max_bg"), F.sum("c").cast("bigint").alias("n_bg"))
+    )
+    base = d.select("doc_id").join(tri_stats, "doc_id", "left").join(bg_stats, "doc_id", "left")
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return base.select(
+        "doc_id",
+        n_tri.alias("n_tri"),
+        F.coalesce(F.col("n_tri_distinct"), F.lit(0)).alias("n_tri_distinct"),
+        F.when(
+            n_tri > 0,
+            (F.col("n_tri") - F.col("n_tri_distinct")).cast("double") / F.col("n_tri"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_tri_frac"),
+        F.when(
+            F.coalesce(F.col("n_bg"), F.lit(0)) > 0,
+            F.col("max_bg").cast("double") / F.col("n_bg"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )

@@ -333,3 +333,38 @@ def ts_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "ts_rolling_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="EXT time-based RANGE frame: per-user rolling 1-hour count/sum — "
+    "the frame is defined by event-TIME distance, not row count (ties and "
+    "bursts handled correctly, unlike a ROWS frame). Ordered on exact "
+    "epoch microseconds with an exact-decimal running sum, so frame "
+    "boundaries and totals are engine-independent. At scale: one shuffle "
+    "on user_id; each user's history sorts locally.",
+)
+def ts_rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
+    )

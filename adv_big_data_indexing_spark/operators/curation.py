@@ -1,0 +1,132 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+One declarative plan chaining the stages every pretraining corpus goes
+through — quality gate → near-dup clustering → canonical selection →
+deterministic split — and reporting the curated corpus shape. Each
+stage exists standalone (text.py, dedup.py, graph.py, sampling.py);
+this operator is the integration: proof the pieces compose into a
+single lineage Catalyst can plan end-to-end (gate predicates push into
+the scan; only gate SURVIVORS pay the shingle explosion and the
+component closure).
+
+Scale shape: the expensive stages (shingle inverted-index, CC rounds)
+run on the quality-gated subset only; the final summary is a tiny
+(split × lang) aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, tokens
+from adv_big_data_indexing_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    _jaccard_pairs,
+    duck_shingle_cte,
+    shingles_of,
+)
+from adv_big_data_indexing_spark.operators.graph import connected_components
+from adv_big_data_indexing_spark.operators.sampling import (
+    EVAL_LT,
+    TRAIN_LT,
+    duck_hash_bucket,
+    split_assign,
+)
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+#: quality gate: minimum whitespace-token count (median corpus doc ≈ 56)
+MIN_TOKENS = 40
+
+_DUCK_NTOK = f"len({DUCK_TOKENS.format(col='text')})"
+
+_CURATION_ORACLE = f"""
+WITH RECURSIVE
+  kept AS (
+    SELECT doc_id, text, lang,
+           CAST({_DUCK_NTOK} AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE {_DUCK_NTOK} >= {MIN_TOKENS}
+  ),
+{duck_shingle_cte("kept")},
+  inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+  ),
+  pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sh_count na ON inter.doc_a = na.doc_id
+    JOIN sh_count nb ON inter.doc_b = nb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)
+          >= {JACCARD_THRESHOLD}
+  ),
+  edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+  ),
+  reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    WHERE e.v <> r.u
+  ),
+  comp AS (
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+    FROM reach GROUP BY u
+  ),
+  canon AS (
+    SELECT k.doc_id, k.lang, k.n_tokens
+    FROM kept k LEFT JOIN comp c USING (doc_id)
+    WHERE k.doc_id = COALESCE(c.component_id, k.doc_id)
+  )
+SELECT CASE WHEN {duck_hash_bucket("doc_id")} < {TRAIN_LT} THEN 'train'
+            WHEN {duck_hash_bucket("doc_id")} < {EVAL_LT} THEN 'eval'
+            ELSE 'holdout' END AS split,
+       lang,
+       count(*) AS n_docs,
+       sum(n_tokens) AS n_tokens_total
+FROM canon
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "ns_corpus_curation",
+    oracle=_CURATION_ORACLE,
+    doc="NS end-to-end corpus curation: token-count quality gate → "
+    "n-gram-Jaccard near-dup pairs on survivors → connected-component "
+    "canonical selection → deterministic split → (split × lang) corpus "
+    "shape. The integration query for the whole training-data path.",
+)
+def ns_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= MIN_TOKENS)
+    sh = shingles_of(kept.select("doc_id", "text"))
+    pairs = _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    canon = (
+        kept.join(cc, kept.doc_id == cc.node, "left")
+        .filter(
+            F.col("doc_id") == F.coalesce(F.col("component_id"), F.col("doc_id"))
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return (
+        split_assign(canon)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+        )
+    )

@@ -39,21 +39,30 @@ JACCARD_THRESHOLD = 0.8
 N_MINHASH = 16
 N_BANDS = 4  # rows per band = 4
 
-_DUCK_SHINGLE_CTE = f"""
-  toks AS (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS t FROM documents),
+def duck_shingle_cte(src: str = "documents") -> str:
+    """toks/sh/sh_count CTE bodies over any (doc_id, text) source."""
+    return f"""
+  toks AS (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS t FROM {src}),
   sh AS (SELECT doc_id, unnest({DUCK_SHINGLES3.format(toks="t")}) AS sh FROM toks),
   sh_count AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+_DUCK_SHINGLE_CTE = duck_shingle_cte()
+
+
+def shingles_of(d: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct word-3-gram shingles of a documents frame."""
     # The test parquet is a single row-group; without a repartition the
     # 50×-expansion (shingle explode × minhash seeds) runs in ONE task.
     # On a real multi-file table this is a no-op cost (tiny pre-explode rows).
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     toked = d.select("doc_id", tokens("text").alias("toks"))
     return toked.select("doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"))
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of(load_table(spark, sf_dir, "documents"))
 
 
 def _jaccard_pairs(sh: DataFrame, pair_filter: DataFrame | None = None) -> DataFrame:

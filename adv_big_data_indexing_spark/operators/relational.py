@@ -1076,12 +1076,24 @@ def ext_join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    # orders shrink to ~ one region-year before touching lineitem
-    co = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-        "o_orderkey", "c_nationkey", "n_name"
+    # orders shrink to ~one region-year (~3% of orders) before touching
+    # lineitem — explicitly broadcast as the probe-side build: left to its
+    # own size estimates Spark picks the pruned LINEITEM scan as the build
+    # side here (backwards — the fact table never broadcasts at scale).
+    # The reduced orders set stays |orders|·region_frac·year_frac at every
+    # SF; if a deployment's reduction no longer fits the driver, drop the
+    # hint and AQE falls back to a shuffle join on orderkey.
+    co = F.broadcast(
+        orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+            "o_orderkey", "c_nationkey", "n_name"
+        )
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    l = spread(load_table(spark, sf_dir, "lineitem")).select(
+    # no spread(): with every join broadcast, lineitem needs no
+    # redistribution — scan, probe, and partial agg pipeline in one stage
+    # (a real multi-file table parallelizes by split; the testdata
+    # single-row-group file wouldn't benefit from the extra shuffle here)
+    l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     j = l.join(co, l.l_orderkey == co.o_orderkey).join(

@@ -34,6 +34,7 @@ from adv_big_data_indexing_spark.operators.sampling import (
     duck_hash_bucket,
     split_assign,
 )
+from adv_big_data_indexing_spark.operators.text import _duck_grams
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
 #: quality gate: minimum whitespace-token count (median corpus doc ≈ 56)
@@ -128,5 +129,67 @@ def ns_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens_total"),
+        )
+    )
+
+
+# --- Decontamination (eval-set n-gram leakage scan) ------------------------
+
+NGRAM_N = 8
+
+
+@query(
+    "ns_decontaminate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks,
+             {duck_hash_bucket("doc_id")} AS b
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, b, unnest(list_distinct({_duck_grams("toks", NGRAM_N)})) AS gram
+      FROM t
+    ),
+    ev AS (SELECT doc_id, gram FROM g WHERE b >= {TRAIN_LT} AND b < {EVAL_LT}),
+    tr AS (SELECT doc_id, gram FROM g WHERE b < {TRAIN_LT})
+    SELECT ev.doc_id AS eval_doc_id,
+           count(DISTINCT tr.doc_id) AS n_train_docs,
+           count(*) AS n_shared_grams
+    FROM ev JOIN tr ON ev.gram = tr.gram
+    GROUP BY 1
+    """,
+    doc="NS decontamination: every eval-split document scanned for "
+    f"{NGRAM_N}-gram overlap against the train split — the benchmark-"
+    "leakage check run before any training job. Inverted-index equi-join "
+    "on the gram (never a doc×doc product); the eval side is a ~5% hash "
+    "slice, so at 100 TB its gram index broadcasts while train grams "
+    "stream by. Composes the split operator (sampling.py) with the "
+    "n-gram machinery (text.py).",
+)
+def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.operators.sampling import hash_bucket
+    from adv_big_data_indexing_spark.operators.text import _grams
+
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    t = d.select("doc_id", tokens("text").alias("toks"), b.alias("b"))
+    g = t.select(
+        "doc_id",
+        "b",
+        F.explode(F.array_distinct(_grams(F.col("toks"), NGRAM_N))).alias("gram"),
+    )
+    ev = g.filter((F.col("b") >= TRAIN_LT) & (F.col("b") < EVAL_LT)).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    tr = g.filter(F.col("b") < TRAIN_LT).select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    return (
+        F.broadcast(ev)
+        .join(tr, "gram")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("train_doc_id").alias("n_train_docs"),
+            F.count("*").alias("n_shared_grams"),
         )
     )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.text import tokens
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
 ZSCORE_SCHEMA = "doc_id long, source string, n_chars long, zscore double"
@@ -154,3 +155,64 @@ def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
 )
 def ns_udf_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_value_ewma(load_table(spark, sf_dir, "events"))
+
+
+PACK_SCHEMA = "doc_id long, shard int, bin_idx int, n_tokens long"
+PACK_CAPACITY = 256  # tokens per context window (docs are 10..99 tokens)
+PACK_SHARDS = 64
+
+
+def pack_documents(
+    docs: DataFrame, capacity: int = PACK_CAPACITY, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Sequence packing: place documents into fixed-capacity context
+    windows (bins) with first-fit-decreasing — the training-prep step
+    that turns a curated corpus into dense, fixed-length examples.
+
+    Packing is inherently sequential, so it runs per SHARD: docs hash to
+    ``doc_id % n_shards`` shards (deterministic, rerun-stable), each
+    shard packs independently inside one Arrow batch via grouped-map
+    applyInPandas. Bin density is within ~11/9 of optimal per shard
+    (FFD's classic bound); global optimality is deliberately traded for
+    shard parallelism — the same trade every distributed packer makes.
+    At 100 TB: n_shards scales with the cluster, state never leaves a
+    task, and the output is (doc → bin) assignments, not payload copies.
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assign = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for i, rem in enumerate(bins):
+                if n <= rem:
+                    bins[i] = rem - n
+                    assign.append(i)
+                    break
+            else:
+                bins.append(capacity - n)
+                assign.append(len(bins) - 1)
+        pdf["bin_idx"] = assign
+        return pdf[["doc_id", "shard", "bin_idx", "n_tokens"]]
+
+    sized = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") <= capacity)
+    return sized.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+@query(
+    "ns_pack_sequences",
+    oracle=None,  # greedy sequential bin packing — verified against a
+    # pure-Python FFD reference + invariants in tests/test_udfs.py
+    doc="NS sequence packing (FFD per doc_id%64 shard, 256-token windows) "
+    "via grouped-map Pandas UDF — deterministic, rerun-stable doc→bin "
+    "assignment for dense fixed-length training examples.",
+)
+def ns_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_documents(load_table(spark, sf_dir, "documents"))

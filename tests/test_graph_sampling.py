@@ -85,3 +85,27 @@ def test_components_refine_pair_dedup(spark):
         members.setdefault(c, []).append(d)
     for c, ms in members.items():
         assert c == min(ms)
+
+
+def test_decontaminate_consistent_with_near_dup_pairs(spark):
+    """A contaminated (eval, train) doc pair sharing 73+ 8-grams must also
+    be a near-dup pair — and both flagged docs must sit in the eval split."""
+    from adv_big_data_indexing_spark.contract import registry
+    from adv_big_data_indexing_spark.operators.sampling import (
+        EVAL_LT,
+        TRAIN_LT,
+        split_assign,
+    )
+
+    r = registry()
+    hits = r["ns_decontaminate"].fn(spark, SF_CORRECTNESS).collect()
+    assert len(hits) > 0
+    d = load_table(spark, SF_CORRECTNESS, "documents").select("doc_id")
+    splits = {row.doc_id: row.split for row in split_assign(d).collect()}
+    dup_docs = set()
+    for p in r["ns_dedup_ngram_jaccard"].fn(spark, SF_CORRECTNESS).collect():
+        dup_docs |= {p.doc_a, p.doc_b}
+    for h in hits:
+        assert splits[h.eval_doc_id] == "eval"
+        assert h.eval_doc_id in dup_docs  # heavy overlap ⇒ near-dup doc
+        assert h.n_shared_grams >= h.n_train_docs

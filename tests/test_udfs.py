@@ -94,3 +94,48 @@ def test_token_entropy_close_to_reference(spark):
         gn, gd, ge = got[d.doc_id]
         assert gn == n and gd == len(c)
         assert ge == pytest.approx(ent, rel=1e-12)
+
+
+def test_pack_sequences_invariants_and_reference(spark):
+    from adv_big_data_indexing_spark.operators.udfs import (
+        PACK_CAPACITY,
+        pack_documents,
+    )
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents")
+    got = pack_documents(docs).collect()
+    assert len(got) == docs.count()  # every doc (all ≤ capacity) packed once
+    assert len({r.doc_id for r in got}) == len(got)
+    # bins never overflow
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for r in got:
+        assert r.shard == r.doc_id % 64
+        fill[(r.shard, r.bin_idx)] += r.n_tokens
+    assert all(v <= PACK_CAPACITY for v in fill.values())
+    # bins are reasonably dense: all but the last bin of a shard can't be
+    # less than half full under FFD with items ≤ capacity/2 ... assert the
+    # aggregate: total bins within 2x of the lower bound ceil(sum/cap)
+    import math
+
+    total = sum(r.n_tokens for r in got)
+    lower = math.ceil(total / PACK_CAPACITY)
+    assert len(fill) <= 2 * lower
+    # exact match vs pure-Python FFD reference on one shard
+    shard0 = sorted(
+        [(r.doc_id, r.n_tokens) for r in got if r.shard == 0],
+    )
+    ref_rows = sorted(
+        (r.doc_id, r.n_tokens)
+        for r in docs.select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")).collect()
+        if r.doc_id % 64 == 0 and r.n_tokens <= PACK_CAPACITY
+    )
+    assert shard0 == ref_rows
+    # determinism: rerun with different partitioning → identical assignment
+    again = {
+        (r.doc_id, r.bin_idx)
+        for r in pack_documents(docs.repartition(13, "lang")).collect()
+    }
+    assert again == {(r.doc_id, r.bin_idx) for r in got}

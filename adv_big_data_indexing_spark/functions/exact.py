@@ -43,6 +43,18 @@ def avg_money(col: Column | str, alias: str) -> Column:
     return (F.sum(dec(c)).cast("double") / F.count(c)).alias(alias)
 
 
+def cents(col: Column | str) -> Column:
+    """Exact integer cents from a ≤2-decimal money double.
+
+    ``x*100`` lands within float-error of an integer, so ``round`` recovers
+    it exactly in every engine regardless of tie mode (no true halves can
+    occur). Long arithmetic on cents beats decimal(18,2) aggregation ~2×
+    (single scan-side pass, stays in whole-stage codegen's primitive path).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("bigint")
+
+
 def quantize_vec(col: Column, scale: int = 1_000_000) -> Column:
     """array<float> -> array<bigint> via floor(x * scale).
 

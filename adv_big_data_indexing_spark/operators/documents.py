@@ -250,9 +250,22 @@ def doc_search_rehydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_get_mapping",
-    oracle=None,  # DDL strings are engine-specific (OP-A13 introspection)
+    # The mapping depends only on the shred schema (never on data values), so
+    # the oracle is the golden expected constant — a regression pin, exactly
+    # like the reference's fixed ES mapping (elasticSearch.ts:152-185).
+    oracle="""
+    SELECT * FROM (VALUES
+      ('edges', '{"fields":[{"metadata":{},"name":"child_id","nullable":false,"type":"string"},{"metadata":{},"name":"parent_id","nullable":true,"type":"string"},{"metadata":{},"name":"rel_name","nullable":false,"type":"string"}],"type":"struct"}'),
+      ('entities', '{"fields":[{"metadata":{},"name":"id","nullable":false,"type":"string"},{"metadata":{},"name":"object_type","nullable":false,"type":"string"},{"metadata":{},"name":"payload","nullable":true,"type":"string"}],"type":"struct"}'),
+      ('membercostshares', '{"fields":[{"metadata":{},"name":"id","nullable":false,"type":"string"},{"metadata":{},"name":"deductible","nullable":false,"type":"double"},{"metadata":{},"name":"_org","nullable":false,"type":"string"},{"metadata":{},"name":"copay","nullable":true,"type":"double"},{"metadata":{},"name":"objectId","nullable":true,"type":"string"},{"metadata":{},"name":"objectType","nullable":false,"type":"string"},{"metadata":{},"name":"parent_key","nullable":false,"type":"string"},{"metadata":{},"name":"rel_name","nullable":false,"type":"string"}],"type":"struct"}'),
+      ('plans', '{"fields":[{"metadata":{},"name":"id","nullable":false,"type":"string"},{"metadata":{},"name":"objectId","nullable":true,"type":"string"},{"metadata":{},"name":"objectType","nullable":false,"type":"string"},{"metadata":{},"name":"_org","nullable":false,"type":"string"},{"metadata":{},"name":"planType","nullable":true,"type":"string"},{"metadata":{},"name":"creationDate","nullable":false,"type":"string"},{"metadata":{},"name":"costshare_id","nullable":true,"type":"string"}],"type":"struct"}'),
+      ('planservices', '{"fields":[{"metadata":{},"name":"id","nullable":false,"type":"string"},{"metadata":{},"name":"objectId","nullable":true,"type":"string"},{"metadata":{},"name":"objectType","nullable":false,"type":"string"},{"metadata":{},"name":"_org","nullable":false,"type":"string"},{"metadata":{},"name":"service_id","nullable":true,"type":"string"},{"metadata":{},"name":"costshare_id","nullable":true,"type":"string"},{"metadata":{},"name":"parent_key","nullable":false,"type":"string"}],"type":"struct"}'),
+      ('services', '{"fields":[{"metadata":{},"name":"id","nullable":false,"type":"string"},{"metadata":{},"name":"_org","nullable":false,"type":"string"},{"metadata":{},"name":"objectId","nullable":true,"type":"string"},{"metadata":{},"name":"objectType","nullable":false,"type":"string"},{"metadata":{},"name":"name","nullable":true,"type":"string"},{"metadata":{},"name":"parent_key","nullable":false,"type":"string"},{"metadata":{},"name":"rel_name","nullable":false,"type":"string"}],"type":"struct"}')
+    ) AS t(table_name, schema_json)
+    """,
     doc="OP-A13 schema/mapping introspection (GET /getMapping → "
-    "elasticSearch.ts:301-310): one row per document table with its DDL.",
+    "elasticSearch.ts:301-310): one row per document table with its DDL; "
+    "oracle = golden constant (mapping is schema-determined).",
 )
 def doc_get_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adv_big_data_indexing_spark.operators.search import get_mapping

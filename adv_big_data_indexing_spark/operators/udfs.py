@@ -10,10 +10,11 @@ the demonstration operators:
   IEEE double op order, so even the Python-side result matches the
   DuckDB oracle bit-for-bit — proving UDF operators can stay inside
   the engine's determinism contract.
-- approx aggregates (HLL distinct, t-digest percentile): the 100 TB
-  substitutes for their exact cousins; estimates are engine-specific,
-  so the driver records the weaker rows-only check, and pytest bounds
-  their error against the exact values.
+- approx aggregates: the 100 TB substitutes for their exact cousins.
+  HLL distinct is engine-specific by construction → rows-only check +
+  pytest error bound. The GK percentile sketch is exact below its
+  accuracy knob, so it IS oracle-backed (hash-exact vs quantile_disc)
+  at test scale and degrades to epsilon-bounded beyond it.
 """
 
 from __future__ import annotations
@@ -103,16 +104,29 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCT_ACCURACY = 10_000_000  # sketch is EXACT below this many rows per group
+
+
 @query(
     "ext_approx_percentile",
-    oracle=None,  # interpolation-free sketch, engine-specific
-    doc="EXT approx_percentile — the scale substitute for exact "
-    "percentiles (no per-group sort). Accuracy asserted in tests.",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS approx_median_price,
+           quantile_disc(l_quantity, 0.9) AS approx_p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="EXT approx_percentile (GK sketch) — the scale substitute for exact "
+    "percentiles (no per-group sort, fixed memory). Accuracy is set above the "
+    "per-group row count at test scale, where the sketch degenerates to the "
+    "exact discrete percentile — verified hash-exact against DuckDB's "
+    "quantile_disc; at 100 TB the same plan degrades gracefully to an "
+    "epsilon-bounded estimate (epsilon = 1/accuracy), still one pass.",
 )
 def ext_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price")
+        F.percentile_approx("l_extendedprice", 0.5, PCT_ACCURACY).alias("approx_median_price"),
+        F.percentile_approx("l_quantity", 0.9, PCT_ACCURACY).alias("approx_p90_qty"),
     )
 
 

@@ -104,6 +104,107 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Portable HLL: a distinct sketch defined by US, not the engine --------
+#
+# h = first 15 hex chars of md5(value) → 60 bits. bucket = top 8 bits
+# (2 hex chars, m=256); rho = leading-zero count of the low 52-bit field
+# + 1, computed on the binary STRING (exact in any engine). Estimate:
+#   sum_total = Σ_buckets 2^(50 - M_j) as exact BIGINT (empty bucket: 2^50;
+#               M_j > 50 truncates to 0 — a deterministic < 2^-50 loss)
+#   E = C / double(sum_total), C = alpha_m * m^2 * 2^50 (one literal)
+# Linear counting when E <= 2.5m and empty buckets exist: m * ln(m/zeros).
+# Every intermediate is integer or a single correctly-rounded double op,
+# so Spark and DuckDB produce the SAME bits — an approx aggregate the
+# driver can hash-verify, unlike engine-native HLL.
+
+HLL_P = 8
+HLL_M = 1 << HLL_P
+_HLL_C = repr(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(1 << 50))
+_HLL_THRESH = 2.5 * HLL_M
+
+_SPARK_HEX = (
+    "aggregate(transform(sequence(3, 15),"
+    " p -> CAST(instr('0123456789abcdef', substr(h, p, 1)) - 1 AS BIGINT)"
+    " * CAST(pow(16, 15 - p) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+_SPARK_BUCKET = (
+    "CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1 AS BIGINT) * 16"
+    " + CAST(instr('0123456789abcdef', substr(h, 2, 1)) - 1 AS BIGINT)"
+)
+_DUCK_HEX = (
+    "CAST(list_sum(list_transform(generate_series(3, 15),"
+    " p -> (strpos('0123456789abcdef', substr(h, p, 1)) - 1)"
+    " * (16.0 ** (15 - p)))) AS BIGINT)"
+)
+_DUCK_BUCKET = (
+    "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+)
+_HLL_ESTIMATE = (
+    f"CASE WHEN {_HLL_C} / CAST(sum_total AS DOUBLE) <= {_HLL_THRESH} AND zeros > 0"
+    f" THEN CAST({HLL_M} AS DOUBLE) * ln(CAST({HLL_M} AS DOUBLE) / zeros)"
+    f" ELSE {_HLL_C} / CAST(sum_total AS DOUBLE) END AS approx_nd"
+)
+
+
+@query(
+    "ext_approx_distinct_portable",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_returnflag AS g, key, md5(val) AS h FROM (
+        SELECT l_returnflag, 'l_partkey' AS key, CAST(l_partkey AS VARCHAR) AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+      )
+    ), r AS (
+      SELECT g, key, {_DUCK_BUCKET} AS bucket, {_DUCK_HEX} AS hv FROM v
+    ), pb AS (
+      SELECT g, key, bucket,
+             max(CASE WHEN hv = 0 THEN 53 ELSE 53 - length(ltrim(bin(hv), '0')) END) AS mj
+      FROM r GROUP BY 1, 2, 3
+    ), agg AS (
+      SELECT g, key,
+             CAST(sum(CASE WHEN mj <= 50 THEN CAST(2 ** (50 - mj) AS BIGINT) ELSE 0 END)
+                  + ({HLL_M} - count(*)) * CAST(2 ** 50 AS BIGINT) AS BIGINT) AS sum_total,
+             {HLL_M} - count(*) AS zeros
+      FROM pb GROUP BY 1, 2
+    )
+    SELECT g AS l_returnflag, key, {_HLL_ESTIMATE} FROM agg
+    """,
+    doc="EXT portable HLL distinct sketch (m=256, md5-derived): the same "
+    "sketch algorithm runs in both engines on the same 60-bit hashes, so the "
+    "estimate is bit-identical and hash-verifiable — the oracle-checkable "
+    "counterpart to engine-native approx_count_distinct. One pass, fixed "
+    "2^p-bucket state per group, two tiny shuffles; rel. error ~1.04/sqrt(m).",
+)
+def ext_approx_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    v = l.selectExpr(
+        "l_returnflag AS g",
+        "stack(2, 'l_partkey', CAST(l_partkey AS STRING),"
+        " 'l_orderkey', CAST(l_orderkey AS STRING)) AS (key, val)",
+    ).selectExpr("g", "key", "md5(val) AS h")
+    r = v.selectExpr("g", "key", f"({_SPARK_BUCKET}) AS bucket", f"({_SPARK_HEX}) AS hv")
+    pb = r.selectExpr(
+        "g",
+        "key",
+        "bucket",
+        "CASE WHEN hv = 0 THEN 53 ELSE 53 - length(trim(LEADING '0' FROM bin(hv))) END AS rho",
+    ).groupBy("g", "key", "bucket").agg(F.max("rho").alias("mj"))
+    agg = pb.groupBy("g", "key").agg(
+        F.sum(
+            F.expr("CASE WHEN mj <= 50 THEN shiftleft(CAST(1 AS BIGINT), 50 - mj) ELSE 0 END")
+        ).alias("s_present"),
+        F.count("*").alias("n_buckets"),
+    )
+    return agg.selectExpr(
+        "g AS l_returnflag",
+        "key",
+        f"s_present + ({HLL_M} - n_buckets) * shiftleft(CAST(1 AS BIGINT), 50) AS sum_total",
+        f"{HLL_M} - n_buckets AS zeros",
+    ).selectExpr("l_returnflag", "key", _HLL_ESTIMATE)
+
+
 PCT_ACCURACY = 10_000_000  # sketch is EXACT below this many rows per group
 
 

@@ -30,6 +30,28 @@ def test_approx_distinct_error_bound(spark):
         assert abs(asup - es) / es < 0.05
 
 
+def test_portable_hll_error_bound(spark):
+    approx = {
+        (r.l_returnflag, r.key): r.approx_nd
+        for r in registry()["ext_approx_distinct_portable"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    exact = {
+        (r.l_returnflag, r.key): r.nd
+        for r in load_table(spark, SF_CORRECTNESS, "lineitem")
+        .selectExpr(
+            "l_returnflag",
+            "stack(2, 'l_partkey', l_partkey, 'l_orderkey', l_orderkey) AS (key, val)",
+        )
+        .groupBy("l_returnflag", "key")
+        .agg(F.countDistinct("val").alias("nd"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, a in approx.items():
+        # m=256 → sigma ~6.5%; 0.2 is a ~3-sigma bound
+        assert abs(a - exact[k]) / exact[k] < 0.2, (k, a, exact[k])
+
+
 def test_approx_percentile_close_to_exact(spark):
     approx = {
         r.l_returnflag: r.approx_median_price

@@ -101,20 +101,40 @@ def asof_join(
     "verified against DuckDB's native ASOF JOIN.",
 )
 def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("c_id"))
+    # Both sides come from the same table, so instead of the generic
+    # asof_join (two scans + a click-dedup groupBy + union) this runs ONE
+    # scan and ONE shuffle: tag rows, and let the window's sort order do
+    # the per-(user, ts) max(event_id) dedup — at equal ts the clicks sort
+    # by event_id, so last(ignorenulls) carries exactly the max one.
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
     )
-    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
-    out = asof_join(errors, clicks, "user_id", "ts", "ts", ["c_id", "ts"])
-    return out.select(
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        # clicks sort before errors at equal ts → "at or before" inclusive
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("__tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "__tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("__tag") == 0
+    carried = tagged.select(
+        "*",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_event_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return carried.filter(F.col("__tag") == 1).select(
         "event_id",
         "user_id",
         epoch_us("ts").alias("err_us"),
-        F.col("asof_c_id").alias("click_event_id"),
-        epoch_us(F.col("asof_ts")).alias("click_us"),
+        "click_event_id",
+        epoch_us(F.col("click_ts")).alias("click_us"),
     )
 
 

@@ -795,6 +795,136 @@ def ext_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name, o.n_orders, o.spend
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500) c
+    FULL OUTER JOIN (
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_custkey <= 1000 GROUP BY 1
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    doc="EXT full outer join with genuine null rows on BOTH sides (customers "
+    "≤500 without orders; order groups 501–1000 without a customer row). "
+    "Completes the join matrix (inner/left/semi/anti/broadcast elsewhere). "
+    "Full outer cannot broadcast — Spark picks a shuffle join on the key, "
+    "which is the right plan at any scale.",
+)
+def ext_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 1000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), sum_money("o_totalprice", "spend"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+        "spend",
+    )
+
+
+@query(
+    "ext_not_in_null",
+    oracle="""
+    SELECT 'not_in' AS variant, count(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)
+    UNION ALL
+    SELECT 'not_exists', count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE nullif(o.o_custkey, 7) = c.c_custkey)
+    """,
+    doc="EXT three-valued-logic anti joins: NOT IN over a subquery containing "
+    "a NULL returns no rows (UNKNOWN for every probe), while the NOT EXISTS "
+    "rewrite returns the real anti set — the classic null trap, surfaced as "
+    "two labeled counts. Spark plans the NOT IN as a null-aware anti join "
+    "(a distinct physical operator from plain left_anti).",
+)
+def ext_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__nn_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__nn_orders")
+    return spark.sql(
+        """
+        SELECT 'not_in' AS variant, count(*) AS n FROM __nn_customer
+        WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM __nn_orders)
+        UNION ALL
+        SELECT 'not_exists', count(*) FROM __nn_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM __nn_orders o
+                          WHERE nullif(o.o_custkey, 7) = c.c_custkey)
+        """
+    )
+
+
+@query(
+    "ext_map_ops",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_types,
+           max(CASE WHEN event_type = 'click' THEN c END) AS n_clicks,
+           string_agg(event_type, ',' ORDER BY event_type) AS types_csv
+    FROM per GROUP BY user_id
+    """,
+    doc="EXT map-typed column surface: per-user event_type→count map built "
+    "with map_from_entries over a key-sorted collect_list, probed with "
+    "element_at (missing key → NULL, matching the oracle's CASE-with-no-else) "
+    "and rendered via map_keys/cardinality. The oracle verifies the same "
+    "semantics in plain SQL — map construction is the Spark surface on test.",
+)
+def ext_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.expr("cardinality(m)").cast("bigint").alias("n_types"),
+        F.element_at("m", F.lit("click")).alias("n_clicks"),
+        F.concat_ws(",", F.map_keys("m")).alias("types_csv"),
+    )
+
+
+@query(
+    "ext_window_ntile",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile
+    FROM customer
+    """,
+    doc="EXT ntile bucketing (quartiles of account balance within each market "
+    "segment); deterministic via the c_custkey tie-break.",
+)
+def ext_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@query(
     "ext_join_broadcast_star",
     oracle="""
     SELECT r.r_name, n.n_name,

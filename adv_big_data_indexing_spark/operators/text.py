@@ -252,6 +252,53 @@ def ns_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_text_simpson_diversity",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, w, count(*) AS c FROM (
+        SELECT doc_id, unnest({DUCK_TOKENS.format(col="text")}) AS w FROM documents
+      ) GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           CAST(sum(c) * sum(c) AS DOUBLE) / CAST(sum(c * c) AS DOUBLE) AS inv_simpson,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_mass
+    FROM tf GROUP BY doc_id
+    """,
+    doc="NS token-diversity via the inverse Simpson index — the oracle-backed "
+    "companion to ns_text_token_entropy: collision mass sum(c^2)/n^2 is pure "
+    "integer arithmetic (entropy's ln() is not bit-portable across math "
+    "libraries), so the estimate is exact in both engines: every sum is "
+    "BIGINT (< 2^53, exact in double) and the final value is one "
+    "correctly-rounded double division. Same repetitiveness/boilerplate "
+    "signal, one token shuffle + one per-doc reduce, no collect_list state.",
+)
+def ns_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+        F.max("c").alias("cmax"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        ((F.col("n_tokens") * F.col("n_tokens")).cast("double") / F.col("c2").cast("double"))
+        .alias("inv_simpson"),
+        (F.col("cmax").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("top_token_mass"),
+    )
+
+
+@query(
     "ns_text_heavy_hitters",
     oracle=f"""
     WITH tf AS (

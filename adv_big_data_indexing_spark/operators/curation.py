@@ -173,11 +173,13 @@ def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     b = hash_bucket(F.col("doc_id"))
     t = d.select("doc_id", tokens("text").alias("toks"), b.alias("b"))
+    # explode_outer + null filter: plain explode's inferred size>0 filter
+    # would push the n-gram pipeline below the repartition into the scan.
     g = t.select(
         "doc_id",
         "b",
-        F.explode(F.array_distinct(_grams(F.col("toks"), NGRAM_N))).alias("gram"),
-    )
+        F.explode_outer(F.array_distinct(_grams(F.col("toks"), NGRAM_N))).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
     ev = g.filter((F.col("b") >= TRAIN_LT) & (F.col("b") < EVAL_LT)).select(
         F.col("doc_id").alias("eval_doc_id"), "gram"
     )

@@ -19,18 +19,21 @@ correctly-rounded — so the DuckDB oracles match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, int_dot, quantize_vec
 from adv_big_data_indexing_spark.functions.text import (
-    DUCK_MINHASH,
+    DUCK_BASE48,
     DUCK_SHINGLES3,
     DUCK_TOKENS,
-    minhash_hex,
+    MINHASH_P,
+    base_hash48,
+    minhash_ab,
     shingles_from_tokens,
+    token_rows,
     tokens,
 )
 from adv_big_data_indexing_spark.sources.catalog import load_table
@@ -38,6 +41,8 @@ from adv_big_data_indexing_spark.sources.catalog import load_table
 JACCARD_THRESHOLD = 0.8
 N_MINHASH = 16
 N_BANDS = 4  # rows per band = 4
+_ROWS_PER_BAND = N_MINHASH // N_BANDS
+MINHASH_A, MINHASH_B = minhash_ab(N_MINHASH)
 
 def duck_shingle_cte(src: str = "documents") -> str:
     """toks/sh/sh_count CTE bodies over any (doc_id, text) source."""
@@ -52,51 +57,61 @@ _DUCK_SHINGLE_CTE = duck_shingle_cte()
 
 
 def shingles_of(d: DataFrame) -> DataFrame:
-    """(doc_id, sh) distinct word-3-gram shingles of a documents frame."""
+    """(doc_id, n_sh, sh): distinct word-3-gram shingles of a documents
+    frame, each row carrying the doc's total shingle count — computed
+    per-row BEFORE the explode (array size), so consumers needing per-doc
+    totals (jaccard denominators) never re-aggregate or re-execute the
+    shingle pipeline."""
     # The test parquet is a single row-group; without a repartition the
     # 50×-expansion (shingle explode × minhash seeds) runs in ONE task.
     # On a real multi-file table this is a no-op cost (tiny pre-explode rows).
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     toked = d.select("doc_id", tokens("text").alias("toks"))
-    return toked.select("doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"))
+    shs = toked.select("doc_id", shingles_from_tokens(F.col("toks")).alias("shs"))
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # size(shs) > 0 scan filter, and pushing it below the repartition
+    # re-evaluates the whole tokenize+shingle pipeline (twice) inside the
+    # single-task scan stage — a ~20× regression here. The outer variant
+    # infers nothing; the cheap null filter runs above the generate.
+    return (
+        shs.select(
+            "doc_id",
+            F.size("shs").cast("bigint").alias("n_sh"),
+            F.explode_outer("shs").alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+    )
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(load_table(spark, sf_dir, "documents"))
 
 
-def _jaccard_pairs(sh: DataFrame, pair_filter: DataFrame | None = None) -> DataFrame:
-    """Exact jaccard for doc pairs sharing ≥1 shingle (optionally restricted
-    to a candidate pair set — the LSH verify path)."""
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    if pair_filter is not None:
-        # Candidate-driven: the (small) pair set probes each side's shingles,
-        # so work is O(|candidates| × shingles/doc), never the full
-        # inverted-index self-join.
-        joined = (
-            F.broadcast(pair_filter)
-            .join(a, "doc_a")
-            .join(b, ["doc_b", "sh"])
-        )
-    else:
-        joined = a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b"))
-    inter = joined.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """Exact jaccard over shingle strings for doc pairs sharing ≥1 shingle
+    (the ground-truth inverted-index self-join; the LSH family uses the
+    one-pass hash-set pipeline in :func:`_lsh_pair_stats` instead).
+
+    The two join sides are unavoidably two executions of the shingle
+    pipeline (Spark shares no subtrees between join sides), but the
+    jaccard denominators ride along as the pre-explode n_sh column, so
+    there is no third execution for a counts aggregate."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "sh")
+    joined = a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = joined.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_inter"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
     )
 
 
@@ -146,78 +161,160 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-def _band_df(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key): the LSH banding of 16 md5-minhashes into
-    4 bands × 4 rows. band_key folds the band's minhashes in seed order."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed")
-    mh = (
-        sh.select("doc_id", "sh", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(minhash_hex(F.col("sh"), F.col("seed"))).alias("mh"))
+def _band_keys() -> list[Column]:
+    """The 4 band-key expressions over mh0..mh15 columns."""
+    return [
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh{b * _ROWS_PER_BAND + j}").cast("string")
+                for j in range(_ROWS_PER_BAND)
+            ],
+        )
+        for b in range(N_BANDS)
+    ]
+
+
+def _lsh_pair_stats(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) for every LSH-colliding doc pair —
+    ONE pipeline over the corpus, no second pass for the verify.
+
+    Stages, all in a single dataflow:
+    1. one md5 per shingle (base_hash48 mod the Mersenne prime);
+    2. one wide groupBy(doc_id): the 16 affine minhashes as 16 min()
+       columns (map-side combined — no seed explosion) PLUS the doc's
+       distinct shingle-hash set, carried along so the exact-overlap
+       verify never re-reads the corpus;
+    3. posexplode 4 band keys, groupBy bucket, expand in-bucket pairs with
+       array transforms (a self-join would execute the signature build
+       twice — Spark shares no subtrees between join sides);
+    4. per pair: n_inter = |array_intersect| of the two carried hash sets.
+
+    Overlap counts are over 48-bit shingle hashes (collision odds ~2^-48
+    per pair — negligible, and the oracle mirrors the same hashes, so
+    results stay bit-identical). Bucket sizes are LSH collision counts —
+    small by construction; at 100 TB cap the bucket size (drop degenerate
+    buckets, e.g. empty-text clusters) before expansion, as any LSH must.
+    A pair colliding in several bands is emitted per band — identical
+    stats each time; callers dedup after thresholding."""
+    hp = sh.select("doc_id", (base_hash48(F.col("sh")) % MINHASH_P).alias("hp"))
+    per_doc = hp.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("hp") + F.lit(MINHASH_B[i])) % MINHASH_P)
+            .alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ],
+        F.collect_set("hp").alias("hs"),
     )
-    rows_per_band = N_MINHASH // N_BANDS
-    return (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x.mh),
-                ",",
-            ).alias("band_key")
+    bands = per_doc.select(
+        "doc_id", "hs", F.posexplode(F.array(*_band_keys())).alias("band", "band_key")
+    )
+    grouped = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hs"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x.doc_id.alias("doc_a"),
+                    y.doc_id.alias("doc_b"),
+                    F.size(F.array_intersect(x.hs, y.hs)).cast("bigint").alias("n_inter"),
+                    F.size(x.hs).cast("bigint").alias("n_a"),
+                    F.size(y.hs).cast("bigint").alias("n_b"),
+                ),
+            ),
         )
     )
+    return grouped.select(F.explode(pairs).alias("p")).select(
+        "p.doc_a", "p.doc_b", "p.n_inter", "p.n_a", "p.n_b"
+    )
+
+
+def _with_jaccard(stats: DataFrame) -> DataFrame:
+    return stats.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
+    )
+
+
+def _duck_lsh_cte() -> str:
+    """DuckDB twin of :func:`_lsh_pair_stats`: perdoc/bands CTE bodies over
+    ``sh`` (the pair expansion itself is expressed as a relational band
+    self-join + perdoc re-join in SQL — same pair set, same hash sets)."""
+    mh_cols = ", ".join(
+        f"min(({MINHASH_A[i]} * hp + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+    keys = ", ".join(
+        "concat_ws(','," + ", ".join(
+            f"CAST(mh{b * _ROWS_PER_BAND + j} AS VARCHAR)" for j in range(_ROWS_PER_BAND)
+        ) + ")"
+        for b in range(N_BANDS)
+    )
+    bands = ", ".join(str(b) for b in range(N_BANDS))
+    return f"""
+    hpv AS (SELECT doc_id, {DUCK_BASE48.format(sh="sh")} % {MINHASH_P} AS hp FROM sh),
+    perdoc AS (
+      SELECT doc_id, {mh_cols}, list_distinct(list(hp)) AS hs
+      FROM hpv GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, unnest([{bands}]) AS band, unnest([{keys}]) AS band_key FROM perdoc
+    )"""
+
+
+_DUCK_LSH_CTE = _duck_lsh_cte()
+
+_DUCK_LSH_STATS = """
+    stats AS (
+      SELECT cand.doc_a, cand.doc_b,
+             CAST(len(list_intersect(pa.hs, pb.hs)) AS BIGINT) AS n_inter,
+             CAST(len(pa.hs) AS BIGINT) AS n_a,
+             CAST(len(pb.hs) AS BIGINT) AS n_b
+      FROM cand JOIN perdoc pa ON cand.doc_a = pa.doc_id
+                JOIN perdoc pb ON cand.doc_b = pb.doc_id
+    )"""
+
+_DUCK_JACC = "CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter)"
 
 
 @query(
     "ns_dedup_minhash_lsh",
     oracle=f"""
     WITH {_DUCK_SHINGLE_CTE},
-    mh AS (
-      SELECT doc_id, seed, min({DUCK_MINHASH.format(seed="seed", shingle="sh")}) AS mh
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
-      GROUP BY doc_id, seed
-    ),
-    bands AS (
-      SELECT doc_id, seed // {N_MINHASH // N_BANDS} AS band,
-             string_agg(mh, ',' ORDER BY seed) AS band_key
-      FROM mh GROUP BY 1, 2
-    ),
+    {_DUCK_LSH_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT inter.doc_a, inter.doc_b, n_inter,
-           CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) AS jaccard
-    FROM inter
-    JOIN sh_count na ON inter.doc_a = na.doc_id
-    JOIN sh_count nb ON inter.doc_b = nb.doc_id
-    WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+    {_DUCK_LSH_STATS}
+    SELECT doc_a, doc_b, n_inter, {_DUCK_JACC} AS jaccard
+    FROM stats WHERE {_DUCK_JACC} >= {JACCARD_THRESHOLD}
     """,
     bench=True,
-    doc="NS MinHash+LSH dedup: 16 md5-minhashes, 4 bands × 4 rows; candidates "
-    "= docs sharing a band key; exact-Jaccard verify restricted to candidates. "
-    "The scale path: signature build is one pass + one groupBy; the band join "
-    "touches only colliding docs.",
+    doc="NS MinHash+LSH dedup: 16 universal-hash minhashes (one md5 per "
+    "shingle + affine transforms mod a Mersenne prime), 4 bands × 4 rows; "
+    "exact-overlap verify on shingle-hash sets carried WITH the signatures — "
+    "the whole operator is one pipeline over the corpus (see "
+    "_lsh_pair_stats), no second pass, no self-join re-execution.",
 )
 def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir)
-    bands = _band_df(sh)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+    return (
+        _with_jaccard(_lsh_pair_stats(sh))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .distinct()
     )
-    return _jaccard_pairs(sh, pair_filter=cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -273,19 +370,15 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adv_big_data_indexing_spark.functions.text import tokens
 
     d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
-    tf = (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.md5("tok"))
-    )
-    # One wide aggregate instead of a 64× row explosion: 64 partial-sum
-    # columns (bit b of md5(tok) contributes ±cnt), combined map-side —
-    # the shuffle carries one 64-column row per doc, not 64 rows.
-    # Nibbles project once (16 substr) so the 64 bit exprs are cheap shifts.
-    nibbled = tf.selectExpr(
+    # The frequency weight cnt·(±1) summed over DISTINCT tokens equals ±1
+    # summed over token OCCURRENCES, so no (doc_id, tok) term-frequency
+    # shuffle is needed at all: md5 each occurrence and run ONE wide
+    # aggregate — 64 partial-sum columns combined map-side, so the only
+    # shuffle carries a single 64-column row per doc. Nibbles project once
+    # (16 substr) so the 64 bit exprs are cheap shifts.
+    occ = token_rows(d, ["doc_id"], alias="tok").withColumn("h", F.md5("tok"))
+    nibbled = occ.selectExpr(
         "doc_id",
-        "cnt",
         *[
             f"instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS n{i}"
             for i in range(N_SIMHASH_BITS // 4)
@@ -293,9 +386,7 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bit_sums = nibbled.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.expr(f"cnt * (2 * (shiftright(n{b // 4}, {3 - b % 4}) & 1) - 1)")
-            ).alias(f"s{b}")
+            F.sum(F.expr(f"2 * (shiftright(n{b // 4}, {3 - b % 4}) & 1) - 1")).alias(f"s{b}")
             for b in range(N_SIMHASH_BITS)
         ]
     )
@@ -307,29 +398,47 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         chunk_cols.append(f"CAST({' + '.join(terms)} AS BIGINT) AS c{chunk}")
     wide = bit_sums.selectExpr("doc_id", *chunk_cols)
-    sig = wide.selectExpr(
-        "doc_id",
-        f"stack({N_CHUNKS}, "
-        + ", ".join(f"{k}, c{k}" for k in range(N_CHUNKS))
-        + ") AS (chunk, chunk_val)",
+    # One pipeline end-to-end (the naive shape self-joins `sig` four times,
+    # re-running the whole token pipeline per instance): carry the full
+    # 4-chunk signature through the chunk explode, bucket by
+    # (chunk, chunk_val), expand in-bucket pairs with array transforms and
+    # compute hamming right there from the carried signatures.
+    sig_arr = F.array(*[F.col(f"c{k}") for k in range(N_CHUNKS)])
+    chunks = wide.select(
+        "doc_id", sig_arr.alias("cs"), F.posexplode(sig_arr).alias("chunk", "chunk_val")
     )
-    a_sig = sig.select(F.col("doc_id").alias("doc_a"), "chunk", "chunk_val")
-    b_sig = sig.select(F.col("doc_id").alias("doc_b"), "chunk", "chunk_val")
-    cand = (
-        a_sig.join(b_sig, ["chunk", "chunk_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+    grouped = (
+        chunks.groupBy("chunk", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "cs"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+
+    def _hamming(x, y):
+        return F.aggregate(
+            F.zip_with(x.cs, y.cs, lambda u, v: F.bit_count(u.bitwiseXOR(v))),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + e,
+        )
+
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x.doc_id.alias("doc_a"),
+                    y.doc_id.alias("doc_b"),
+                    _hamming(x, y).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "chunk", F.col("chunk_val").alias("va"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "chunk", F.col("chunk_val").alias("vb"))
-    ham = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "chunk"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))).cast("bigint").alias("hamming"))
-    )
-    return ham.filter(F.col("hamming") <= HAMMING_THRESHOLD)
 
 
 # --- Embedding near-dup ----------------------------------------------------
@@ -407,69 +516,54 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Incremental dedup (new batch vs existing index) -----------------------
 
-_JAC = "CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)"
-
 
 @query(
     "ns_dedup_incremental",
     oracle=f"""
     WITH {_DUCK_SHINGLE_CTE},
-    mh AS (
-      SELECT doc_id, seed, min({DUCK_MINHASH.format(seed="seed", shingle="sh")}) AS mh
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
-      GROUP BY doc_id, seed
-    ),
-    bands AS (
-      SELECT doc_id, seed // {N_MINHASH // N_BANDS} AS band,
-             string_agg(mh, ',' ORDER BY seed) AS band_key
-      FROM mh GROUP BY 1, 2
-    ),
+    {_DUCK_LSH_CTE},
     cand AS (
       SELECT DISTINCT n.doc_id AS doc_a, e.doc_id AS doc_b
       FROM bands n JOIN bands e
         ON n.band = e.band AND n.band_key = e.band_key
       WHERE n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
     ),
-    inter AS (
-      SELECT cand.doc_a, cand.doc_b, count(*) AS n_inter
-      FROM cand
-      JOIN sh a ON a.doc_id = cand.doc_a
-      JOIN sh b ON b.doc_id = cand.doc_b AND b.sh = a.sh
-      GROUP BY 1, 2
-    )
-    SELECT inter.doc_a AS new_doc_id, inter.doc_b AS dup_of, n_inter,
-           {_JAC} AS jaccard
-    FROM inter
-    JOIN sh_count na ON inter.doc_a = na.doc_id
-    JOIN sh_count nb ON inter.doc_b = nb.doc_id
-    WHERE {_JAC} >= {JACCARD_THRESHOLD}
+    {_DUCK_LSH_STATS}
+    SELECT doc_a AS new_doc_id, doc_b AS dup_of, n_inter, {_DUCK_JACC} AS jaccard
+    FROM stats WHERE {_DUCK_JACC} >= {JACCARD_THRESHOLD}
     """,
     doc="NS incremental dedup: probe an arriving batch (doc_id % 10 = 0 "
     "stands in for 'today's crawl') against the EXISTING corpus via the "
     "LSH band index — the production shape where you never re-pair the "
-    "whole corpus. The new side's bands broadcast into the index join; "
-    "work scales with batch size + collisions, not corpus size. Exact "
-    "Jaccard verify restricted to candidates, same contract as the "
-    "full-corpus operator.",
+    "whole corpus. Work scales with batch size + collisions, not corpus "
+    "size; the verify reads the shingle-hash sets carried with the band "
+    "state (one pipeline, same contract as the full-corpus operator).",
 )
 def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_df(spark, sf_dir)
-    is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
-    bands = _band_df(sh)
-    n = bands.filter(is_new).select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    e = bands.filter(~is_new).select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    cand = (
-        F.broadcast(n)
-        .join(e, ["band", "band_key"])
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    out = _jaccard_pairs(sh, pair_filter=cand).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    )
-    return out.select(
-        F.col("doc_a").alias("new_doc_id"),
-        F.col("doc_b").alias("dup_of"),
+    # All colliding pairs from the one-pass band pipeline, reoriented to
+    # (new, existing) — equivalent to the new-side × index band join,
+    # without executing the signature build twice. jaccard/n_inter are
+    # orientation-symmetric, so the CASE only swaps the id columns.
+    oriented = _lsh_pair_stats(sh).selectExpr(
+        "CASE WHEN doc_a % 10 = 0 AND doc_b % 10 <> 0 THEN doc_a"
+        "     WHEN doc_b % 10 = 0 AND doc_a % 10 <> 0 THEN doc_b END AS n_id",
+        "CASE WHEN doc_a % 10 = 0 AND doc_b % 10 <> 0 THEN doc_b"
+        "     WHEN doc_b % 10 = 0 AND doc_a % 10 <> 0 THEN doc_a END AS e_id",
         "n_inter",
-        "jaccard",
+        "n_a",
+        "n_b",
+    ).filter("n_id IS NOT NULL").selectExpr(
+        "n_id AS doc_a", "e_id AS doc_b", "n_inter", "n_a", "n_b"
+    )
+    return (
+        _with_jaccard(oriented)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .distinct()
+        .select(
+            F.col("doc_a").alias("new_doc_id"),
+            F.col("doc_b").alias("dup_of"),
+            "n_inter",
+            "jaccard",
+        )
     )

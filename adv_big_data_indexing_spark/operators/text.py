@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
-from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, tokens
+from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, token_rows, tokens
 from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
 # Marker stopword lists for the language-ID heuristic. The synthetic corpus
@@ -188,8 +188,10 @@ def ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     toked = d.select(tokens("text").alias("toks"))
+    # explode_outer + null filter: plain explode's inferred size>0 filter
+    # would push the tokenizer below the repartition into the scan stage.
     grams = toked.select(
-        F.explode(
+        F.explode_outer(
             F.when(
                 F.size("toks") >= 2,
                 F.transform(
@@ -200,7 +202,7 @@ def ns_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.array())
         ).alias("bigram")
-    )
+    ).filter(F.col("bigram").isNotNull())
     return (
         grams.groupBy("bigram")
         .agg(F.count("*").alias("freq"))
@@ -223,7 +225,7 @@ def ns_text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     tf = (
-        d.select("doc_id", F.explode(tokens("text")).alias("w"))
+        token_rows(d, ["doc_id"])
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
@@ -277,7 +279,7 @@ def ns_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     tf = (
-        d.select("doc_id", F.explode(tokens("text")).alias("w"))
+        token_rows(d, ["doc_id"])
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
     )
@@ -325,7 +327,7 @@ def ns_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents"))
     counts = (
-        d.select("lang", F.explode(tokens("text")).alias("w"))
+        token_rows(d, ["lang"])
         .groupBy("lang", "w")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
@@ -396,12 +398,17 @@ def _duck_grams(toks: str, n: int) -> str:
 def ns_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", tokens("text").alias("toks"))
-    tri = t.select("doc_id", F.explode(_grams(F.col("toks"), 3)).alias("g"))
+    # explode_outer + null filter: see ns_text_bigram_freq.
+    tri = t.select("doc_id", F.explode_outer(_grams(F.col("toks"), 3)).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
     tri_stats = tri.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tri"),
         F.countDistinct("g").cast("bigint").alias("n_tri_distinct"),
     )
-    bg = t.select("doc_id", F.explode(_grams(F.col("toks"), 2)).alias("g"))
+    bg = t.select("doc_id", F.explode_outer(_grams(F.col("toks"), 2)).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
     bg_stats = (
         bg.groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))

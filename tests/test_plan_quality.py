@@ -85,8 +85,10 @@ def test_reconstruct_flat_single_join_pushdown(spark):
     assert "LessThan(l_orderkey,100)" in p
 
 
-def test_minhash_verify_is_candidate_driven(spark):
+def test_minhash_is_single_pipeline(spark):
     p = plan_of(spark, "ns_dedup_minhash_lsh")
-    # the exact-verify stage must broadcast the candidate pair set, not
-    # self-join the full shingle index
-    assert "BroadcastHashJoin" in p
+    # signature build + banding + in-bucket verify is ONE dataflow: the
+    # corpus is scanned exactly once and there is no join anywhere (a
+    # self-join would re-execute the whole signature build per side)
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
-from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, int_dot, quantize_vec
+from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, int_dot_fixed, quantize_vec
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
 TOP_K = 5
@@ -45,7 +45,7 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group input → spread the O(n·k) vector math across cores
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
     e = e.select("vec_id", quantize_vec(F.col("embedding")).alias("q"))
-    return e.withColumn("n2", int_dot(F.col("q"), F.col("q")))
+    return e.withColumn("n2", int_dot_fixed(F.col("q"), F.col("q"), DIM))
 
 
 def _ranked_topk(pairs: DataFrame) -> DataFrame:
@@ -97,7 +97,7 @@ def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"), F.col("n2").alias("nb"))
     pairs = q.crossJoin(n).filter(F.col("neighbor_id") != F.col("query_id"))
     pairs = pairs.select(
-        "query_id", "neighbor_id", int_dot(F.col("qq"), F.col("nq")).alias("dot"), "na", "nb"
+        "query_id", "neighbor_id", int_dot_fixed(F.col("qq"), F.col("nq"), DIM).alias("dot"), "na", "nb"
     )
     out = _ranked_topk(pairs)
     return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
@@ -211,7 +211,7 @@ def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(a, "query_id")
         .join(b, "neighbor_id")
         .select(
-            "query_id", "neighbor_id", int_dot(F.col("qq"), F.col("nq")).alias("dot"), "na", "nb"
+            "query_id", "neighbor_id", int_dot_fixed(F.col("qq"), F.col("nq"), DIM).alias("dot"), "na", "nb"
         )
     )
     out = _ranked_topk(pairs)
@@ -284,7 +284,7 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
         "vec_id", "label", quantize_vec(F.col("embedding")).alias("q")
     )
-    e = e.withColumn("n2", int_dot(F.col("q"), F.col("q")))
+    e = e.withColumn("n2", int_dot_fixed(F.col("q"), F.col("q"), DIM))
 
     # exact integer centroid sums per cell: elementwise array sum via
     # posexplode + groupBy (one shuffle of n·d small rows)
@@ -308,7 +308,7 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qq",
         "na",
         F.col("label").alias("probe_label"),
-        (int_dot(F.col("qq"), F.col("csum")).cast("double") / F.col("n_members")).alias("score"),
+        (int_dot_fixed(F.col("qq"), F.col("csum"), DIM).cast("double") / F.col("n_members")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("probe_label"))
     assign = scored_cells.withColumn("cr", F.row_number().over(w)).filter(F.col("cr") == 1)
@@ -321,7 +321,7 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = assign.join(b, "probe_label").filter(F.col("neighbor_id") != F.col("query_id"))
     pairs = cand.select(
-        "query_id", "neighbor_id", int_dot(F.col("qq"), F.col("nq")).alias("dot"), "na", "nb"
+        "query_id", "neighbor_id", int_dot_fixed(F.col("qq"), F.col("nq"), DIM).alias("dot"), "na", "nb"
     )
     out = _ranked_topk(pairs)
     return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))

@@ -65,6 +65,7 @@ def registry() -> dict[str, QuerySpec]:
         relational,
         sampling,
         similarity,
+        sketches,
         text,
         timeseries,
         udfs,

@@ -639,3 +639,60 @@ def ext_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("latest_so_far"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity join (entity resolution): blocking + edit-distance verify
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 3
+
+
+@query(
+    "ext_fuzzy_join_levenshtein",
+    oracle=f"""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE a.p_name <> b.p_name
+      AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    doc="EXT similarity (fuzzy) join — the entity-resolution shape: "
+    "blocking keys (brand, size) turn the O(n²) name-similarity join into "
+    "an equi-join whose pair count is Σ block²; the edit-distance verify "
+    "(integer, bit-identical across engines) runs only inside blocks. At "
+    "100 TB blocking is what makes fuzzy matching feasible at all — the "
+    "equi-join shuffles on the block key and never materializes "
+    "cross-block pairs; skewed blocks fall to AQE skew-join splitting.",
+)
+def ext_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["brand", "size"])
+        .filter(
+            (F.col("key_a") < F.col("key_b")) & (F.col("name_a") != F.col("name_b"))
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )

@@ -368,3 +368,37 @@ def ts_rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@query(
+    "ts_scd2_history",
+    oracle="""
+    SELECT user_id,
+           CAST(value AS DOUBLE) AS value,
+           ts AS effective_from,
+           lead(ts) OVER w AS effective_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="EXT SCD2 history build: each user's purchase stream becomes "
+    "versioned validity intervals — effective_from/effective_to from "
+    "lead() over the per-user timeline, an open interval marking the "
+    "current version. This is the batch twin of a CDC MERGE keeping "
+    "type-2 dimension history (the reference only ever keeps the latest "
+    "state: SURVEY §2.G upserts). One shuffle on user_id; event_id "
+    "tie-break makes same-timestamp ordering deterministic.",
+)
+def ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

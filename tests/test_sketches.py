@@ -1,0 +1,61 @@
+"""Semantic invariants of the portable sketches and the new join/history
+operators (exact parity with DuckDB is asserted separately by
+tests/test_oracle_parity.py — these check the properties that make each
+operator *correct as an algorithm*, not just reproducible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import registry
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min property: estimate >= exact for every queried key."""
+    df = registry()["ns_sketch_cms_heavy_hitters"].fn(spark, SF_CORRECTNESS)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(r.cms_estimate >= r.exact_count for r in rows)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom property: every true match passes; FP accounting is exact."""
+    rows = registry()["ext_bloom_semijoin"].fn(spark, SF_CORRECTNESS).collect()
+    assert rows
+    for r in rows:
+        assert r.bloom_pass_rows >= r.true_match_rows
+        assert r.false_positive_rows == r.bloom_pass_rows - r.true_match_rows
+
+
+def test_fuzzy_join_within_threshold_and_blocked(spark):
+    from adv_big_data_indexing_spark.operators.advanced import FUZZY_MAX_DIST
+
+    rows = registry()["ext_fuzzy_join_levenshtein"].fn(spark, SF_CORRECTNESS).collect()
+    assert rows
+    assert all(1 <= r.edit_dist <= FUZZY_MAX_DIST for r in rows)
+    assert all(r.key_a < r.key_b for r in rows)
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """Per user: versions are 1..n, exactly one open (current) interval,
+    and each version's effective_to equals the next version's
+    effective_from (no gaps, no overlaps)."""
+    df = registry()["ts_scd2_history"].fn(spark, SF_CORRECTNESS)
+    per_user = df.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.max("version").alias("max_v"),
+        F.count_if(F.col("is_current")).alias("n_current"),
+    )
+    bad = per_user.filter(
+        (F.col("n") != F.col("max_v")) | (F.col("n_current") != 1)
+    ).count()
+    assert bad == 0
+    a = df.select("user_id", "version", "effective_to")
+    b = df.select(
+        "user_id",
+        (F.col("version") - 1).alias("version"),
+        F.col("effective_from").alias("next_from"),
+    )
+    chained = a.join(b, ["user_id", "version"])
+    assert chained.filter(F.col("effective_to") != F.col("next_from")).count() == 0

@@ -1274,3 +1274,92 @@ def ext_join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
     return j.groupBy("n_name").agg(revenue.cast("double").alias("revenue"))
+
+
+@query(
+    "ext_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 25000.0), 19) AS INTEGER) AS bin,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+    FROM orders
+    GROUP BY bin
+    """,
+    doc="EXT equi-width histogram: 20 bins of 25k over o_totalprice with "
+    "exact integer-cents bin sums. floor of an IEEE division is identical "
+    "in both engines, so bin assignment is deterministic. One map-side "
+    "combined aggregate — the profiling primitive behind range-partition "
+    "boundary picking and skew detection at 100 TB.",
+)
+def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)).cast("int")
+    return (
+        o.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("o_totalprice")).cast("double") / 100).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "ext_referential_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS edge,
+           (SELECT count(*) FROM lineitem) AS child_rows,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    """,
+    doc="EXT referential-integrity audit: orphan counts for every foreign-key "
+    "edge of the star schema via anti joins — the data-quality gate a "
+    "pipeline runs before publishing a snapshot (the engine analog of the "
+    "reference's one-parent-per-child invariant, SURVEY §1.4). Dimension "
+    "sides broadcast; the fact side streams through each anti join "
+    "without shuffling.",
+)
+def ext_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    edges = [
+        ("lineitem.l_orderkey -> orders", l, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey -> part", l, "l_partkey", load_table(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", l, "l_suppkey", load_table(spark, sf_dir, "supplier"), "s_suppkey"),
+        ("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
+        ("customer.c_nationkey -> nation", c, "c_nationkey", load_table(spark, sf_dir, "nation"), "n_nationkey"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in edges:
+        orphans = child.join(
+            F.broadcast(parent.select(pk)), child[fk] == F.col(pk), "left_anti"
+        )
+        parts.append(
+            child.agg(F.count("*").alias("child_rows")).crossJoin(
+                orphans.agg(F.count("*").alias("orphan_rows"))
+            ).select(F.lit(name).alias("edge"), "child_rows", "orphan_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -149,19 +149,33 @@ def _duck_bloom_pos(sql: str, j: int) -> str:
     return f"CAST(({nib}) % {BLOOM_M} AS INTEGER)"
 
 
+# 63-bit words: bit 63 is never set, so shiftleft stays in BIGINT
+# range in both engines (DuckDB errors on 1<<63)
+BLOOM_WORDS = (BLOOM_M + 62) // 63
+
+
 @query(
     "ext_bloom_semijoin",
     oracle=f"""
     WITH dim AS (
       SELECT o_orderkey FROM orders WHERE o_totalprice > {BLOOM_DIM_PRED}
     ),
-    bloom AS (
-      SELECT list_distinct(flatten(list([{", ".join(_duck_bloom_pos("o_orderkey", j) for j in range(BLOOM_K))}]))) AS bits
+    pos AS (
+      SELECT unnest([{", ".join(_duck_bloom_pos("o_orderkey", j) for j in range(BLOOM_K))}]) AS p
       FROM dim
+    ),
+    words AS (
+      SELECT p // 63 AS w, bit_or(CAST(1 AS BIGINT) << (p % 63)) AS v
+      FROM pos GROUP BY 1
+    ),
+    bloom AS (
+      SELECT list(coalesce(words.v, 0) ORDER BY g.w) AS bits
+      FROM (SELECT unnest(generate_series(0, {BLOOM_WORDS - 1})) AS w) g
+      LEFT JOIN words ON words.w = g.w
     ),
     probe AS (
       SELECT l.l_returnflag, l.l_orderkey,
-             {" AND ".join(f"list_contains(b.bits, {_duck_bloom_pos('l.l_orderkey', j)})" for j in range(BLOOM_K))} AS bloom_pass
+             {" AND ".join(f"(b.bits[({_duck_bloom_pos('l.l_orderkey', j)}) // 63 + 1] & (CAST(1 AS BIGINT) << (({_duck_bloom_pos('l.l_orderkey', j)}) % 63))) <> 0" for j in range(BLOOM_K))} AS bloom_pass
       FROM lineitem l CROSS JOIN bloom b
     )
     SELECT p.l_returnflag,
@@ -173,34 +187,62 @@ def _duck_bloom_pos(sql: str, j: int) -> str:
     """,
     doc=f"EXT Bloom-filter semi-join reduction: the selective dim side "
     f"(orders above {BLOOM_DIM_PRED}) folds its keys into an m={BLOOM_M}, "
-    f"k={BLOOM_K} md5-derived Bloom filter (a few KB) that broadcasts to the "
-    "fact scan and drops non-matching rows BEFORE any shuffle — the "
-    "runtime-filter technique Spark applies automatically when stats allow "
-    "(spark.sql.optimizer.runtime.bloomFilter), made explicit and portable. "
-    "Output compares bloom-passing vs true-matching rows per returnflag, so "
-    "the false-positive rate is part of the contract (identical in both "
+    f"k={BLOOM_K} md5-derived Bloom filter packed into {BLOOM_WORDS} bitmap "
+    "longs (~8 KB) that broadcast to the fact scan and drop non-matching "
+    "rows BEFORE any shuffle — the runtime-filter technique Spark applies "
+    "automatically when stats allow (spark.sql.optimizer.runtime."
+    "bloomFilter), made explicit and portable. Probes are O(1): element_at "
+    "into the packed array + a bit mask (never array_contains over a "
+    "position list — that is a linear scan per row). Output compares "
+    "bloom-passing vs true-matching rows per returnflag, so the "
+    "false-positive rate is part of the contract (identical in both "
     "engines: same hashes, same bits).",
 )
 def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     dim = o.filter(F.col("o_totalprice") > BLOOM_DIM_PRED).select("o_orderkey")
-    bloom = dim.select(
+    pos = dim.select(
         F.explode(
             F.array(*[_bloom_pos(F.col("o_orderkey"), j) for j in range(BLOOM_K)])
-        ).alias("bit")
-    ).agg(F.array_sort(F.collect_set("bit")).alias("bits"))
+        ).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 63).cast("int").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), p % 63)")).alias("v")
+    )
+    # dense 1024-long bitmap: map lookups happen ONCE here (1024 of them),
+    # the per-row probe below is O(1) element_at + mask
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "v"))).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+            lambda w: F.coalesce(F.element_at(F.col("wm"), w), F.lit(0).cast("bigint")),
+        ).alias("bits")
+    )
 
     l = spread(load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_orderkey"))
-    probe = l.crossJoin(F.broadcast(bloom)).select(
-        "l_returnflag",
-        "l_orderkey",
-        # explicit conjunction (not a higher-order reduce): stays in codegen
-        _and_all(
-            *[
-                F.array_contains(F.col("bits"), _bloom_pos(F.col("l_orderkey"), j))
-                for j in range(BLOOM_K)
-            ]
-        ).alias("bloom_pass"),
+    probe = (
+        l.crossJoin(F.broadcast(bloom))
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "bits",
+            *[_bloom_pos(F.col("l_orderkey"), j).alias(f"p{j}") for j in range(BLOOM_K)],
+        )
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            # O(1) probe: packed-word lookup + bit mask, all in codegen
+            _and_all(
+                *[
+                    F.expr(
+                        f"(element_at(bits, CAST(p{j} / 63 AS INT) + 1)"
+                        f" & shiftleft(CAST(1 AS BIGINT), p{j} % 63)) != 0"
+                    )
+                    for j in range(BLOOM_K)
+                ]
+            ).alias("bloom_pass"),
+        )
     )
     joined = probe.join(
         dim.withColumnRenamed("o_orderkey", "d_key"),

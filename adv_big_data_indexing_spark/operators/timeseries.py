@@ -402,3 +402,85 @@ def ts_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("version"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "ts_hypertable_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS d,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, y, m, d), (event_type, y, m),
+                            (event_type, y), (event_type))
+    """,
+    doc="EXT hypertable rollup: the continuous-aggregate pattern — event "
+    "counts and exact value sums at day, month, year and grand-total "
+    "grain in one pass (GROUP BY ROLLUP over the calendar hierarchy x "
+    "event_type). Spark expands the rollup map-side and partial-aggregates "
+    "before the shuffle, so only grouped state crosses the network; at "
+    "100 TB this materializes as the day-grain table plus reductions of "
+    "it, maintained incrementally by the streaming twin "
+    "(streaming/events.py windows).",
+)
+def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        "value",
+    )
+    e.createOrReplaceTempView("__events_hypertable")
+    return spark.sql(
+        """
+        SELECT event_type, y, m, d,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM __events_hypertable
+        GROUP BY GROUPING SETS ((event_type, y, m, d), (event_type, y, m),
+                                (event_type, y), (event_type))
+        """
+    )
+
+
+@query(
+    "ts_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+      FROM events
+    ),
+    t AS (
+      SELECT from_state, to_state, count(*) AS n
+      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_state) AS p
+    FROM t
+    """,
+    doc="EXT behavioral sequence analytics: first-order Markov transition "
+    "matrix over each user's event stream — lead() per user (one shuffle, "
+    "deterministic event_id tie-break), count per (from, to), probability "
+    "normalized per from-state. The window sum is over BIGINTs so the "
+    "single closing division is correctly rounded in both engines.",
+)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    t = seq.groupBy("from_state", "to_state").agg(F.count("*").alias("n"))
+    total = Window.partitionBy("from_state")
+    return t.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(total)).alias("p"),
+    )

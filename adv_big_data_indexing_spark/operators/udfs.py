@@ -204,7 +204,11 @@ def ext_approx_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("l_returnflag", "key", _HLL_ESTIMATE)
 
 
-PCT_ACCURACY = 10_000_000  # sketch is EXACT below this many rows per group
+# Sketch is EXACT below this many rows per group (sf0.01 gate: ~20k/group,
+# 5x margin). Oversizing the knob (e.g. 10M) makes the sketch buffer the
+# whole group — 4x slower and memory-heavy at sweep time for zero accuracy
+# gain at the gate scale.
+PCT_ACCURACY = 100_000
 
 
 @query(

@@ -1363,3 +1363,188 @@ def ext_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "ext_table_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 97 <> 0
+    ),
+    snap_b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN CAST(round(o_totalprice * 100) + 100 AS DOUBLE) / 100
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 89 <> 0
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           count(*) AS n_rows
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus <> b.o_orderstatus
+       OR a.o_totalprice <> b.o_totalprice
+    GROUP BY 1
+    """,
+    doc="EXT snapshot reconciliation (table diff): two snapshots of the "
+    "orders table (deterministically perturbed: keys %97 missing from A, "
+    "%89 missing from B, %100 repriced by one cent) full-outer-join on "
+    "the key; rows classify as added/removed/changed. The anti-entropy "
+    "primitive behind CDC validation and replica repair — at 100 TB both "
+    "sides hash-partition on the key once, and unchanged rows (the vast "
+    "majority) drop before the aggregate, so output is proportional to "
+    "the drift, not the table. The cent perturbation is exact integer "
+    "arithmetic, so 'changed' detection is bit-deterministic.",
+)
+def ext_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_a = o.filter(F.col("o_orderkey") % 97 != 0)
+    snap_b = o.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            (cents("o_totalprice") + 100).cast("double") / 100,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    a = snap_a.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderstatus").alias("st_a"),
+        F.col("o_totalprice").alias("pr_a"),
+    )
+    b = snap_b.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderstatus").alias("st_b"),
+        F.col("o_totalprice").alias("pr_b"),
+    )
+    j = a.join(b, a.key_a == b.key_b, "full_outer").filter(
+        F.col("key_a").isNull()
+        | F.col("key_b").isNull()
+        | (F.col("st_a") != F.col("st_b"))
+        | (F.col("pr_a") != F.col("pr_b"))
+    )
+    return (
+        j.select(
+            F.when(F.col("key_a").isNull(), F.lit("added"))
+            .when(F.col("key_b").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "ext_tpch_q3_shape",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+             AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="EXT TPC-H Q3 shape (shipping priority): segment-filtered customers "
+    "broadcast into orders, date-filtered both sides at the scan "
+    "(PushedFilters), exact integer-cents revenue, global top-10 via "
+    "TakeOrderedAndProject — no full sort ever materializes. The classic "
+    "join+agg+topk composition a reference user runs daily.",
+)
+def ext_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue_units = F.sum(
+        cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((revenue_units.cast("double") / 10000).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "ext_tpch_q18_shape",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 12000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="EXT TPC-H Q18 shape (large-volume orders): the HAVING-subquery "
+    "semi-join — per-order quantity sums (map-side combined) filter to "
+    "big orders, which then drive the customer/lineitem re-join; exact "
+    "integer-cents quantities; top-100 via TakeOrderedAndProject. At "
+    "scale the `big` aggregate shuffles once on l_orderkey and the "
+    "re-join reuses that partitioning.",
+)
+def ext_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("q_units"))
+        .filter(F.col("q_units") > 12000)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l.withColumnRenamed("l_orderkey", "lk"), F.col("o_orderkey") == F.col("lk"))
+    )
+    return (
+        j.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg((F.sum(cents("l_quantity")).cast("double") / 100).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

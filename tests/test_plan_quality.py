@@ -92,3 +92,29 @@ def test_minhash_is_single_pipeline(spark):
     # self-join would re-execute the whole signature build per side)
     assert p.count("Scan parquet") == 1
     assert "Join" not in p
+
+
+def test_q3_topk_and_pushdown(spark):
+    p = plan_of(spark, "ext_tpch_q3_shape")
+    # top-10 never materializes a global sort, both dims broadcast, and
+    # every filter reaches its parquet scan
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") == 2
+    assert "GreaterThan(l_shipdate" in p
+    assert "LessThan(o_orderdate" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_bloom_probe_is_bitmap_not_linear_scan(spark):
+    p = plan_of(spark, "ext_bloom_semijoin")
+    # the probe must be O(1) element_at + mask, never a per-row linear
+    # array_contains over the position list
+    assert "array_contains" not in p
+    assert "GreaterThan(o_totalprice,450000.0)" in p
+
+
+def test_fuzzy_join_blocks_on_equi_keys(spark):
+    p = plan_of(spark, "ext_fuzzy_join_levenshtein")
+    # blocking keys make it an equi-join: no cartesian / nested-loop
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -345,3 +345,61 @@ def pack_documents(
 )
 def ns_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ext_winsorized_stats",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT l_returnflag,
+             quantile_disc(pc, 0.05) AS lo,
+             quantile_disc(pc, 0.95) AS hi
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           count(*) AS n,
+           CAST(b.lo AS DOUBLE) / 100 AS p05,
+           CAST(b.hi AS DOUBLE) / 100 AS p95,
+           CAST(sum(least(greatest(c.pc, b.lo), b.hi)) AS DOUBLE) / 100 / count(*)
+             AS winsorized_mean
+    FROM c JOIN bounds b ON c.l_returnflag = b.l_returnflag
+    GROUP BY c.l_returnflag, b.lo, b.hi
+    """,
+    doc="EXT winsorized robust mean per group: discrete p5/p95 bounds "
+    "(quantile_disc = an actual data value, so bounds are integer cents "
+    "and the clamped sum stays exact BIGINT — interpolated bounds would "
+    "poison the sum with order-dependent doubles). Spark computes the "
+    "bounds with the GK sketch at gate-exact accuracy, broadcasts the "
+    "per-group bounds back, and clamps inline in the scan projection. "
+    "The outlier-robust aggregation every feature pipeline needs before "
+    "normalizing skewed monetary columns.",
+)
+def ext_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.functions.exact import cents
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", cents("l_extendedprice").alias("pc")
+    )
+    bounds = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("pc", 0.05, PCT_ACCURACY).alias("lo"),
+        F.percentile_approx("pc", 0.95, PCT_ACCURACY).alias("hi"),
+    )
+    j = l.join(F.broadcast(bounds), "l_returnflag")
+    return (
+        j.groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.least(F.greatest(F.col("pc"), F.col("lo")), F.col("hi"))).alias("s"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (F.col("lo").cast("double") / 100).alias("p05"),
+            (F.col("hi").cast("double") / 100).alias("p95"),
+            ((F.col("s").cast("double") / 100) / F.col("n")).alias("winsorized_mean"),
+        )
+    )

@@ -86,3 +86,14 @@ def compact(df: DataFrame, path: str, n_files: int) -> None:
     after skewed/streaming writes.
     """
     df.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC egress — the other columnar interchange format Spark reads
+    natively (vectorized, predicate pushdown, column pruning, same as
+    parquet)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -159,3 +159,77 @@ def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
         )
     )
     return events.join(dim, "user_id", "left")
+
+
+def run_streaming_cms(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    d: int = 4,
+    w: int = 32,
+) -> "StreamingQuery":
+    """Streaming count-min sketch maintenance: each micro-batch folds its
+    token... event_type occurrences into the d×w counter matrix with an
+    ADDITIVE merge into a parquet state table.
+
+    Additive merges are NOT naturally idempotent (a replayed batch would
+    double-count), so the state table carries the last applied batch_id
+    and `foreachBatch` skips batches it has already applied — the
+    standard exactly-once recipe for non-idempotent sinks (the max-seq
+    MERGE in cdc.py is the idempotent-sink alternative). The sketch
+    state is a constant d×w longs however long the stream runs, and the
+    per-batch update is one map-side-combined aggregate of the batch —
+    this is how a 100 TB/day pipeline keeps live frequency estimates
+    without ever re-scanning history.
+    """
+    from pyspark.sql import functions as F
+
+    from adv_big_data_indexing_spark.operators.sketches import _cms_bucket
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        import os
+
+        applied = -1
+        if os.path.exists(state_dir):
+            prev = spark.read.parquet(state_dir)
+            applied = prev.agg(F.max("batch_id")).collect()[0][0]
+        if batch_id <= applied:
+            return  # replay of an already-applied batch: skip (exactly-once)
+        delta = (
+            batch.select(
+                F.posexplode(
+                    F.array(*[_cms_bucket(F.col("event_type"), i) for i in range(d)])
+                ).alias("ri", "b")
+            )
+            .groupBy("ri", "b")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        if os.path.exists(state_dir):
+            prev = spark.read.parquet(state_dir).drop("batch_id")
+            merged = (
+                prev.withColumnRenamed("cnt", "prev_cnt")
+                .join(delta.withColumnRenamed("cnt", "delta_cnt"), ["ri", "b"], "full_outer")
+                .select(
+                    "ri",
+                    "b",
+                    (
+                        F.coalesce(F.col("prev_cnt"), F.lit(0))
+                        + F.coalesce(F.col("delta_cnt"), F.lit(0))
+                    ).alias("cnt"),
+                )
+            )
+        else:
+            merged = delta
+        out = merged.withColumn("batch_id", F.lit(batch_id))
+        tmp = state_dir + ".tmp"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

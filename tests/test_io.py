@@ -70,3 +70,28 @@ def test_compact_restores_scan_parallelism(spark, tmp_path):
     a = sorted(map(tuple, l.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_orc_roundtrip_matches_parquet(spark, tmp_path):
+    """ORC write/read preserves rows and schema; the same frame written
+    as parquet and ORC reads back identically (format-agnostic engine)."""
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+    from adv_big_data_indexing_spark.sources.io import read_orc, write_orc
+    from tests.conftest import SF_CORRECTNESS
+
+    src = load_table(spark, SF_CORRECTNESS, "nation")
+    p = str(tmp_path / "nation_orc")
+    write_orc(src, p)
+    back = read_orc(spark, p)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    # predicate pushdown reaches the ORC scan too
+    plan = (
+        read_orc(spark, p)
+        .filter("n_nationkey = 3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan

@@ -289,3 +289,51 @@ def test_stream_static_enrichment(spark, event_stream_dir):
     for r in batch_df.collect():
         expected = {0: "BUILDING", 1: "MACHINERY", 2: None}[r.user_id]
         assert seg[r.event_id] == expected
+
+
+def test_streaming_cms_equals_batch_and_skips_replay(spark, tmp_path):
+    """The streaming CMS state after draining the source equals the batch
+    CMS of the same data, and re-applying an already-applied batch_id is
+    a no-op (exactly-once for an additive, non-idempotent merge)."""
+    from adv_big_data_indexing_spark.operators.sketches import _cms_bucket
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "cms_state")
+    ck = str(tmp_path / "ck")
+    batch_df = spark.createDataFrame(
+        [(i, ["click", "view", "error"][i % 3]) for i in range(300)],
+        "event_id long, event_type string",
+    )
+    batch_df.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = ev.run_streaming_cms(stream, state, ck)
+    q.awaitTermination(120)
+
+    got = {
+        (r.ri, r.b): r.cnt for r in spark.read.parquet(state).collect()
+    }
+    expect = {
+        (r.ri, r.b): r.cnt
+        for r in (
+            batch_df.select(
+                F.posexplode(
+                    F.array(*[_cms_bucket(F.col("event_type"), i) for i in range(4)])
+                ).alias("ri", "b")
+            )
+            .groupBy("ri", "b")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        ).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == 300 * 4
+
+    # simulate an at-least-once redelivery of batch 0: state must not change
+    from adv_big_data_indexing_spark.streaming.events import run_streaming_cms  # noqa: F401
+
+    applied = spark.read.parquet(state).collect()
+    stream2 = spark.readStream.schema(batch_df.schema).parquet(src)
+    q2 = ev.run_streaming_cms(stream2, state, ck)  # same checkpoint: no new data
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == sorted(
+        map(tuple, applied)
+    )

@@ -360,3 +360,51 @@ def ns_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum("v").cast("double") / F.lit(1000000.0) / F.count("*")).alias("centroid"),
     )
+
+
+@query(
+    "ns_embed_dim_stats",
+    oracle=f"""
+    WITH qv AS (SELECT {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings),
+    ex AS (
+      SELECT i - 1 AS dim, q[i] AS v
+      FROM qv CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i)
+    )
+    SELECT dim,
+           count(*) AS n,
+           CAST(sum(v) AS DOUBLE) / count(*) / 1000000 AS mean,
+           (CAST(sum(v * v) AS DOUBLE) / count(*)
+            - (CAST(sum(v) AS DOUBLE) / count(*)) * (CAST(sum(v) AS DOUBLE) / count(*)))
+             / 1000000 / 1000000 AS variance
+    FROM ex GROUP BY dim
+    """,
+    doc="NS per-dimension embedding statistics (the normalization table a "
+    "feature pipeline computes before whitening/clipping): exact integer "
+    "sums of quantized values per dimension, mean and population variance "
+    "assembled with a fixed double op order — bit-identical cross-engine. "
+    "One posexplode (n*d small rows) + one map-side-combined aggregate; "
+    "at 100 TB this is the same shape as the centroid build, and the "
+    "per-dimension state is just (n, sum, sum_sq).",
+)
+def ns_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
+        quantize_vec(F.col("embedding")).alias("q")
+    )
+    ex = e.select(F.posexplode("q").alias("dim", "v"))
+    g = ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("sq"),
+    )
+    mean_units = F.col("s").cast("double") / F.col("n")
+    return g.select(
+        "dim",
+        "n",
+        (mean_units / 1_000_000).alias("mean"),
+        (
+            (F.col("sq").cast("double") / F.col("n") - mean_units * mean_units)
+            / 1_000_000
+            / 1_000_000
+        ).alias("variance"),
+    )

@@ -403,3 +403,67 @@ def ext_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("s").cast("double") / 100) / F.col("n")).alias("winsorized_mean"),
         )
     )
+
+
+@query(
+    "ext_mad_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      FROM lineitem
+    ),
+    med AS (
+      SELECT l_returnflag, quantile_disc(pc, 0.5) AS med FROM c GROUP BY 1
+    ),
+    mad AS (
+      SELECT c.l_returnflag, m.med, quantile_disc(abs(c.pc - m.med), 0.5) AS mad
+      FROM c JOIN med m USING (l_returnflag) GROUP BY 1, 2
+    )
+    SELECT c.l_returnflag,
+           CAST(x.med AS DOUBLE) / 100 AS median,
+           CAST(x.mad AS DOUBLE) / 100 AS mad,
+           count(*) FILTER (WHERE abs(c.pc - x.med) > 3 * x.mad) AS n_outliers,
+           count(*) AS n
+    FROM c JOIN mad x USING (l_returnflag)
+    GROUP BY c.l_returnflag, x.med, x.mad
+    """,
+    doc="EXT robust outlier detection: median + MAD (median absolute "
+    "deviation) per group, flagging |x - med| > 3*MAD. Everything stays "
+    "integer cents (discrete quantiles are data values), so the whole "
+    "chain is bit-deterministic — no sigma-based rule's float variance. "
+    "MAD inherently needs a second quantile over deviations, so the plan "
+    "re-reads the source once per stage; at 100 TB cache the projected "
+    "cents column or compute both quantiles from one sorted shuffle.",
+)
+def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.functions.exact import cents
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", cents("l_extendedprice").alias("pc")
+    )
+    med = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("pc", 0.5, PCT_ACCURACY).alias("med")
+    )
+    with_med = l.join(F.broadcast(med), "l_returnflag")
+    mad = with_med.groupBy("l_returnflag", "med").agg(
+        F.percentile_approx(F.abs(F.col("pc") - F.col("med")), 0.5, PCT_ACCURACY).alias(
+            "mad"
+        )
+    )
+    j = l.join(F.broadcast(mad), "l_returnflag")
+    return (
+        j.groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count_if(F.abs(F.col("pc") - F.col("med")) > 3 * F.col("mad")).alias(
+                "n_outliers"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            (F.col("med").cast("double") / 100).alias("median"),
+            (F.col("mad").cast("double") / 100).alias("mad"),
+            "n_outliers",
+            "n",
+        )
+    )

@@ -538,3 +538,56 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t").alias("at_ts"),
         )
     )
+
+
+@query(
+    "ts_point_in_time_join",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id,
+             CAST(value AS DOUBLE) AS value,
+             ts AS effective_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           h.value AS asof_value, h.version AS asof_version
+    FROM events c
+    LEFT JOIN hist h
+      ON c.user_id = h.user_id
+     AND c.ts >= h.effective_from
+     AND (h.effective_to IS NULL OR c.ts < h.effective_to)
+    WHERE c.event_type = 'click'
+    """,
+    doc="EXT point-in-time (temporal) join — the feature-store lookup: "
+    "each click event reads the purchase-derived SCD2 version valid AT "
+    "its timestamp (no leakage from the future, no stale reads from "
+    "before). Spark-first: because validity intervals partition each "
+    "user's timeline, interval containment reduces to an as-of match on "
+    "effective_from — the union + single-window-pass composition "
+    "(operators/advanced.asof_join), one shuffle on user_id, never the "
+    "O(n*m) inequality-join nested loop the naive BETWEEN join plans "
+    "into. The oracle verifies with the explicit interval join.",
+)
+def ts_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.operators.advanced import asof_join
+
+    hist = ts_scd2_history(spark, sf_dir)
+    versions = hist.select("user_id", F.col("effective_from").alias("vts"), "value", "version")
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    out = asof_join(
+        clicks, versions, on="user_id", left_ts="ts", right_ts="vts",
+        right_cols=["value", "version"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_value"),
+        F.col("asof_version"),
+    )

@@ -591,3 +591,69 @@ def ts_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_value"),
         F.col("asof_version"),
     )
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             ts AS f,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    closed AS (
+      SELECT user_id, vc,
+             (epoch_us(t) - epoch_us(f)) // 1000000 AS dur_s
+      FROM hist WHERE t IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(dur_s) AS BIGINT) AS total_s,
+           CAST(sum(vc * dur_s) AS DOUBLE) / sum(dur_s) / 100 AS twa_value
+    FROM closed
+    GROUP BY user_id
+    HAVING sum(dur_s) > 0
+    """,
+    doc="EXT time-weighted average over SCD2 validity intervals: each "
+    "closed purchase-value version weighs by its duration — the correct "
+    "mean for irregularly-sampled state (a plain avg over-weights "
+    "rapid-fire updates). All-integer weights (cents x whole seconds, "
+    "products < 2^63 by construction), one double division at the end. "
+    "One shuffle on user_id for the window, the aggregate is map-side "
+    "combined.",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.functions.exact import cents
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = e.select(
+        "user_id",
+        cents("value").alias("vc"),
+        F.col("ts").alias("f"),
+        F.lead("ts").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    # integer DIV, not double `/` + cast: the double quotient of a large
+    # microsecond diff can round across an integer boundary
+    closed = hist.select(
+        "user_id",
+        "vc",
+        (epoch_us("t") - epoch_us("f")).alias("dur_us"),
+    ).select("user_id", "vc", F.expr("dur_us DIV 1000000").alias("dur_s"))
+    return (
+        closed.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_s").alias("total_s"),
+            F.sum(F.col("vc") * F.col("dur_s")).alias("wsum"),
+        )
+        .filter(F.col("total_s") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_s",
+            (F.col("wsum").cast("double") / F.col("total_s") / 100).alias("twa_value"),
+        )
+    )

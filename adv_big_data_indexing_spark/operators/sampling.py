@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
-from adv_big_data_indexing_spark.functions.text import DUCK_HEX_NIBBLE, hex_nibble
+from adv_big_data_indexing_spark.functions.text import DUCK_BASE48, DUCK_HEX_NIBBLE, hex_nibble
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
 #: split thresholds on the 0..255 bucket: ~90% train, ~5% eval, ~5% holdout
@@ -118,4 +118,45 @@ def ns_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_sample(d)
         .groupBy("lang")
         .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
+
+
+# --- Weighted (Poisson) sampling ------------------------------------------
+
+#: inclusion probability = n_chars / W_SCALE (docs at/above W_SCALE chars
+#: are always kept) — longer documents sampled proportionally more often.
+W_SCALE = 4000
+
+
+@query(
+    "ns_weighted_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             {DUCK_BASE48.format(sh="'wsamp:' || CAST(doc_id AS VARCHAR)")} AS u48
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM h
+    WHERE u48 * {W_SCALE} < n_chars * {1 << 48}
+    """,
+    doc="NS deterministic weighted (Poisson) sampling: each document is "
+    f"kept with probability n_chars/{W_SCALE} — inclusion proportional to "
+    "length — decided by comparing a 48-bit md5 hash of the doc id "
+    "against the weight, ALL IN EXACT INTEGERS (u48*W < w*2^48, bounded "
+    "well under 2^63), so the sample is identical in any engine and on "
+    "any rerun. The weighted complement to the uniform split and the "
+    "per-stratum gate: quality- or length-aware corpus downsampling "
+    "where the gate is a pushdown-able scan predicate — no shuffle, no "
+    "state, no RNG.",
+)
+def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.functions.text import base_hash48
+
+    d = load_table(spark, sf_dir, "documents")
+    u48 = base_hash48(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+    return (
+        d.withColumn("u48", u48)
+        .filter(F.col("u48") * W_SCALE < F.col("n_chars") * F.lit(1 << 48))
+        .select("doc_id", "lang", "n_chars")
     )

@@ -696,3 +696,30 @@ def ext_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
     )
+
+
+@query(
+    "ext_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT c_custkey,
+             unnest(['acctbal', 'nationkey']) AS metric,
+             unnest([c_acctbal, CAST(c_nationkey AS DOUBLE)]) AS val
+      FROM customer
+    )
+    WHERE c_custkey < 100
+    """,
+    doc="EXT unpivot (melt) — wide→long reshape, the inverse of ext_pivot: "
+    "each customer row becomes one row per metric via stack(), a "
+    "Generate with no shuffle at all (and the key filter still pushes "
+    "below it to the scan). The reshape feeding any metric-as-rows "
+    "analytics store.",
+)
+def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.selectExpr(
+        "c_custkey",
+        "stack(2, 'acctbal', c_acctbal,"
+        " 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)",
+    )

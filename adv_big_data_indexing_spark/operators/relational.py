@@ -1548,3 +1548,38 @@ def ext_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "ext_join_size_estimate",
+    oracle="""
+    WITH a AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+    b AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1)
+    SELECT CAST(sum(ca * cb) AS BIGINT) AS join_rows,
+           CAST(count(*) AS BIGINT) AS matching_keys,
+           CAST(max(ca * cb) AS BIGINT) AS max_key_fanout
+    FROM a JOIN b USING (k)
+    """,
+    doc="EXT join-size profiling: |A join B| computed from per-key "
+    "multiplicity histograms (sum of count products) WITHOUT executing "
+    "the join — plus the hottest key's fan-out, the number a planner "
+    "(or an engineer sizing a shuffle) actually needs before running a "
+    "100 TB join. Two map-side-combined aggregates and a join over "
+    "distinct keys: cost is O(distinct keys), not O(output rows).",
+)
+def ext_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count("*").alias("ca"))
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count("*").alias("cb"))
+    )
+    return a.join(b, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("join_rows"),
+        F.count("*").alias("matching_keys"),
+        F.max(F.col("ca") * F.col("cb")).alias("max_key_fanout"),
+    )

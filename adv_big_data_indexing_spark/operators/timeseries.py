@@ -657,3 +657,46 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wsum").cast("double") / F.col("total_s") / 100).alias("twa_value"),
         )
     )
+
+
+@query(
+    "ts_period_over_period",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+             CAST(month(o_orderdate) AS INTEGER) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT y, m,
+           CAST(rev_c AS DOUBLE) / 100 AS revenue,
+           CAST(lag(rev_c) OVER w AS DOUBLE) / 100 AS prev_revenue,
+           CAST(rev_c - lag(rev_c) OVER w AS DOUBLE)
+             / CAST(lag(rev_c) OVER w AS DOUBLE) AS pct_change
+    FROM monthly
+    WINDOW w AS (ORDER BY y, m)
+    """,
+    doc="EXT period-over-period reporting: monthly revenue (exact integer "
+    "cents) with previous-period value and growth rate via lag() over the "
+    "aggregated series. The window runs over the TINY aggregate (one row "
+    "per month), so the single-partition sort it needs is trivially safe "
+    "at any source scale; the division of two exact cents values is one "
+    "correctly-rounded double op.",
+)
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.functions.exact import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    ).agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    w = Window.orderBy("y", "m")
+    prev = F.lag("rev_c").over(w)
+    return monthly.select(
+        "y",
+        "m",
+        (F.col("rev_c").cast("double") / 100).alias("revenue"),
+        (prev.cast("double") / 100).alias("prev_revenue"),
+        ((F.col("rev_c") - prev).cast("double") / prev.cast("double")).alias("pct_change"),
+    )

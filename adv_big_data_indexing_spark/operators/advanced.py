@@ -204,11 +204,12 @@ _PRIORITY_ALIAS = {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
     "ext_pivot",
     oracle="""
     SELECT o_orderstatus,
-           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS urgent,
-           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high,
-           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS medium,
-           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS notspec,
-           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS low
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT)
+               AS notspec,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
     FROM orders GROUP BY o_orderstatus
     """,
     doc="EXT pivot: order counts status × priority. Explicit pivot values → "
@@ -410,13 +411,17 @@ def ext_scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_partkey,
            CAST(len(name_toks) AS INTEGER) AS n_toks,
-           list_sort(list_distinct(name_toks)) AS toks_sorted,
-           list_sort(list_intersect(name_toks, ['red', 'blue', 'small'])) AS color_hits,
+           array_to_string(list_sort(list_distinct(name_toks)), '|') AS toks_sorted,
+           coalesce(
+               array_to_string(list_sort(list_intersect(name_toks, ['red', 'blue', 'small'])), '|'),
+               '') AS color_hits,
            array_to_string(list_sort(name_toks || ['zz']), '|') AS joined
     FROM t
     """,
     doc="EXT array function coverage: split, distinct, sort, intersect, "
-    "concat, join — per-row array algebra entirely in codegen.",
+    "concat, join — per-row array algebra entirely in codegen. Array results "
+    "are serialized with '|' joins so the driver's pandas canonicalizer (which "
+    "cannot hash list cells) sees scalar columns on both engines.",
 )
 def ext_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
@@ -424,9 +429,12 @@ def ext_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.size(toks).alias("n_toks"),
-        F.array_sort(F.array_distinct(toks)).alias("toks_sorted"),
-        F.array_sort(
-            F.array_intersect(toks, F.array(F.lit("red"), F.lit("blue"), F.lit("small")))
+        F.array_join(F.array_sort(F.array_distinct(toks)), "|").alias("toks_sorted"),
+        F.array_join(
+            F.array_sort(
+                F.array_intersect(toks, F.array(F.lit("red"), F.lit("blue"), F.lit("small")))
+            ),
+            "|",
         ).alias("color_hits"),
         F.array_join(F.array_sort(F.concat(toks, F.array(F.lit("zz")))), "|").alias("joined"),
     )

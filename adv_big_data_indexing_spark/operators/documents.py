@@ -195,10 +195,52 @@ def doc_parents_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_etag_pipeline",
-    oracle=None,  # md5 over Spark's nested-JSON serialization — engine-specific
-    doc="OP-F2/G5 full pipeline (rows-only): synthesize → shred → reconstruct "
-    "→ content-addressed ETag per document; distinctness and determinism are "
-    "asserted in tests/test_document_pipeline.py.",
+    # The ETag is md5 over the canonical JSON of the reconstructed document.
+    # That serialization is fully specified (field order fixed by the
+    # reconstructor, children sorted by objectId, shortest-round-trip double
+    # rendering), so DuckDB can rebuild the byte-identical JSON string with
+    # string concatenation + string_agg and recompute the same md5 — a true
+    # cross-engine oracle, not a golden pin.
+    oracle=f"""
+    WITH lps AS (
+      SELECT o_custkey,
+             concat('ps', o_orderkey) AS ps_id,
+             concat(
+               '{{"objectId":"ps', o_orderkey, '",',
+               '"linkedService":{{"_org":"example.com","objectId":"svc', o_orderkey,
+               '","objectType":"service","name":"', o_orderpriority, '"}},',
+               '"planserviceCostShares":{{"objectId":"pscs', o_orderkey,
+               '","deductible":10.0,"_org":"example.com","copay":',
+               CAST(o_totalprice AS VARCHAR),
+               ',"objectType":"membercostshare"}},',
+               '"_org":"example.com","objectType":"planservice"}}'
+             ) AS j
+      FROM orders WHERE o_custkey < {PLAN_CUST_LIMIT}
+    ),
+    agg AS (
+      SELECT o_custkey, string_agg(j, ',' ORDER BY ps_id) AS items
+      FROM lps GROUP BY o_custkey
+    )
+    SELECT concat('plan_p', c.c_custkey) AS id,
+           md5(concat(
+             '{{"objectId":"p', c.c_custkey,
+             '","objectType":"plan","_org":"example.com","planType":"', c.c_mktsegment,
+             '","creationDate":"01-01-2024",',
+             '"planCostShares":{{"objectId":"cs', c.c_custkey,
+             '","deductible":0.0,"_org":"example.com","copay":',
+             CAST(c.c_acctbal AS VARCHAR),
+             ',"objectType":"membercostshare"}},',
+             '"linkedPlanServices":[', coalesce(a.items, ''), ']}}'
+           )) AS etag
+    FROM customer c LEFT JOIN agg a ON a.o_custkey = c.c_custkey
+    WHERE c.c_custkey < {PLAN_CUST_LIMIT}
+    """,
+    doc="OP-F2/G5 full pipeline, oracle-checked: synthesize → shred → "
+    "reconstruct → content-addressed ETag per document (generateEtag, "
+    "jwtAuth.ts:71-73). The oracle rebuilds the canonical JSON byte-for-byte "
+    "in DuckDB and recomputes md5, proving the serialization is deterministic "
+    "and engine-independent; distinctness/determinism also asserted in "
+    "tests/test_document_pipeline.py.",
 )
 def doc_etag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adv_big_data_indexing_spark.operators.reconstruct import reconstruct, with_etag

@@ -35,15 +35,21 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the Spark vectorized
-        # reader rejects outright. Read nanos as long and truncate to micros
-        # (integer DIV — exact; matches DuckDB's ns→us truncation). NTZ keeps
-        # wall-clock semantics independent of session timezone.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which the
+        # Spark vectorized reader rejects, so it must be read as long and
+        # truncated — integer DIV, exact, matching DuckDB's ns→us truncation)
+        # and plain TIMESTAMP(MICROS). Normalize either to TIMESTAMP_NTZ so
+        # event-time semantics are independent of the session timezone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            ts_expr = "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"
+        else:
+            ts_expr = "CAST(ts AS TIMESTAMP_NTZ)"
+        return df.withColumn("ts", F.expr(ts_expr)).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(path)
 
 

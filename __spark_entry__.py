@@ -55,74 +55,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the first 50 queries() keys in alphabetical order per
-# round (CORRECTNESS_r01 stopped at `ext_topk_orderby`, leaving every op_*,
-# ns_* and ts_* query driver-unverified). Per the round-1 verdict's own
-# suggestion, an alias layer rotates which registry slice sorts into that
-# window each round: the names below are exported as `a_<name>` so they sort
-# first; everything else keeps its registry name. Round 2 window = the whole
-# SURVEY §2 core (op_*), the three rows fixed/oracled since r1
-# (doc_etag_pipeline, ext_pivot, ext_array_ops), and the flagship
-# north-star queries. Registry names themselves are unchanged —
-# COVERAGE.md lockstep and tests use the canonical names.
-_DRIVER_WINDOW_R2 = (
-    # red/no-oracle rows fixed since round 1 — need fresh driver rows
-    "doc_etag_pipeline",
-    "ext_pivot",
-    "ext_array_ops",
-    # SURVEY §2 core — the round bar is a green row per OP-ID
-    "op_a10_predicate_delete",
-    "op_a1_point_lookup",
-    "op_a2_existence_probe",
-    "op_a3_point_lookup_hash",
-    "op_a5_full_scan_limit",
-    "op_a6_upsert",
-    "op_a7_guarded_insert",
-    "op_a9_keyed_delete",
-    "op_b1_conjunctive_filter",
-    "op_b2_filter_by_id",
-    "op_b3_filter_by_routing",
-    "op_b4_range_predicate",
-    "op_b5_projection",
-    "op_b6_prefix_scan",
-    "op_c1_reconstruct_flat",
-    "op_c1_reconstruct_nested",
-    "op_c2_has_child_eq",
-    "op_c3_has_child_range",
-    "op_c4_has_parent",
-    "op_c5_edges",
-    "op_d1_hit_count",
-    "op_f1_key_synthesis",
-    "op_f2_content_hash",
-    "op_f3_date_validation",
-    "op_g2_merge_patch",
-    "op_g4_cascade_closure",
-    # north-star flagships (dedup / ANN / text / curation / sampling)
-    "ns_ann_ivf",
-    "ns_ann_lsh_bucketed",
-    "ns_ann_lsh_recall",
-    "ns_ann_topk_bruteforce",
+# round. An alias layer rotates which registry slice sorts into that window
+# each round: the names below are exported as `a_<name>` so they sort first;
+# everything else keeps its registry name. Registry names themselves are
+# unchanged — COVERAGE.md lockstep and tests use the canonical names.
+#
+# Round 3 window = every query without a green driver row yet (r1 covered
+# doc_*..ext_topk_orderby alphabetically; r2 covered the §2 core + flagship
+# north-star set via aliases), the two rows red in r2 and fixed since
+# (ns_corpus_curation HUGEINT-sum oracle typing, op_c1_reconstruct_nested
+# array-cell canon crash), and the queries new this round.
+_DRIVER_WINDOW_R3 = (
+    # red in CORRECTNESS_r02, fixed this round — need fresh driver rows
     "ns_corpus_curation",
-    "ns_decontaminate",
-    "ns_dedup_components",
-    "ns_dedup_embedding_cosine",
-    "ns_dedup_exact",
-    "ns_dedup_incremental",
-    "ns_dedup_minhash_lsh",
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_simhash",
-    "ns_sketch_cms_heavy_hitters",
-    "ns_split_train_eval",
-    "ns_stratified_sample",
-    "ns_text_fingerprint",
-    "ns_text_langid",
-    "ns_text_quality",
-    "ns_text_token_stats",
-    "ns_weighted_sample",
+    "op_c1_reconstruct_nested",
+    # new this round
+    "ns_ann_lsh_recall",
+    # remaining ext_* (r1's 50-row window stopped at ext_topk_orderby)
+    "ext_approx_distinct",
+    "ext_tpch_q18_shape",
+    "ext_tpch_q3_shape",
+    "ext_triangle_count",
+    "ext_union_by_name",
+    "ext_unpivot",
+    "ext_window_distribution",
+    "ext_window_frame",
+    "ext_window_lag",
+    "ext_window_ntile",
+    "ext_window_rank",
+    "ext_window_values",
+    "ext_winsorized_stats",
+    # remaining north-star queries
+    "ns_embed_centroids",
+    "ns_embed_dim_stats",
+    "ns_layout_zorder",
+    "ns_multimodal_metadata",
+    "ns_pack_sequences",
+    "ns_text_bigram_freq",
+    "ns_text_heavy_hitters",
+    "ns_text_repetition",
+    "ns_text_simpson_diversity",
+    "ns_text_token_entropy",
+    "ns_udf_ewma",
+    "ns_udf_group_zscore",
+    # the whole time-series / sessionization family
+    "ts_dedup_first",
+    "ts_enriched_by_segment",
+    "ts_funnel",
+    "ts_gap_filled_minutes",
+    "ts_hypertable_rollup",
+    "ts_markov_transitions",
+    "ts_max_concurrency",
+    "ts_period_over_period",
+    "ts_point_in_time_join",
+    "ts_retention_cohort",
+    "ts_rolling_range_frame",
+    "ts_scd2_history",
+    "ts_session_window",
+    "ts_sliding_window",
+    "ts_time_weighted_avg",
+    "ts_tumbling_window",
+    "ts_user_stats",
 )
 
 
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R2 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R3 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

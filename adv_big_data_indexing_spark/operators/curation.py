@@ -89,7 +89,7 @@ SELECT CASE WHEN {duck_hash_bucket("doc_id")} < {TRAIN_LT} THEN 'train'
             ELSE 'holdout' END AS split,
        lang,
        count(*) AS n_docs,
-       sum(n_tokens) AS n_tokens_total
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
 FROM canon
 GROUP BY 1, 2
 """

@@ -445,6 +445,12 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_DUP_THRESHOLD = 0.98
 
+#: hard cap on the exact (all-pairs) candidate side. 2^18 rows × 64 dims
+#: × 8 B ≈ 134 MB broadcast — comfortably driver- and executor-safe.
+#: Above this, the exact baseline refuses to run: use the LSH-bucketed
+#: route (band-collision candidates) instead of an unbounded collect.
+MAX_EXACT_CANDIDATES = 1 << 18
+
 _DUCK_QVEC_CTE = f"""
   qv AS (SELECT vec_id, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings),
   nrm AS (
@@ -491,7 +497,16 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
         "vec_id", quantize_vec(F.col("embedding")).alias("q")
     )
-    rows = e.collect()  # candidate side: small enough to broadcast (else → LSH op)
+    # Bounded collect: fetch at most cap+1 rows so a too-big candidate
+    # side fails fast with a routing hint instead of driver-OOMing.
+    rows = e.limit(MAX_EXACT_CANDIDATES + 1).collect()
+    if len(rows) > MAX_EXACT_CANDIDATES:
+        raise ValueError(
+            f"ns_dedup_embedding_cosine is the exact all-pairs baseline and "
+            f"caps its broadcast side at {MAX_EXACT_CANDIDATES} vectors; "
+            f"for larger corpora use ns_ann_lsh_bucketed (bucket-collision "
+            f"candidates) or ns_dedup_minhash_lsh."
+        )
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.q for r in rows], dtype=np.int64)
     n2 = (mat.astype(np.int64) * mat).sum(axis=1)

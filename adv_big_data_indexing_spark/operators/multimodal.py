@@ -66,40 +66,208 @@ def assemble_assets(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    STUB decode: a real deployment would decode image/audio bytes here
-    (PIL/librosa absent from this container); the deterministic fake
-    computes mean byte value + a rolling checksum so the batch plumbing
-    is end-to-end testable.
+    Byte stats are vectorized per payload with ``np.frombuffer`` (zero
+    copy from the Arrow buffer) — the per-row Python loop only drives
+    variable-length dispatch, never the arithmetic.
     """
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(lambda b: len(b) if b is not None else None)
-            mean_byte = payloads.map(
-                lambda b: (sum(b) / len(b)) if b else None
-            )
-            checksum = payloads.map(
-                lambda b: sum((i + 1) * v for i, v in enumerate(b)) % (1 << 31) if b else None
-            )
+            n_bytes, mean_byte, checksum = [], [], []
+            for b in pdf["payload"]:
+                if b is None:
+                    n_bytes.append(None)
+                    mean_byte.append(None)
+                    checksum.append(None)
+                    continue
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n_bytes.append(len(arr))
+                if len(arr) == 0:
+                    mean_byte.append(None)
+                    checksum.append(None)
+                    continue
+                a64 = arr.astype(np.int64)
+                mean_byte.append(float(a64.mean()))
+                checksum.append(
+                    int((np.arange(1, len(a64) + 1, dtype=np.int64) @ a64) % (1 << 31))
+                )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "n_bytes": n_bytes,
-                    "feat_mean_byte": mean_byte,
-                    "feat_checksum": checksum,
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "feat_mean_byte": pd.array(mean_byte, dtype="Float64"),
+                    "feat_checksum": pd.array(checksum, dtype="Int64"),
                 }
             )
 
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def decode_media(assets: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """Real media decode — requires image/audio libs not in this container."""
-    raise NotImplementedError(
-        "media decode needs PIL/librosa/av; wire a decoder into extract_features's "
-        "mapInPandas body — the Spark plumbing (schema, batching, partitioning) is already here"
-    )
+# ---------------------------------------------------------------------------
+# Real media decode: pure-numpy PPM (P6) images and PCM WAV audio.
+# No external media libraries — these two formats are fully specified by
+# public docs (netpbm man pages / RIFF WAVE spec) and decodable with
+# header parsing + np.frombuffer, which keeps the decode Arrow-batched
+# and vectorized end-to-end.
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_kind", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("mean_value", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_ppm(data: bytes):
+    """Decode a binary PPM (P6, maxval ≤ 255) to (width, height, HxWx3 uint8).
+
+    Returns None if the payload is not a well-formed P6 image.
+    """
+    import numpy as np
+
+    if not data.startswith(b"P6"):
+        return None
+    # header = magic, width, height, maxval separated by whitespace;
+    # '#' comments run to end-of-line
+    pos, fields = 2, []
+    n = len(data)
+    while len(fields) < 3 and pos < n:
+        c = data[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            while pos < n and data[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < n and data[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        else:
+            return None
+    if len(fields) < 3 or pos >= n or not data[pos : pos + 1].isspace():
+        return None
+    pos += 1  # single whitespace after maxval, then raw pixel bytes
+    width, height, maxval = fields
+    if maxval <= 0 or maxval > 255 or width <= 0 or height <= 0:
+        return None
+    need = width * height * 3
+    raw = data[pos : pos + need]
+    if len(raw) < need:
+        return None
+    pixels = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+    return width, height, pixels
+
+
+def decode_wav_pcm(data: bytes):
+    """Decode a RIFF/WAVE file with 8- or 16-bit integer PCM samples.
+
+    Returns None unless the payload is a well-formed PCM WAV; result is
+    (sample_rate, n_channels, samples ndarray [n_frames, n_channels]).
+    """
+    import numpy as np
+
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(data)
+    fmt = None
+    frames = None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or n_channels == 0 or bits not in (8, 16):
+                return None
+            fmt = (sample_rate, n_channels, bits)
+        elif cid == b"data" and fmt is not None:
+            sample_rate, n_channels, bits = fmt
+            dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+            usable = len(body) - len(body) % (n_channels * dtype.itemsize)
+            samples = np.frombuffer(body[:usable], dtype=dtype)
+            if bits == 8:  # 8-bit WAV is unsigned, centered at 128
+                samples = samples.astype(np.int16) - 128
+            frames = samples.reshape(-1, n_channels)
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or frames is None:
+        return None
+    return fmt[0], fmt[1], frames
+
+
+def decode_media(assets: DataFrame) -> DataFrame:
+    """Arrow-batched media decode: P6 PPM images and PCM WAV audio,
+    decoded with pure numpy inside ``mapInPandas``; any other payload
+    passes through with ``media_kind = NULL``. Geometry/sample stats are
+    exact; pixel/sample math is vectorized per asset.
+
+    Scale shape: decode parallelism == scan parallelism (no shuffle,
+    no driver involvement); metadata predicates should prune upstream so
+    only surviving assets pay the byte decode.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in DECODE_SCHEMA.fields}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                row = dict.fromkeys(out)
+                row["asset_id"] = asset_id
+                if payload is not None:
+                    data = bytes(payload)
+                    img = decode_ppm(data)
+                    wav = decode_wav_pcm(data) if img is None else None
+                    if img is not None:
+                        width, height, pixels = img
+                        p64 = pixels.astype(np.int64)
+                        row.update(
+                            media_kind="image/ppm",
+                            width=width,
+                            height=height,
+                            n_samples=int(p64.size),
+                            mean_value=float(p64.mean()),
+                            rms=float(np.sqrt((p64 * p64).mean())),
+                        )
+                    elif wav is not None:
+                        rate, channels, frames = wav
+                        f64 = frames.astype(np.float64)
+                        row.update(
+                            media_kind="audio/wav",
+                            sample_rate=rate,
+                            n_channels=channels,
+                            n_samples=int(frames.shape[0]),
+                            mean_value=float(f64.mean()) if f64.size else None,
+                            rms=float(np.sqrt((f64 * f64).mean())) if f64.size else None,
+                        )
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(out["asset_id"], dtype="Int64"),
+                    "media_kind": out["media_kind"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "n_channels": pd.array(out["n_channels"], dtype="Int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "mean_value": pd.array(out["mean_value"], dtype="Float64"),
+                    "rms": pd.array(out["rms"], dtype="Float64"),
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=DECODE_SCHEMA)
 
 
 @query(

@@ -208,11 +208,29 @@ def op_c1_reconstruct_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op_c1_reconstruct_nested",
-    oracle=None,  # nested array<struct> not hash-comparable via the DuckDB bridge
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+           COALESCE(la.lineitems_ser, '') AS lineitems_ser
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey,
+             string_agg(
+               CAST(l_linenumber AS BIGINT) || ':' ||
+               CAST(round(l_quantity * 100) AS BIGINT) || ':' ||
+               CAST(round(l_extendedprice * 100) AS BIGINT),
+               '|' ORDER BY l_linenumber, l_quantity, l_extendedprice
+             ) AS lineitems_ser
+      FROM lineitem GROUP BY l_orderkey
+    ) la ON o.o_orderkey = la.l_orderkey
+    WHERE o.o_orderkey < 100
+    """,
     doc="OP-C1 faithful nested reconstruction: parent rows re-nested with an "
     "objectId-sorted array of children (collect_list(struct(...)) after sort), "
-    "mirroring reconstructObject's output shape. Verified by round-trip tests "
-    "in tests/test_document_pipeline.py; driver does a rows-only check here.",
+    "mirroring reconstructObject's output shape (elasticSearch.ts:257-300). "
+    "The nested array<struct> is built for real, then serialized at the edge "
+    "(transform → concat_ws → array_join, integer-cents) because the driver's "
+    "pandas canonicalizer cannot sort array cells (CORRECTNESS_r02 crash); "
+    "the true nested schema is round-trip-tested in tests/test_document_pipeline.py.",
 )
 def op_c1_reconstruct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
@@ -225,8 +243,26 @@ def op_c1_reconstruct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lineitems")
         )
     )
-    return o.join(children, o.o_orderkey == children.l_orderkey, "left").select(
+    nested = o.join(children, o.o_orderkey == children.l_orderkey, "left").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "lineitems"
+    )
+    ser = F.array_join(
+        F.transform(
+            "lineitems",
+            lambda x: F.concat_ws(
+                ":",
+                x["l_linenumber"].cast("bigint"),
+                F.round(x["l_quantity"] * 100).cast("bigint"),
+                F.round(x["l_extendedprice"] * 100).cast("bigint"),
+            ),
+        ),
+        "|",
+    )
+    return nested.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.coalesce(ser, F.lit("")).alias("lineitems_ser"),
     )
 
 

@@ -28,6 +28,13 @@ N_HYPERPLANES = 8
 DIM = 64
 WEIGHT_MOD = 2001  # weights in [-1000, 1000]
 
+#: hard cap on the brute-force candidate (scan) side. Exact rescoring over
+#: every vector is the anti-pattern at 100 TB; past this size the operator
+#: refuses and routes to the LSH/IVF candidate generators. The per-query
+#: cost is candidates × DIM multiplies, so 2^20 candidates ≈ 67M int ops
+#: per query — the practical ceiling for an "exact baseline" stage.
+MAX_BRUTEFORCE_CANDIDATES = 1 << 20
+
 _DUCK_NRM_CTE = f"""
   qv AS (SELECT vec_id, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings),
   nrm AS (
@@ -85,10 +92,20 @@ def _ranked_topk(pairs: DataFrame) -> DataFrame:
     bench=True,
     doc="NS brute-force cosine top-k (k=5) for 10 query vectors. The query side "
     "broadcasts; candidates stream partition-local, then a per-query top-k window. "
-    "At 100 TB this is the exact-rescoring stage; candidate pruning is the LSH op.",
+    "At 100 TB this is the exact-rescoring stage; candidate pruning is the LSH op. "
+    "Guarded: refuses above MAX_BRUTEFORCE_CANDIDATES and routes to LSH/IVF "
+    "(ns_ann_lsh_recall measures what that routing costs in recall).",
 )
 def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized(spark, sf_dir)
+    n_candidates = e.count()
+    if n_candidates > MAX_BRUTEFORCE_CANDIDATES:
+        raise ValueError(
+            f"ns_ann_topk_bruteforce scans all {n_candidates} vectors per query "
+            f"(cap {MAX_BRUTEFORCE_CANDIDATES}); use ns_ann_lsh_bucketed or "
+            f"ns_ann_ivf for candidate pruning at this scale — "
+            f"ns_ann_lsh_recall quantifies the recall trade."
+        )
     q = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("na")
@@ -339,7 +356,7 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM qv CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
     )
     SELECT label, pos,
-           sum(v) AS s_quant,
+           CAST(sum(v) AS BIGINT) AS s_quant,
            count(*) AS n,
            CAST(sum(v) AS DOUBLE) / 1000000.0 / count(*) AS centroid
     FROM ex GROUP BY 1, 2
@@ -407,4 +424,86 @@ def ns_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
             / 1_000_000
         ).alias("variance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall contract: LSH candidates vs brute-force ground truth
+# ---------------------------------------------------------------------------
+
+_DUCK_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len(a.q)), "
+    "i -> a.q[i] * b.q[i])) AS BIGINT)"
+)
+
+
+@query(
+    "ns_ann_lsh_recall",
+    oracle=f"""
+    WITH {_DUCK_NRM_CTE},
+    {_DUCK_HYPERPLANES_CTE},
+    bf_pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DUCK_DOT} AS dot, a.n2 AS na, b.n2 AS nb
+      FROM nrm a JOIN nrm b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+        FROM bf_pairs
+      ) WHERE rank <= {TOP_K}
+    ),
+    lsh_cand AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
+      FROM buckets qa JOIN buckets qb
+        ON qa.bucket = qb.bucket AND qb.vec_id != qa.vec_id
+      WHERE qa.vec_id < {N_QUERIES}
+    ),
+    lsh_pairs AS (
+      SELECT c.query_id, c.neighbor_id, {_DUCK_DOT} AS dot, a.n2 AS na, b.n2 AS nb
+      FROM lsh_cand c
+      JOIN nrm a ON a.vec_id = c.query_id
+      JOIN nrm b ON b.vec_id = c.neighbor_id
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+        FROM lsh_pairs
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT bf.query_id,
+           count(*) AS n_exact,
+           count(l.neighbor_id) AS n_hit,
+           CAST(count(l.neighbor_id) AS DOUBLE) / count(*) AS recall
+    FROM bf LEFT JOIN lsh l
+      ON l.query_id = bf.query_id AND l.neighbor_id = bf.neighbor_id
+    GROUP BY 1
+    """,
+    doc="NS ANN recall contract: per-query recall of the LSH-bucketed top-k "
+    "against the brute-force exact top-k — the measurement that justifies "
+    "routing large corpora away from the guarded exact path (both result "
+    "sets are deterministic, so even the recall fractions reproduce "
+    "bit-for-bit in the oracle). At 100 TB this runs on a sampled query "
+    "panel while production serves from the LSH/IVF route.",
+)
+def ns_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ns_ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ns_ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("l_query_id"), F.col("neighbor_id").alias("l_neighbor_id")
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("l_query_id"))
+        & (F.col("neighbor_id") == F.col("l_neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.count("l_neighbor_id").alias("n_hit"),
+        (F.count("l_neighbor_id").cast("double") / F.count("*")).alias("recall"),
     )

@@ -88,7 +88,8 @@ def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       FROM flagged
     )
-    SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events
     FROM sess GROUP BY user_id, session_seq
     """,

@@ -1,9 +1,12 @@
 """Multimodal plumbing tests: binary payload assembly, Arrow-batched
-feature extraction via mapInPandas (stub decode), and the decode
-NotImplementedError gate."""
+feature extraction via mapInPandas, and golden tests for the pure-numpy
+PPM / PCM-WAV media decoders."""
 
 from __future__ import annotations
 
+import struct
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -50,9 +53,71 @@ def test_extract_features_batched(assets):
     assert got.feat_checksum == sum((i + 1) * v for i, v in enumerate(payload)) % (1 << 31)
 
 
-def test_decode_media_is_gated(assets):
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(assets)
+def _ppm_bytes(width: int, height: int, pixel_fn) -> bytes:
+    header = f"P6\n# golden test image\n{width} {height}\n255\n".encode()
+    body = bytes(
+        v
+        for y in range(height)
+        for x in range(width)
+        for v in pixel_fn(x, y)
+    )
+    return header + body
+
+
+def _wav_bytes(rate: int, channels: int, samples: list[int]) -> bytes:
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def test_decode_ppm_golden():
+    img = _ppm_bytes(3, 2, lambda x, y: (x * 10, y * 20, 255 - x))
+    got = mm.decode_ppm(img)
+    assert got is not None
+    w, h, pixels = got
+    assert (w, h) == (3, 2)
+    assert pixels.shape == (2, 3, 3)
+    assert pixels[0, 0].tolist() == [0, 0, 255]
+    assert pixels[1, 2].tolist() == [20, 20, 253]
+    # malformed payloads refuse, never crash
+    assert mm.decode_ppm(b"P6\n3 2\n255") is None  # truncated
+    assert mm.decode_ppm(b"JUNK") is None
+    assert mm.decode_ppm(img[:10]) is None
+
+
+def test_decode_wav_golden():
+    wav = _wav_bytes(8000, 1, [0, 1000, -1000, 32767, -32768, 0])
+    got = mm.decode_wav_pcm(wav)
+    assert got is not None
+    rate, channels, frames = got
+    assert (rate, channels) == (8000, 1)
+    assert frames[:, 0].tolist() == [0, 1000, -1000, 32767, -32768, 0]
+    stereo = mm.decode_wav_pcm(_wav_bytes(44100, 2, [1, 2, 3, 4]))
+    assert stereo[1] == 2 and stereo[2].shape == (2, 2)
+    assert mm.decode_wav_pcm(b"RIFFxxxxNOPE") is None
+    assert mm.decode_wav_pcm(b"") is None
+
+
+def test_decode_media_spark_path(spark):
+    img = _ppm_bytes(4, 4, lambda x, y: (x, y, (x + y) % 256))
+    wav = _wav_bytes(16000, 1, [100, -100, 200, -200])
+    rows = [(1, img), (2, wav), (3, b"not media"), (4, None)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r.asset_id: r for r in mm.decode_media(assets).collect()}
+    assert got[1].media_kind == "image/ppm"
+    assert (got[1].width, got[1].height, got[1].n_samples) == (4, 4, 48)
+    px = np.array(
+        [[x, y, (x + y) % 256] for y in range(4) for x in range(4)], dtype=np.int64
+    )
+    assert got[1].mean_value == pytest.approx(px.mean())
+    assert got[1].rms == pytest.approx(np.sqrt((px * px).mean()))
+    assert got[2].media_kind == "audio/wav"
+    assert (got[2].sample_rate, got[2].n_channels, got[2].n_samples) == (16000, 1, 4)
+    assert got[2].rms == pytest.approx(np.sqrt((100**2 + 100**2 + 200**2 + 200**2) / 4))
+    assert got[3].media_kind is None and got[3].width is None
+    assert got[4].media_kind is None
 
 
 def test_frame_sampling_fanout(assets):

@@ -23,10 +23,14 @@ def test_oracle_parity(spark, duck, name):
 
 @pytest.mark.parametrize("name", [n for n, s in SPECS if s.oracle is None])
 def test_rows_only(spark, name):
+    from tests.parity import assert_driver_canon_safe
+
     spec = registry()[name]
     sdf = spec.fn(spark, SF_CORRECTNESS)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
+    problems = assert_driver_canon_safe(sdf)
+    assert not problems, f"{name}:\n" + "\n".join(problems)
 
 
 def test_entry_smoke(spark):

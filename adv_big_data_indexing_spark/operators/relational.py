@@ -571,6 +571,10 @@ def op_g4_cascade_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit(1_000_000_000)
+    # no spread(): the cents math is cheaper than a round-robin exchange of
+    # 600k raw rows (measured 0.64-0.94s unspread vs 0.94-1.33s spread at
+    # sf0.1); the single-task scan is the parquet single-row-group floor,
+    # which multi-file tables at real scale don't have.
     l = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
-from adv_big_data_indexing_spark.functions.text import tokens
+from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, tokens
 from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
 ZSCORE_SCHEMA = "doc_id long, source string, n_chars long, zscore double"
@@ -271,11 +271,32 @@ def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
 
 @query(
     "ns_udf_ewma",
-    oracle=None,  # sequential recurrence — verified against a pandas
-    # reference implementation in tests/test_udfs.py (rows-only here)
+    # The recurrence y_i = 0.3·x_i + (1−0.3)·y_{i−1} is three correctly-
+    # rounded IEEE double ops per step in a deterministic order (pandas
+    # ewm(adjust=False) is bit-identical to the scalar loop —
+    # tests/test_udfs.py asserts it with rel=0), so a DuckDB recursive
+    # CTE replaying the identical op sequence reproduces every bit.
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, ts, value, rn, CAST(value AS DOUBLE) AS ewma
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+             CAST(0.3 AS DOUBLE) * o.value
+               + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.ewma
+      FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, ts, value, ewma FROM rec
+    """,
     doc="NS per-user EWMA via grouped-map Pandas UDF — the recurrence "
     "pattern (sessionized decay, momentum features) that only the "
-    "Arrow-batched escape hatch expresses cleanly.",
+    "Arrow-batched escape hatch expresses cleanly. Oracle-backed: the "
+    "DuckDB recursive CTE replays the same IEEE op sequence bit-for-bit.",
 )
 def ns_udf_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_value_ewma(load_table(spark, sf_dir, "events"))
@@ -335,13 +356,54 @@ def pack_documents(
     )
 
 
+# First-fit-decreasing is a deterministic integer-state recurrence, so a
+# DuckDB recursive CTE can replay it exactly: per shard, docs arrive in
+# (n_tokens DESC, doc_id) order; the carried state is the list of
+# remaining bin capacities; `fit` = 1-based index of the first bin with
+# room (list_filter over the index range), NULL → open a new bin.
+_PACK_ORACLE = f"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS INTEGER) AS shard,
+         CAST(len({DUCK_TOKENS.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len({DUCK_TOKENS.format(col="text")}) <= {PACK_CAPACITY}
+),
+ord AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM sized
+),
+rec AS (
+  SELECT shard, rn, doc_id, n_tokens, 0 AS bin_idx,
+         [{PACK_CAPACITY} - n_tokens] AS rem
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CAST(coalesce(
+           list_filter(range(1, len(r.rem) + 1), i -> r.rem[i] >= o.n_tokens)[1] - 1,
+           len(r.rem)) AS INTEGER) AS bin_idx,
+         CASE WHEN list_filter(range(1, len(r.rem) + 1),
+                               i -> r.rem[i] >= o.n_tokens)[1] IS NULL
+              THEN list_append(r.rem, {PACK_CAPACITY} - o.n_tokens)
+              ELSE list_transform(range(1, len(r.rem) + 1),
+                     j -> CASE WHEN j = list_filter(range(1, len(r.rem) + 1),
+                                         i -> r.rem[i] >= o.n_tokens)[1]
+                               THEN r.rem[j] - o.n_tokens ELSE r.rem[j] END)
+         END AS rem
+  FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_id, shard, CAST(bin_idx AS INTEGER) AS bin_idx, n_tokens FROM rec
+"""
+
+
 @query(
     "ns_pack_sequences",
-    oracle=None,  # greedy sequential bin packing — verified against a
-    # pure-Python FFD reference + invariants in tests/test_udfs.py
+    oracle=_PACK_ORACLE,
     doc="NS sequence packing (FFD per doc_id%64 shard, 256-token windows) "
     "via grouped-map Pandas UDF — deterministic, rerun-stable doc→bin "
-    "assignment for dense fixed-length training examples.",
+    "assignment for dense fixed-length training examples. Oracle-backed: "
+    "FFD is an integer-state recurrence, replayed exactly by a DuckDB "
+    "recursive CTE carrying the per-shard remaining-capacity list.",
 )
 def ns_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(load_table(spark, sf_dir, "documents"))

@@ -71,6 +71,10 @@ _DRIVER_WINDOW_R3 = (
     "op_c1_reconstruct_nested",
     # new this round
     "ns_ann_lsh_recall",
+    "ns_dedup_cluster_stats",
+    "ns_mixture_weights",
+    "ns_pii_mask",
+    "ext_skew_salted_join",
     # remaining ext_* (r1's 50-row window stopped at ext_topk_orderby)
     "ext_approx_distinct",
     "ext_tpch_q18_shape",

@@ -731,3 +731,74 @@ def ext_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'acctbal', c_acctbal,"
         " 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)",
     )
+
+
+# ---------------------------------------------------------------------------
+# salted hot-key join (skew mitigation as an explicit, testable rewrite)
+# ---------------------------------------------------------------------------
+
+#: replication factor for the dim side: each hot key spreads over this
+#: many reducers. Sized to the executor count at real scale.
+SALT_BUCKETS = 16
+
+#: tiny priority→weight dimension (the classic hot-key join: every fact
+#: row matches one of five dim rows). VALUES-expressible so the oracle
+#: sees the identical dim.
+PRIORITY_WEIGHTS = [
+    ("1-URGENT", 9),
+    ("2-HIGH", 7),
+    ("3-MEDIUM", 5),
+    ("4-NOT SPECIFIED", 3),
+    ("5-LOW", 1),
+]
+
+
+@query(
+    "ext_skew_salted_join",
+    oracle=f"""
+    WITH dim(o_orderpriority, expedite_weight) AS (
+      VALUES {", ".join(f"('{p}', {w})" for p, w in PRIORITY_WEIGHTS)}
+    )
+    SELECT o.o_orderpriority, d.expedite_weight,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                    * d.expedite_weight) AS DOUBLE) / 100 AS weighted_revenue
+    FROM orders o JOIN dim d USING (o_orderpriority)
+    GROUP BY 1, 2
+    """,
+    doc="EXT salted hot-key join: a 150k-row fact table joins a 5-row dim "
+    "on a 5-value key — the maximal-skew shape where a shuffle join puts "
+    "20% of the table on one reducer. The rewrite: replicate each dim "
+    "row SALT_BUCKETS times, tag each fact row with a deterministic "
+    "salt = pmod(hash(o_orderkey), SALT_BUCKETS), join on (key, salt) — "
+    "each hot key now spreads over SALT_BUCKETS reducers, and the "
+    "result is provably identical to the unsalted join (the oracle IS "
+    "the unsalted join). Forced to shuffle_merge via hint so the salt "
+    "does real work here; in production the same rewrite rescues any "
+    "join AQE's skew handling can't split (e.g. under a required "
+    "child distribution). Money stays integer cents so the weighted "
+    "sum is exact.",
+)
+def ext_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.functions.exact import cents
+
+    dim = spark.createDataFrame(
+        PRIORITY_WEIGHTS, "o_orderpriority string, expedite_weight int"
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    )
+    fact = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", cents("o_totalprice").alias("pc"))
+        .withColumn("salt", F.pmod(F.hash("o_orderkey"), F.lit(SALT_BUCKETS)))
+    )
+    joined = fact.hint("shuffle_merge").join(
+        salted_dim, ["o_orderpriority", "salt"]
+    )
+    return joined.groupBy("o_orderpriority", "expedite_weight").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.col("pc") * F.col("expedite_weight")).cast("double") / 100
+        ).alias("weighted_revenue"),
+    )

@@ -195,3 +195,42 @@ def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_shared_grams"),
         )
     )
+
+
+# --- Pattern-based masking (the PII-scrub step) ----------------------------
+
+#: portable across Java regex (Spark) and RE2 (DuckDB): no lookarounds,
+#: no backrefs — plain character classes and counted repetition only.
+ID_PATTERN = "[0-9]{6,}"
+ID_MASK = "######"
+
+
+@query(
+    "ns_pii_mask",
+    oracle=f"""
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(c_name, '{ID_PATTERN}')) AS BIGINT) AS n_ids,
+           regexp_replace(c_name, '{ID_PATTERN}', '{ID_MASK}', 'g') AS masked,
+           len(regexp_extract_all(c_name, '{ID_PATTERN}')) > 0 AS has_id
+    FROM customer
+    """,
+    doc="NS pattern-based masking — the scrub step of a curation pipeline "
+    "(emails/phones/account numbers in a real corpus), demonstrated on "
+    "the long-digit-run identifiers the test tables actually contain: "
+    "per-record match count, masked text, and a detection flag. The "
+    "pattern is deliberately restricted to the regex subset with "
+    "identical semantics in Java regex and RE2, so both engines extract "
+    "and replace the same spans. Map-only projection: scrubbing at "
+    "100 TB is a scan-shaped pass with no shuffle and full column "
+    "pruning; detection flags land in a column the quality gate can "
+    "push down on.",
+)
+def ns_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    matches = F.regexp_extract_all("c_name", F.lit(ID_PATTERN), 0)
+    return c.select(
+        "c_custkey",
+        F.size(matches).cast("bigint").alias("n_ids"),
+        F.regexp_replace("c_name", ID_PATTERN, ID_MASK).alias("masked"),
+        (F.size(matches) > 0).alias("has_id"),
+    )

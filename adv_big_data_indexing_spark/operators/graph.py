@@ -108,8 +108,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     return e.select(F.col("b").alias("node"), F.col("a").alias("component_id"))
 
 
-_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE
+#: shared CTE prefix: near-dup pairs → symmetric edges → transitive
+#: closure → per-doc component id (min node id). Reused by the
+#: membership and the cluster-statistics oracles.
+_COMPONENTS_CTE = f"""
 {_DUCK_SHINGLE_CTE},
   inter AS (
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
@@ -138,11 +140,17 @@ WITH RECURSIVE
   comp AS (
     SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
     FROM reach GROUP BY u
-  )
-SELECT d.doc_id,
-       COALESCE(c.component_id, d.doc_id) AS component_id,
-       d.doc_id = COALESCE(c.component_id, d.doc_id) AS is_canonical
-FROM documents d LEFT JOIN comp c USING (doc_id)
+  ),
+  membership AS (
+    SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+  )"""
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE
+{_COMPONENTS_CTE}
+SELECT doc_id, component_id, doc_id = component_id AS is_canonical
+FROM membership
 """
 
 
@@ -219,3 +227,47 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = closed.agg(F.count("*").alias("n_triangles"))
     return tri.crossJoin(e.agg(F.count("*").alias("n_edges")))
+
+
+@query(
+    "ns_dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE
+    {_COMPONENTS_CTE},
+    sizes AS (
+      SELECT component_id, count(*) AS cluster_size
+      FROM membership GROUP BY 1
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_redundant
+    FROM sizes GROUP BY 1
+    """,
+    doc="NS dedup QA report: the near-dup cluster size distribution — for "
+    "each cluster size, how many clusters, how many documents they hold, "
+    "and how many are redundant (would be dropped by canonical selection). "
+    "The first number a curation run reports ('dedup removed X% of the "
+    "corpus') and the sanity check that catches a broken threshold (one "
+    "giant cluster) before a full re-run. Composes the pair generators "
+    "with the component closure; the output is O(max cluster size) rows.",
+)
+def ns_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    cc = connected_components(
+        _jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    membership = d.join(cc, d.doc_id == cc.node, "left").select(
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id")
+    )
+    sizes = membership.groupBy("component_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count("*")).alias("n_redundant"),
+    )

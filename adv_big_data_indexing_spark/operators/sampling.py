@@ -160,3 +160,58 @@ def ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u48") * W_SCALE < F.col("n_chars") * F.lit(1 << 48))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --- Domain-mixture rebalancing --------------------------------------------
+
+
+@query(
+    "ns_mixture_weights",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    m AS (SELECT min(n_docs) AS n_min FROM counts),
+    gated AS (
+      SELECT d.lang, c.n_docs, m.n_min,
+             CASE WHEN {duck_hash_bucket("d.doc_id", salt="mix")} * c.n_docs
+                       < m.n_min * 256
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN counts c USING (lang) CROSS JOIN m
+    )
+    SELECT lang, n_docs,
+           CAST(n_min * 1000000 // n_docs AS BIGINT) AS rate_ppm,
+           CAST(sum(keep) AS BIGINT) AS n_kept
+    FROM gated GROUP BY lang, n_docs, n_min
+    """,
+    doc="NS domain-mixture rebalancing: compute per-language acceptance "
+    "rates that downsample every language to the rarest one's share "
+    "(uniform target mixture), then apply them with the same hash gate "
+    "as the stratified sampler — deterministic, rerun-stable, and exact: "
+    "the gate is the integer cross-multiply bucket*n_lang < n_min*256, "
+    "never a float rate. This is the 'data mixing' step before "
+    "pretraining: per-group counts (one tiny aggregate broadcast back) "
+    "followed by a map-only gated scan; at 100 TB the counts come from "
+    "table statistics and the gate is a pushed-down predicate.",
+)
+def ns_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    gated = (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(n_min))
+        .withColumn(
+            "keep",
+            (
+                hash_bucket(F.col("doc_id"), salt="mix") * F.col("n_docs")
+                < F.col("n_min") * 256
+            ).cast("int"),
+        )
+    )
+    return gated.groupBy("lang", "n_docs", "n_min").agg(
+        F.sum("keep").cast("bigint").alias("n_kept")
+    ).select(
+        "lang",
+        "n_docs",
+        F.expr("n_min * 1000000 DIV n_docs").alias("rate_ppm"),
+        "n_kept",
+    )

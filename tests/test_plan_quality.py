@@ -118,3 +118,13 @@ def test_fuzzy_join_blocks_on_equi_keys(spark):
     # blocking keys make it an equi-join: no cartesian / nested-loop
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    p = plan_of(spark, "ext_skew_salted_join")
+    # the hint must hold (a broadcast would make the salt decorative),
+    # and the join keys must include the salt so each hot key hashes to
+    # SALT_BUCKETS distinct reducers
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "salt" in p

@@ -72,6 +72,7 @@ _DRIVER_WINDOW_R3 = (
     # new this round
     "ns_ann_lsh_recall",
     "ns_dedup_cluster_stats",
+    "ns_dedup_embedding_topk",
     "ns_mixture_weights",
     "ns_pii_mask",
     "ext_skew_salted_join",

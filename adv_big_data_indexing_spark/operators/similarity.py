@@ -240,7 +240,11 @@ def _lsh_topk(spark: SparkSession, e: DataFrame) -> DataFrame:
     "oracle replicates the same algorithm, so results still match exactly.",
 )
 def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lsh_topk(spark, _quantized(spark, sf_dir))
+    # The quantized frame feeds three join sides (bucket build + both
+    # rescore sides); checkpoint it once instead of re-executing the
+    # quantization pipeline per side. At real scale this is the
+    # "signatures table" any LSH index materializes anyway.
+    return _lsh_topk(spark, _quantized(spark, sf_dir).localCheckpoint(eager=True))
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +313,12 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
         "vec_id", "label", quantize_vec(F.col("embedding")).alias("q")
     )
-    e = e.withColumn("n2", int_dot_fixed(F.col("q"), F.col("q"), DIM))
+    # four consumers (centroid build, member counts, query side, cell
+    # members) — checkpoint the quantized frame once; at real scale this
+    # is the persisted IVF "codes" table
+    e = e.withColumn("n2", int_dot_fixed(F.col("q"), F.col("q"), DIM)).localCheckpoint(
+        eager=True
+    )
 
     # exact integer centroid sums per cell: elementwise array sum via
     # posexplode + groupBy (one shuffle of n·d small rows)

@@ -215,3 +215,40 @@ def ns_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_min * 1000000 DIV n_docs").alias("rate_ppm"),
         "n_kept",
     )
+
+
+# --- Exact-size uniform sample (deterministic reservoir analog) ------------
+
+RESERVOIR_K = 100
+
+
+@query(
+    "ns_reservoir_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               ORDER BY md5('res:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= {RESERVOIR_K}
+    """,
+    doc="NS exact-size uniform sample: the deterministic reservoir-sampling "
+    f"analog — global top-{RESERVOIR_K} by md5(doc_id), so the sample has "
+    "an EXACT row count (rate-based hash gates only hit the target in "
+    "expectation), is uniform over the corpus, and is rerun-stable. "
+    "Spark executes it as TakeOrderedAndProject: per-partition top-k "
+    "then a k-row merge on the driver — no global sort, no RNG state; "
+    "the same plan at 100 TB moves only n_partitions*k rows.",
+)
+def ns_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(RESERVOIR_K)
+        .select("doc_id", "lang")
+    )

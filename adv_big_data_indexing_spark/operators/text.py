@@ -434,3 +434,107 @@ def ns_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     )
+
+
+TOP_TERMS_K = 5
+
+
+@query(
+    "ns_text_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, unnest({DUCK_TOKENS.format(col="text")}) AS w
+      FROM documents
+    ),
+    counts AS (SELECT lang, w, count(*) AS freq FROM tf GROUP BY 1, 2)
+    SELECT lang, w AS term, freq, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT lang, w, freq,
+             row_number() OVER (PARTITION BY lang ORDER BY freq DESC, w) AS rnk
+      FROM counts
+    )
+    WHERE rnk <= {TOP_TERMS_K}
+    """,
+    doc="NS per-language top terms: the vocabulary profile a corpus report "
+    "leads with (and the input to stopword-list induction). One shuffle "
+    "to (lang, term) counts with map-side combine, then a per-language "
+    "top-k window over the counts — the window input is the aggregated "
+    "vocabulary, never the token stream, so at 100 TB the ranked set is "
+    "|vocab| rows, not |tokens|. Deterministic tie-break by term.",
+)
+def ns_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        token_rows(d, ["lang"])
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("w"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_TERMS_K)
+        .select("lang", F.col("w").alias("term"), "freq", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# --- Inverted-index phrase search ------------------------------------------
+
+SEARCH_PHRASE = "big order scan"
+_PHRASE_BIGRAMS = [
+    " ".join(SEARCH_PHRASE.split()[i : i + 2])
+    for i in range(len(SEARCH_PHRASE.split()) - 1)
+]
+
+
+@query(
+    "ns_phrase_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents
+    ),
+    post AS (
+      SELECT doc_id, unnest(list_distinct({_duck_grams("toks", 2)})) AS g FROM t
+    ),
+    cand AS (
+      SELECT doc_id FROM post
+      WHERE g IN ({", ".join(f"'{b}'" for b in _PHRASE_BIGRAMS)})
+      GROUP BY doc_id
+      HAVING count(DISTINCT g) = {len(_PHRASE_BIGRAMS)}
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN cand USING (doc_id)
+    WHERE contains(' ' || d.text || ' ', ' {SEARCH_PHRASE} ')
+    """,
+    doc="NS inverted-index phrase search: find documents containing the "
+    f"exact token phrase '{SEARCH_PHRASE}'. Candidates come from the word-"
+    "bigram posting list (docs holding ALL of the phrase's bigrams — an "
+    "equi-join-shaped probe), and only candidates pay the exact adjacency "
+    "verify (token-boundary substring match). The index-accelerated "
+    "analog of the reference's full-index search (SURVEY §2.B prefix/"
+    "conjunctive scans): at 100 TB the posting table is a materialized, "
+    "bucketed index — the probe touches two posting lists, never the "
+    "corpus scan the LIKE-only oracle formulation implies.",
+)
+def ns_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toked = d.select("doc_id", tokens("text").alias("toks"))
+    post = toked.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(_grams(F.col("toks"), 2))).alias("g"),
+    ).filter(F.col("g").isin(_PHRASE_BIGRAMS))
+    cand = (
+        post.groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("k"))
+        .filter(F.col("k") == len(_PHRASE_BIGRAMS))
+        .select("doc_id")
+    )
+    return (
+        d.join(cand, "doc_id", "left_semi")
+        .filter(
+            F.expr(
+                f"contains(concat(' ', text, ' '), ' {SEARCH_PHRASE} ')"
+            )
+        )
+        .select("doc_id", "lang")
+    )

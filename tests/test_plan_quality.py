@@ -128,3 +128,27 @@ def test_salted_join_spreads_hot_keys(spark):
     assert "SortMergeJoin" in p
     assert "BroadcastHashJoin" not in p
     assert "salt" in p
+
+
+def test_reservoir_sample_is_takeordered(spark):
+    p = plan_of(spark, "ns_reservoir_sample")
+    # exact-k sample must be per-partition top-k + k-row merge,
+    # never a global sort
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_top_terms_ranks_vocab_not_tokens(spark):
+    p = plan_of(spark, "ns_text_top_terms")
+    # the window reads the aggregated (lang, term) counts: partial
+    # aggregation below the exchange, window above it
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "Window" in p
+
+
+def test_phrase_search_probe_not_scan(spark):
+    p = plan_of(spark, "ns_phrase_search")
+    # candidates come from an aggregated posting probe + semi join;
+    # no cartesian anywhere
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p

@@ -497,6 +497,9 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
         "vec_id", quantize_vec(F.col("embedding")).alias("q")
     )
+    # one quantization pass: the collect AND the mapInPandas input read
+    # the checkpointed frame instead of re-executing the pipeline
+    e = e.localCheckpoint(eager=True)
     # Bounded collect: fetch at most cap+1 rows so a too-big candidate
     # side fails fast with a routing hint instead of driver-OOMing.
     rows = e.limit(MAX_EXACT_CANDIDATES + 1).collect()
@@ -567,6 +570,7 @@ def ns_dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
         "vec_id", quantize_vec(F.col("embedding")).alias("q")
     )
+    e = e.localCheckpoint(eager=True)  # one quantization pass (see above)
     rows = e.limit(MAX_EXACT_CANDIDATES + 1).collect()
     if len(rows) > MAX_EXACT_CANDIDATES:
         raise ValueError(

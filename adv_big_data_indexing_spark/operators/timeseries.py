@@ -701,3 +701,78 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         (prev.cast("double") / 100).alias("prev_revenue"),
         ((F.col("rev_c") - prev).cast("double") / prev.cast("double")).alias("pct_change"),
     )
+
+
+# --- Rolling-window anomaly detection --------------------------------------
+
+#: value quantization for exact window sums: 1e4 units keep per-window
+#: sums of squares below ~3e15 (value <= ~560, window <= 21 rows) — far
+#: inside BIGINT, so mean/variance state is exact integers.
+ANOM_Q = 10_000
+ANOM_WINDOW = 20  # trailing rows (exclusive of current)
+ANOM_MIN_N = 10
+ANOM_Z = 2.5
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(round(value * {ANOM_Q}) AS BIGINT) AS qx
+      FROM events
+    ),
+    w AS (
+      SELECT *, count(qx) OVER win AS n,
+             CAST(sum(qx) OVER win AS BIGINT) AS s,
+             CAST(sum(qx * qx) OVER win AS BIGINT) AS ss
+      FROM q WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts, value, z FROM (
+      SELECT user_id, event_id, ts, value,
+             (CAST(qx AS DOUBLE) - CAST(s AS DOUBLE) / n)
+               / sqrt(CAST(ss AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z
+      FROM w
+      WHERE n >= {ANOM_MIN_N}
+        AND CAST(ss AS DOUBLE) / n
+            - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+    ) WHERE abs(z) > {ANOM_Z}
+    """,
+    doc="TS rolling-window anomaly detection: each event z-scored against "
+    "its user's trailing 20-event window (exclusive), flagging |z| > 2.5 "
+    "— the monitoring primitive for metric streams. Window state is "
+    "exact integers (quantized sums and sums of squares), so the only "
+    "doubles are the final fixed-order mean/variance/z ops — "
+    "bit-identical cross-engine despite being a variance computation. "
+    "One shuffle on user_id; the window never materializes more than "
+    "its frame. Streaming twin: the same state (n, sum, sumsq) is the "
+    "applyInPandasWithState accumulator shape in streaming/events.py.",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    qx = F.round(F.col("value") * ANOM_Q).cast("bigint")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    w = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        qx.alias("qx"),
+        F.count(qx).over(win).alias("n"),
+        F.sum(qx).over(win).alias("s"),
+        F.sum(qx * qx).over(win).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = (F.col("qx").cast("double") - mean) / F.sqrt(var)
+    return (
+        w.filter((F.col("n") >= ANOM_MIN_N) & (var > 0))
+        .select("user_id", "event_id", "ts", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > ANOM_Z)
+    )

@@ -1,11 +1,15 @@
-"""Multimodal column plumbing (north-star set).
+"""Multimodal columns (north-star set).
 
 Image/audio/video payloads are opaque ``binary`` columns plus typed
-metadata. The container has no media libraries, so the decode /
-feature-extract step is a clearly-marked deterministic STUB — but the
-Spark-side plumbing (schema, Arrow batch shape, ``mapInPandas``
-signature, partition behavior) is real and tested
-(tests/test_multimodal.py).
+metadata. Decode is REAL for the two formats fully specified by public
+docs and decodable without external media libraries: binary PPM (P6)
+images and RIFF PCM WAV audio — pure-numpy header/chunk parsing +
+``np.frombuffer`` inside ``mapInPandas`` (golden-tested in
+tests/test_multimodal.py and oracle-verified end-to-end by
+``ns_multimodal_decode``). Formats that need PIL/librosa/av would slot
+into the same ``decode_media`` dispatch; only the codec bodies are
+absent from this container. Frame sampling keeps a deterministic
+stand-in decode with the real fan-out plumbing.
 
 At 100 TB the pattern is: binary parquet columns stay columnar and
 compressed, decode runs inside ``mapInPandas`` (Arrow-batched, one
@@ -351,3 +355,99 @@ def resize_frames(frames: DataFrame, target_w: int, target_h: int) -> DataFrame:
     metadata transforms out of Python is the pattern — predicates on
     width/height prune before any byte moves to a worker."""
     return frames.withColumn("width", F.lit(target_w)).withColumn("height", F.lit(target_h))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end decode contract query: synthesized payloads, real decoders,
+# closed-form oracle.
+# ---------------------------------------------------------------------------
+
+_IMG_W, _IMG_H = 4, 3  # 36 pixel bytes
+_WAV_N, _WAV_RATE = 16, 8000
+
+
+def _synth_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic media payloads per doc: even doc_ids get a P6 PPM
+    whose byte i is (doc_id*7 + i) % 256; odd doc_ids get a mono 16-bit
+    PCM WAV whose sample i is (doc_id*13 + i) % 2001 - 1000."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    body = bytes((doc_id * 7 + i) % 256 for i in range(_IMG_W * _IMG_H * 3))
+                    payload = f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode() + body
+                else:
+                    samples = b"".join(
+                        struct.pack("<h", (doc_id * 13 + i) % 2001 - 1000)
+                        for i in range(_WAV_N)
+                    )
+                    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+                    chunks = (
+                        b"WAVE"
+                        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(samples)) + samples
+                    )
+                    payload = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+                ids.append(doc_id)
+                payloads.append(payload)
+            yield pd.DataFrame({"asset_id": pd.array(ids, dtype="Int64"), "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )
+
+
+@query(
+    "ns_multimodal_decode",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, {_IMG_W * _IMG_H * 3 - 1}),
+                                          i -> (doc_id * 7 + i) % 256)) AS BIGINT) AS s,
+             CAST(list_sum(list_transform(generate_series(0, {_IMG_W * _IMG_H * 3 - 1}),
+                                          i -> ((doc_id * 7 + i) % 256) * ((doc_id * 7 + i) % 256))) AS BIGINT) AS ss
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    wav AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, {_WAV_N - 1}),
+                                          i -> (doc_id * 13 + i) % 2001 - 1000)) AS BIGINT) AS s,
+             CAST(list_sum(list_transform(generate_series(0, {_WAV_N - 1}),
+                                          i -> ((doc_id * 13 + i) % 2001 - 1000) * ((doc_id * 13 + i) % 2001 - 1000))) AS BIGINT) AS ss
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id AS asset_id, 'image/ppm' AS media_kind,
+           CAST({_IMG_W} AS INTEGER) AS width, CAST({_IMG_H} AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS sample_rate, CAST(NULL AS INTEGER) AS n_channels,
+           CAST({_IMG_W * _IMG_H * 3} AS BIGINT) AS n_samples,
+           CAST(s AS DOUBLE) / {_IMG_W * _IMG_H * 3} AS mean_value,
+           sqrt(CAST(ss AS DOUBLE) / {_IMG_W * _IMG_H * 3}) AS rms
+    FROM img
+    UNION ALL
+    SELECT doc_id, 'audio/wav',
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST({_WAV_RATE} AS INTEGER), CAST(1 AS INTEGER),
+           CAST({_WAV_N} AS BIGINT),
+           CAST(s AS DOUBLE) / {_WAV_N},
+           sqrt(CAST(ss AS DOUBLE) / {_WAV_N})
+    FROM wav
+    """,
+    doc="NS end-to-end media decode contract: every document gets a "
+    "deterministic synthesized payload (even ids: P6 PPM image; odd ids: "
+    "16-bit PCM WAV), the REAL pure-numpy decoders parse the actual "
+    "bytes (header walk, chunk walk, np.frombuffer), and the oracle "
+    "computes the expected geometry and pixel/sample statistics in "
+    "closed form from the synthesis formula — a wrong header parse, "
+    "stride, endianness, or channel split hash-mismatches immediately. "
+    "Decode parallelism == scan parallelism (two chained mapInPandas, "
+    "no shuffle).",
+)
+def ns_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.sources.catalog import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return decode_media(_synth_payloads(docs))

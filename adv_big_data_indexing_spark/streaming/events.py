@@ -107,6 +107,72 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+ANOMALY_OUTPUT = "user_id long, event_id long, ts timestamp, value double, z double"
+ANOMALY_STATE = "buf array<bigint>"
+
+
+def anomaly_zscores(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``ts_anomaly_zscore`` (operators/timeseries.py):
+    per-user trailing-window z-score via ``applyInPandasWithState``.
+
+    State is the ring buffer of the user's last 20 quantized values —
+    exactly the (n, sum, sumsq)-sufficient window the batch operator
+    reads through its ROWS frame, so when events arrive in event-time
+    order the streaming output equals the batch output bit-for-bit
+    (same quantized integers, same fixed-order double ops). Constant
+    ~20 longs of state per user, no growth with stream length.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from adv_big_data_indexing_spark.operators.timeseries import (  # noqa: PLC0415
+        ANOM_MIN_N,
+        ANOM_Q,
+        ANOM_WINDOW,
+        ANOM_Z,
+    )
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        buf = list(state.get()[0]) if state.exists else []
+        out = {k: [] for k in ("user_id", "event_id", "ts", "value", "z")}
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for _, row in pdf.iterrows():
+            # HALF_UP like Spark's F.round (Python round() is banker's);
+            # values are non-negative so floor(x+0.5) is half-away-from-zero
+            qx = int(np.floor(float(row["value"]) * ANOM_Q + 0.5))
+            n = len(buf)
+            if n >= ANOM_MIN_N:
+                arr = np.array(buf, dtype=np.int64)
+                s, ss = int(arr.sum()), int((arr * arr).sum())
+                mean = float(s) / n
+                var = float(ss) / n - mean * mean
+                if var > 0:
+                    z = (float(qx) - mean) / np.sqrt(var)
+                    if abs(z) > ANOM_Z:
+                        out["user_id"].append(user_id)
+                        out["event_id"].append(int(row["event_id"]))
+                        out["ts"].append(row["ts"])
+                        out["value"].append(float(row["value"]))
+                        out["z"].append(float(z))
+            buf.append(qx)
+            if len(buf) > ANOM_WINDOW:
+                buf.pop(0)
+        state.update(([int(x) for x in buf],))
+        yield pd.DataFrame(out)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_OUTPUT,
+        stateStructType=ANOMALY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def error_click_interval_join(
     errors: DataFrame, clicks: DataFrame, window_sec: int = 60
 ) -> DataFrame:

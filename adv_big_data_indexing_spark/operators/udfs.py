@@ -529,3 +529,35 @@ def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "ns_pack_stats",
+    oracle=f"""
+    SELECT shard,
+           count(*) AS n_docs,
+           count(DISTINCT bin_idx) AS n_bins,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
+           CAST(sum(n_tokens) AS DOUBLE) / (count(DISTINCT bin_idx) * {PACK_CAPACITY})
+             AS fill_rate
+    FROM ({_PACK_ORACLE}) packed
+    GROUP BY shard
+    """,
+    doc="NS packing-efficiency report: per-shard bin count and fill rate "
+    "of the FFD packing — the metric that tells you whether your context "
+    "windows are dense (padding waste = 1 - fill_rate directly prices "
+    "training compute). Composes the packing operator with a tiny "
+    "per-shard aggregate; FFD guarantees fill within 11/9 of optimal, "
+    "and this query is how you check it on real data.",
+)
+def ns_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pack_documents(load_table(spark, sf_dir, "documents"))
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("bin_idx").alias("n_bins"),
+        F.sum("n_tokens").alias("tokens_packed"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.countDistinct("bin_idx") * PACK_CAPACITY)
+        ).alias("fill_rate"),
+    )

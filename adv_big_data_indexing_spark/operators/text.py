@@ -538,3 +538,53 @@ def ns_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "ns_text_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {" , ".join(
+                 f"len(list_filter({DUCK_TOKENS.format(col='text')}, t -> t IN ({_sql_list(w)}))) AS score_{code}"
+                 for code, w in _MARKERS.items()
+             )}
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS actual_lang,
+             CASE greatest(score_en, score_es, score_fr, score_de, score_zh)
+               WHEN score_de THEN 'de' WHEN score_en THEN 'en' WHEN score_es THEN 'es'
+               WHEN score_fr THEN 'fr' WHEN score_zh THEN 'zh' END AS pred_lang
+      FROM scored
+    )
+    SELECT actual_lang, pred_lang,
+           count(*) AS n_docs,
+           (actual_lang = pred_lang) AS is_correct
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="NS language-ID confusion matrix: (actual, predicted) counts for "
+    "the marker-stopword classifier — the QA report that tells you the "
+    "classifier's per-language accuracy and WHICH languages it confuses "
+    "before you trust it to route a corpus. Composes the langid scorer "
+    "with one tiny aggregate; at 100 TB the matrix is |langs|² rows "
+    "however big the corpus.",
+)
+def ns_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    scores = {code: _marker_hits(toks, w) for code, w in _MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["de"] == best, "de")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("zh")
+    )
+    return (
+        d.select(F.col("lang").alias("actual_lang"), pred.alias("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("is_correct", F.col("actual_lang") == F.col("pred_lang"))
+    )

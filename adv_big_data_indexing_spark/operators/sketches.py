@@ -256,3 +256,36 @@ def ext_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "false_positive_rows"
         ),
     )
+
+
+@query(
+    "ts_cms_event_types",
+    oracle=f"""
+    SELECT ri, b, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(generate_series(0, {CMS_D - 1})) AS ri,
+             unnest([{", ".join(_duck_cms_bucket("event_type", i) for i in range(CMS_D))}]) AS b
+      FROM events
+    ) GROUP BY ri, b
+    """,
+    doc="EXT batch twin of the streaming count-min maintenance "
+    "(streaming/events.py:run_streaming_cms, exactly-once additive "
+    "merge verified in test_streaming.py): the full d×w counter "
+    "matrix over events.event_type. Identical md5 bucket arithmetic, "
+    "one map-side-combined aggregate — the sketch the stream "
+    "converges to equals this batch result row for row, which is "
+    "what makes the streaming state auditable without re-scanning "
+    "history. Driver row here = the oracle gate for the streaming "
+    "sketch's bucket/count semantics (VERDICT r3 item 6).",
+)
+def ts_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.posexplode(
+                F.array(*[_cms_bucket(F.col("event_type"), i) for i in range(CMS_D)])
+            ).alias("ri", "b")
+        )
+        .groupBy("ri", "b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )

@@ -588,3 +588,65 @@ def ns_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .withColumn("is_correct", F.col("actual_lang") == F.col("pred_lang"))
     )
+
+
+@query(
+    "ns_text_token_entropy_exact",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, w, count(*) AS c FROM (
+        SELECT doc_id, unnest({DUCK_TOKENS.format(col="text")}) AS w FROM documents
+      ) GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             count(*) AS n_distinct,
+             CAST(sum(c * (length(bin(c*c*c*c)) - 1)) AS BIGINT) AS s
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           n_distinct,
+           CAST(n * (length(bin(n*n*n*n)) - 1) - s AS BIGINT) AS entropy_q4_num,
+           CAST(n * (length(bin(n*n*n*n)) - 1) - s AS DOUBLE) / CAST(4 * n AS DOUBLE)
+             AS entropy_q4_bits
+    FROM agg
+    """,
+    doc="NS oracle-backed exact twin of ns_text_token_entropy (VERDICT r3 "
+    "item 7): Shannon entropy in bits with every log2 quantized to 1/4 "
+    "bit via integer arithmetic — floor(4*log2(x)) = length(bin(x^4))-1, "
+    "exact in both engines for x < 2^15.75 (tokens-per-doc bound ~55k; "
+    "DuckDB errors loudly on int64 overflow past it). "
+    "H_q = [n*ilog(n) - sum(c*ilog(c))] / (4n): the numerator is a pure "
+    "BIGINT and the final value one correctly-rounded double division, "
+    "so the row hashes bit-identically — the portability the ln() form "
+    "cannot offer (JVM Math.log vs libm differ by ulps). Bonus over the "
+    "rows-only twin: integer sums commute, so no collect_list canonical "
+    "fold order is needed — one token shuffle, one per-doc reduce.",
+)
+def ns_text_token_entropy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def ilog4(c):  # floor(4*log2(c)) for bigint c >= 1, exact
+        return (F.length(F.bin(c * c * c * c)) - F.lit(1)).cast("bigint")
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        token_rows(d, ["doc_id"])
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * ilog4(F.col("c"))).cast("bigint").alias("s"),
+    )
+    num = F.col("n") * ilog4(F.col("n")) - F.col("s")
+    return agg.select(
+        F.col("doc_id"),
+        F.col("n").alias("n_tokens"),
+        F.col("n_distinct"),
+        num.cast("bigint").alias("entropy_q4_num"),
+        (num.cast("double") / (F.lit(4) * F.col("n")).cast("double")).alias(
+            "entropy_q4_bits"
+        ),
+    )

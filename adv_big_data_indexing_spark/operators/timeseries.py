@@ -776,3 +776,40 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > ANOM_Z)
     )
+
+
+@query(
+    "ts_interval_join",
+    oracle="""
+    SELECT e.user_id AS e_user,
+           e.event_id AS e_id,
+           e.ts AS e_ts,
+           c.event_id AS c_id,
+           c.ts AS c_ts
+    FROM events e
+    JOIN events c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 3600 SECOND
+     AND c.ts < e.ts
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """,
+    doc="EXT batch twin of the stream-stream interval join "
+    "(streaming/events.py:error_click_interval_join, verified vs this "
+    "shape in test_streaming.py): each error paired with the same "
+    "user's clicks from the preceding hour. Equi-join on user_id with "
+    "the time band as a post-join filter — one shuffle, no range "
+    "explosion; the streaming form bounds the identical state with "
+    "watermarks. Driver row here = the oracle gate for the streaming "
+    "operator's join semantics (VERDICT r3 item 6).",
+)
+def ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.streaming.events import (
+        error_click_interval_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return error_click_interval_join(
+        e.filter(F.col("event_type") == "error"),
+        e.filter(F.col("event_type") == "click"),
+        window_sec=3600,
+    )

@@ -40,3 +40,34 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"c_custkey", "n_urgent", "urgent_orders"} <= set(df.columns)
+
+
+def test_driver_alias_window_guard():
+    """The alias rotation must keep every windowed query inside the
+    driver's first-50 alphabetical window, never point at a name missing
+    from the registry, and never shadow a real registry name.
+
+    VERDICT r3 item 8: without this, a future rotation could silently
+    drop a query out of verification (a window name that isn't a
+    registry name aliases nothing — the query then sorts outside the
+    window and gets no CORRECTNESS row).
+    """
+    import __spark_entry__ as e
+
+    reg = registry()
+    window = e._DRIVER_WINDOW_R4
+
+    assert len(window) == len(set(window)), "duplicate names in window"
+    unknown = [n for n in window if n not in reg]
+    assert not unknown, f"window names not in registry: {unknown}"
+    assert len(window) <= 50, "window exceeds the driver's 50-query check"
+
+    q = e.queries()
+    first50 = sorted(q)[:50]
+    for name in window:
+        assert f"a_{name}" in first50, f"{name} aliased but sorts outside first-50"
+    # an alias must never collide with a canonical registry name
+    shadows = [n for n in window if f"a_{n}" in reg]
+    assert not shadows, f"aliases shadow registry names: {shadows}"
+    # every oracle key must have a queries() key (driver pairs them by name)
+    assert set(e.oracle_sql()) <= set(q)

@@ -519,6 +519,8 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_ids, b_mat, b_n2 = bc.value
         b_sqrt = np.sqrt(b_n2.astype(np.float64))
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty Arrow batch: np.array(list(...)) is 1-D
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf["q"]), dtype=np.int64)
             a_n2 = (a_mat * a_mat).sum(axis=1)
@@ -587,6 +589,8 @@ def ns_dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_ids, b_mat, b_n2 = bc.value
         b_sqrt = np.sqrt(b_n2.astype(np.float64))
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty Arrow batch: np.array(list(...)) is 1-D
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf["q"]), dtype=np.int64)
             a_n2 = (a_mat * a_mat).sum(axis=1)

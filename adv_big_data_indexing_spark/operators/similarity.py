@@ -70,12 +70,17 @@ def _ranked_topk(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _bruteforce_topk(e: DataFrame) -> DataFrame:
-    """Exact top-k from an already-quantized (vec_id, q, n2) frame."""
+def _bruteforce_topk(e: DataFrame, op_name: str = "ns_ann_topk_bruteforce") -> DataFrame:
+    """Exact top-k from an already-quantized (vec_id, q, n2) frame.
+
+    Callers must pass an already-checkpointed frame: the cap guard's
+    ``count()`` is an extra action, and on an un-checkpointed input it
+    would re-execute the whole quantization pipeline.
+    """
     n_candidates = e.count()
     if n_candidates > MAX_BRUTEFORCE_CANDIDATES:
         raise ValueError(
-            f"ns_ann_topk_bruteforce scans all {n_candidates} vectors per query "
+            f"{op_name} scans all {n_candidates} vectors per query "
             f"(cap {MAX_BRUTEFORCE_CANDIDATES}); use ns_ann_lsh_bucketed or "
             f"ns_ann_ivf for candidate pruning at this scale — "
             f"ns_ann_lsh_recall quantifies the recall trade."
@@ -121,7 +126,9 @@ def _bruteforce_topk(e: DataFrame) -> DataFrame:
     "(ns_ann_lsh_recall measures what that routing costs in recall).",
 )
 def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _bruteforce_topk(_quantized(spark, sf_dir))
+    # checkpoint: the cap guard's count() and the crossJoin sides would
+    # otherwise each re-execute the quantization pipeline
+    return _bruteforce_topk(_quantized(spark, sf_dir).localCheckpoint(eager=True))
 
 
 # --- LSH-bucketed variant --------------------------------------------------
@@ -515,7 +522,7 @@ def ns_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side scans the checkpoint instead of re-executing the pipeline
     # (6 re-executions → 1; measured 10.6 s → ~4 s at sf0.1).
     e = _quantized(spark, sf_dir).localCheckpoint(eager=True)
-    exact = _bruteforce_topk(e).select("query_id", "neighbor_id")
+    exact = _bruteforce_topk(e, op_name="ns_ann_lsh_recall").select("query_id", "neighbor_id")
     approx = _lsh_topk(spark, e).select(
         F.col("query_id").alias("l_query_id"), F.col("neighbor_id").alias("l_neighbor_id")
     )

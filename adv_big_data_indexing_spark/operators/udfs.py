@@ -244,14 +244,28 @@ def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     history sorts inside one Arrow batch; state never crosses groups, so
     the operator scales with the number of users, not events-per-shuffle.
     """
+    import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        # ewm(adjust=False) IS the recurrence y_i = α·x_i + (1−α)·y_{i−1}
-        # (y_0 = x_0), computed vectorized — bit-identical to the scalar
-        # loop (same double ops in the same order), ~6× faster per batch
-        pdf["ewma"] = pdf["value"].ewm(alpha=alpha, adjust=False).mean()
+        # Explicit scalar recurrence, NOT pandas ewm(adjust=False): ewm
+        # skips the update when y_{i−1} already equals x_i (y stays
+        # exactly x), while the oracle CTE always computes
+        # α·x + (1−α)·y — 1 ulp apart for e.g. x = 0.1. The loop below
+        # performs the same three correctly-rounded IEEE ops in the same
+        # order as the CTE on every step, so parity holds on any data,
+        # including equal consecutive values.
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        y = np.empty_like(x)
+        if len(x):
+            acc = x[0]
+            y[0] = acc
+            beta = 1.0 - alpha
+            for i in range(1, len(x)):
+                acc = alpha * x[i] + beta * acc
+                y[i] = acc
+        pdf["ewma"] = y
         return pdf[["user_id", "event_id", "ts", "value", "ewma"]]
 
     # Pre-hash-partition on the group key with FEWER, fatter partitions:
@@ -272,10 +286,11 @@ def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
 @query(
     "ns_udf_ewma",
     # The recurrence y_i = 0.3·x_i + (1−0.3)·y_{i−1} is three correctly-
-    # rounded IEEE double ops per step in a deterministic order (pandas
-    # ewm(adjust=False) is bit-identical to the scalar loop —
-    # tests/test_udfs.py asserts it with rel=0), so a DuckDB recursive
-    # CTE replaying the identical op sequence reproduces every bit.
+    # rounded IEEE double ops per step in a deterministic order (the UDF
+    # runs the explicit scalar loop — tests/test_udfs.py asserts it with
+    # rel=0, including equal consecutive values where pandas ewm would
+    # skip the update), so a DuckDB recursive CTE replaying the
+    # identical op sequence reproduces every bit.
     oracle="""
     WITH RECURSIVE ordered AS (
       SELECT user_id, event_id, ts, value,

@@ -139,9 +139,11 @@ def anomaly_zscores(events: DataFrame) -> DataFrame:
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         for _, row in pdf.iterrows():
-            # HALF_UP like Spark's F.round (Python round() is banker's);
-            # values are non-negative so floor(x+0.5) is half-away-from-zero
-            qx = int(np.floor(float(row["value"]) * ANOM_Q + 0.5))
+            # HALF_UP like Spark's F.round (Python round() is banker's):
+            # sign-aware so negative values also round half-away-from-zero
+            # and stay bit-identical to the batch twin ts_anomaly_zscore
+            v = float(row["value"]) * ANOM_Q
+            qx = int(np.copysign(np.floor(abs(v) + 0.5), v))
             n = len(buf)
             if n >= ANOM_MIN_N:
                 arr = np.array(buf, dtype=np.int64)

@@ -97,6 +97,34 @@ def test_ewma_matches_pandas_reference(spark):
             assert got[(uid, row.event_id)] == pytest.approx(acc, abs=0, rel=0), (uid, row.event_id)
 
 
+def test_ewma_equal_consecutive_values(spark):
+    """Regression (ADVICE r3): pandas ewm(adjust=False) skips the update
+    when the running average equals the incoming value (keeps y == x
+    exactly), while the oracle CTE always computes α·x + (1−α)·y — 1 ulp
+    apart for x = 0.1. The implementation must take the always-compute
+    branch so parity holds on data with repeated values."""
+    import datetime
+
+    from adv_big_data_indexing_spark.operators.udfs import user_value_ewma
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + datetime.timedelta(seconds=i), 0.1) for i in range(3)
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.ewma
+        for r in user_value_ewma(events, alpha=0.3).collect()
+    }
+    assert got[0] == 0.1
+    # always-compute: 0.3*0.1 + 0.7*0.1 == 0.09999999999999999 != 0.1
+    expected = 0.3 * 0.1 + 0.7 * 0.1
+    assert got[1] == expected and got[1] != 0.1
+    assert got[2] == 0.3 * 0.1 + 0.7 * expected
+
+
 def test_token_entropy_close_to_reference(spark):
     import math
     from collections import Counter

@@ -46,13 +46,18 @@ def avg_money(col: Column | str, alias: str) -> Column:
 def cents(col: Column | str) -> Column:
     """Exact integer cents from a ≤2-decimal money double.
 
-    ``x*100`` lands within float-error of an integer, so ``round`` recovers
-    it exactly in every engine regardless of tie mode (no true halves can
-    occur). Long arithmetic on cents beats decimal(18,2) aggregation ~2×
-    (single scan-side pass, stays in whole-stage codegen's primitive path).
+    ``x*100`` lands within float-error of an integer, so any
+    round-to-nearest recovers it exactly in every engine regardless of
+    tie mode (no true halves can occur) — which licenses the cheap form
+    ``floor(x*100 + 0.5)``: correct for negatives too in this domain
+    (the value is never within 0.5-ε of a half-integer), and a primitive
+    double op in whole-stage codegen, where ``F.round`` on a double
+    allocates a java.math.BigDecimal per row (~2× the whole scan stage
+    on the TPC-H Q1 shape). Long arithmetic on cents then beats
+    decimal(18,2) aggregation ~2× on top.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * 100).cast("bigint")
+    return F.floor(c * 100 + F.lit(0.5)).cast("bigint")
 
 
 def quantize_vec(col: Column, scale: int = 1_000_000) -> Column:

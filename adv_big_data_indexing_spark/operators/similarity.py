@@ -126,9 +126,79 @@ def _bruteforce_topk(e: DataFrame, op_name: str = "ns_ann_topk_bruteforce") -> D
     "(ns_ann_lsh_recall measures what that routing costs in recall).",
 )
 def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # checkpoint: the cap guard's count() and the crossJoin sides would
-    # otherwise each re-execute the quantization pipeline
-    return _bruteforce_topk(_quantized(spark, sf_dir).localCheckpoint(eager=True))
+    """Single-pass Arrow/numpy form of the exact rescoring stage.
+
+    The query panel (N_QUERIES vectors) is collected, quantized in numpy
+    (same floor(x·1e6) as quantize_vec — float32→float64 widening and the
+    double multiply are exact/correctly-rounded in both paths) and
+    broadcast; one mapInPandas pass over the candidates then computes the
+    exact int64 dot matrix per Arrow batch and keeps each batch's local
+    top-k per query in the GLOBAL total order (-cosine, neighbor_id), so
+    the final window ranks ≤ k·batches rows instead of all pairs. Exact
+    same output as the crossJoin+window form (`_bruteforce_topk`, still
+    the shape the recall contract shares with the LSH path): cosine is
+    (dot/sqrt(na))/sqrt(nb) — identical IEEE op order. Replaces 5 stages
+    (repartition, checkpoint, crossJoin, partial topk, window) with 2.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # metadata-only count (parquet footer): the same routing guard as
+    # _bruteforce_topk without touching the data pages
+    n_candidates = raw.count()
+    if n_candidates > MAX_BRUTEFORCE_CANDIDATES:
+        raise ValueError(
+            f"ns_ann_topk_bruteforce scans all {n_candidates} vectors per query "
+            f"(cap {MAX_BRUTEFORCE_CANDIDATES}); use ns_ann_lsh_bucketed or "
+            f"ns_ann_ivf for candidate pruning at this scale — "
+            f"ns_ann_lsh_recall quantifies the recall trade."
+        )
+
+    def _npq(vecs) -> "np.ndarray":  # numpy twin of quantize_vec
+        return np.floor(
+            np.array(list(vecs), dtype=np.float64) * 1_000_000.0
+        ).astype(np.int64)
+
+    q_rows = raw.filter(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = _npq(r.embedding for r in q_rows)
+    q_n2 = (q_mat * q_mat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_n2))
+
+    def gen(batches):
+        b_ids, b_mat, b_n2 = bc.value
+        a_sqrt = np.sqrt(b_n2.astype(np.float64))
+        for pdf in batches:
+            if not len(pdf):
+                continue  # empty Arrow batch: np.array(list(...)) is 1-D
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n_mat = _npq(pdf["embedding"])
+            n_n2 = (n_mat * n_mat).sum(axis=1)
+            dot = q_mat @ n_mat.T  # exact int64
+            cos = (
+                dot.astype(np.float64) / a_sqrt[:, None]
+            ) / np.sqrt(n_n2.astype(np.float64))[None, :]
+            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for qi in range(len(b_ids)):
+                c = cos[qi]
+                mask = n_ids != b_ids[qi]
+                idx = np.nonzero(mask)[0]
+                # local top-k in the global total order (-cosine, neighbor_id)
+                # so per-batch truncation can never drop a global top-k row
+                order = idx[np.lexsort((n_ids[idx], -c[idx]))[:TOP_K]]
+                out["query_id"].extend([b_ids[qi]] * len(order))
+                out["neighbor_id"].extend(n_ids[order])
+                out["cosine"].extend(c[order])
+            yield pd.DataFrame(out)
+
+    local = raw.mapInPandas(gen, schema="query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
 
 
 # --- LSH-bucketed variant --------------------------------------------------

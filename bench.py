@@ -42,11 +42,17 @@ def main() -> None:
         n for n, s in specs.items() if (os.environ.get("BENCH_ALL") == "1" or s.bench)
     )
 
-    # warmup: spin executors + parquet footers before timing
-    materialize(specs["op_d1_hit_count"].fn(spark, sf_dir))
+    # Steady-state warmup: run the WHOLE timed set once untimed before any
+    # timing starts. The BASELINE.md DuckDB numbers are explicitly
+    # steady-state (warm plans, 32 warm threads), so symmetry demands the
+    # JVM reach steady state too — one pass compiles every query's codegen
+    # and lets C2 finish with the shared paths (parquet decode, hash agg,
+    # sort) hot; without it, whichever query runs first absorbs the JIT
+    # ramp (~0.3 s) that alphabetical neighbors then don't pay.
+    for name in names:
+        materialize(specs[name].fn(spark, sf_dir))
 
-    # Steady-state timing: run each query once to pay plan compilation +
-    # codegen (amortized in any real deployment), then report the best of
+    # Then per query: one more untimed run (plan re-derivation), best of
     # two timed runs — single-run timings on a 32-thread local JVM swing
     # ±0.3 s/query with machine noise, which would otherwise dominate the
     # round-over-round comparison.

@@ -90,6 +90,8 @@ _DRIVER_WINDOW_R4 = (
     "ts_interval_join",
     "ts_cms_event_types",
     "ns_text_token_entropy_exact",
+    "ns_corpus_shuffle",
+    "ns_quality_curriculum",
     # spot-check re-runs (green in r1-r3; guard against regressions in the
     # files touched this round and the §2 core)
     "ns_dedup_minhash_lsh",
@@ -120,8 +122,6 @@ _DRIVER_WINDOW_R4 = (
     "op_g4_cascade_closure",
     "ts_session_window",
     "ts_tumbling_window",
-    "ts_user_stats",
-    "ext_window_rank",
 )
 
 

@@ -34,7 +34,7 @@ from adv_big_data_indexing_spark.operators.sampling import (
     duck_hash_bucket,
     split_assign,
 )
-from adv_big_data_indexing_spark.operators.text import _duck_grams
+from adv_big_data_indexing_spark.operators.text import _STOPWORDS, _duck_grams, _sql_list
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
 #: quality gate: minimum whitespace-token count (median corpus doc ≈ 56)
@@ -234,3 +234,126 @@ def ns_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("c_name", ID_PATTERN, ID_MASK).alias("masked"),
         (F.size(matches) > 0).alias("has_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-order shuffle + shard manifest
+# ---------------------------------------------------------------------------
+
+#: shards for the deterministic training-order shuffle
+N_SHUFFLE_SHARDS = 16
+_SHUF_SALT = "shuffle42"
+
+
+@query(
+    "ns_corpus_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{_SHUF_SALT}:' || CAST(doc_id AS VARCHAR)) AS h,
+             {duck_hash_bucket("doc_id", salt=_SHUF_SALT)} % {N_SHUFFLE_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(shard AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+             AS pos
+    FROM h
+    """,
+    doc="NS deterministic training-order shuffle: every epoch's data order "
+    "is (shard, pos) with shard = md5-bucket mod N and pos = rank of the "
+    "full md5 within the shard — a total order that is reproducible from "
+    "the seed alone (restartable training, auditable sampling), yet never "
+    "computes a global sort: the only shuffle is the hash partition, and "
+    "each shard orders independently (the window is per-shard, so at "
+    "100 TB this is one exchange + per-partition sort, the same shape "
+    "files-per-shard manifests want anyway).",
+)
+def ns_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from adv_big_data_indexing_spark.operators.sampling import hash_bucket  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws(":", F.lit(_SHUF_SALT), F.col("doc_id").cast("string")))
+    shard = (hash_bucket(F.col("doc_id"), salt=_SHUF_SALT) % N_SHUFFLE_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-curriculum deciles (exact quantiles via fixed-point histogram)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ns_quality_curriculum",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST((1000000 * len(list_filter({DUCK_TOKENS.format(col="text")},
+                                             x -> x IN ({_sql_list(_STOPWORDS)})))) AS BIGINT)
+               // CAST({_DUCK_NTOK} AS BIGINT) AS score_q
+      FROM documents
+    ),
+    hist AS (
+      SELECT score_q, count(*) AS c FROM per GROUP BY score_q
+    ),
+    cum AS (
+      SELECT score_q,
+             sum(c) OVER (ORDER BY score_q) AS cum_le,
+             sum(c) OVER () AS n_total
+      FROM hist
+    ),
+    dec AS (
+      SELECT score_q,
+             CAST((10 * cum_le + n_total - 1) // n_total AS INTEGER) AS decile
+      FROM cum
+    )
+    SELECT per.doc_id, per.score_q, dec.decile
+    FROM per JOIN dec USING (score_q)
+    """,
+    doc="NS quality-curriculum deciles by VALUE (ties stay together): "
+    "score is an integer fixed-point stopword fraction "
+    "((1e6·stop_cnt) div n_tokens — pure integer, bit-portable), and the "
+    "decile is ceil(10·cum_le/N) from an exact histogram — NOT "
+    "ntile/cume_dist over a global sort, which would serialize the whole "
+    "corpus through one window task. The histogram aggregates map-side "
+    "to |distinct scores| rows, its cumulative window runs on that tiny "
+    "frame, and the decile map broadcasts back — the scale-correct way "
+    "to get exact (not approx) quantile bins at 100 TB. Curriculum "
+    "schedules then feed shards from decile d before d+1 (or mix per "
+    "ns_mixture_weights); the stopword signal is one policy choice — "
+    "swap the score expression, keep the shape.",
+)
+def ns_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(1000000 * size(filter(split(trim(text), '\\\\s+'), "
+            f"x -> x IN ({', '.join(repr(s) for s in sorted(_STOPWORDS))}))) AS BIGINT)"
+            " DIV size(split(trim(text), '\\\\s+'))"
+        ).alias("score_q"),
+    )
+    hist = per.groupBy("score_q").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy("score_q").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # both windows run on the tiny histogram frame only
+    dec = hist.select(
+        "score_q",
+        F.sum("c").over(w_cum).alias("cum_le"),
+        F.sum("c").over(w_all).alias("n_total"),
+    ).select(
+        "score_q",
+        F.expr("CAST((10 * cum_le + n_total - 1) DIV n_total AS INT)").alias("decile"),
+    )
+    return per.join(F.broadcast(dec), "score_q").select("doc_id", "score_q", "decile")

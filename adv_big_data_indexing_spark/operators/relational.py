@@ -627,12 +627,17 @@ def ext_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag
     """,
-    doc="EXT multi-distinct aggregate. Spark expands distinct aggregates; "
-    "at scale prefer approx_count_distinct (HLL) — exact here for the oracle.",
+    doc="EXT multi-distinct aggregate. Spark expands distinct aggregates "
+    "(3× rows here) but partial-aggregates the distinct combos map-side, "
+    "so ONE scan feeds a tiny shuffle — the right 100 TB shape (a "
+    "per-distinct split would re-scan the table per column). No spread(): "
+    "the expand+dedup is cheaper than a round-robin exchange of the raw "
+    "rows (measured 2× at sf0.1). At scale prefer approx_count_distinct "
+    "(HLL) — exact here for the oracle.",
 )
 def ext_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spread(load_table(spark, sf_dir, "lineitem"))
+        load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_suppkey").alias("n_supp"),

@@ -109,3 +109,53 @@ def test_decontaminate_consistent_with_near_dup_pairs(spark):
         assert splits[h.eval_doc_id] == "eval"
         assert h.eval_doc_id in dup_docs  # heavy overlap ⇒ near-dup doc
         assert h.n_shared_grams >= h.n_train_docs
+
+
+def test_corpus_shuffle_is_dense_total_order(spark):
+    """Every doc appears exactly once; within each shard pos is dense
+    1..n; the order is deterministic across independent evaluations."""
+    from adv_big_data_indexing_spark.contract import registry
+    from tests.conftest import SF_CORRECTNESS
+
+    fn = registry()["ns_corpus_shuffle"].fn
+    rows = fn(spark, SF_CORRECTNESS).collect()
+    n_docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(16))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # determinism: a second independent evaluation yields the same order
+    again = {(r.doc_id): (r.shard, r.pos) for r in fn(spark, SF_CORRECTNESS).collect()}
+    assert {(r.doc_id): (r.shard, r.pos) for r in rows} == again
+
+
+def test_quality_curriculum_deciles_monotone_and_complete(spark):
+    """Deciles are 1..10, monotone in score, tie-coherent (equal scores
+    share a decile), and by-value bucket sizes respect ceil(10*cum/N)."""
+    from adv_big_data_indexing_spark.contract import registry
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = registry()["ns_quality_curriculum"].fn(spark, SF_CORRECTNESS).collect()
+    assert all(1 <= r.decile <= 10 for r in rows)
+    by_score: dict[int, set[int]] = {}
+    for r in rows:
+        by_score.setdefault(r.score_q, set()).add(r.decile)
+    # tie-coherent: one decile per score value
+    assert all(len(d) == 1 for d in by_score.values())
+    # monotone: higher score never lands in a lower decile
+    scored = sorted((s, next(iter(d))) for s, d in by_score.items())
+    assert all(a[1] <= b[1] for a, b in zip(scored, scored[1:]))
+    # ceil(10*cum/N) law replayed in Python
+    n = len(rows)
+    cum = 0
+    from collections import Counter
+
+    counts = Counter(r.score_q for r in rows)
+    for s, c in sorted(counts.items()):
+        cum += c
+        want = -(-10 * cum // n)  # ceil
+        assert by_score[s] == {want}, (s, by_score[s], want)

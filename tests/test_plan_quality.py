@@ -152,3 +152,54 @@ def test_phrase_search_probe_not_scan(spark):
     # no cartesian anywhere
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_corpus_shuffle_no_global_sort(spark):
+    """The training-order shuffle must never compile to a single-partition
+    global window: shard is a hash bucket, pos a per-shard rank."""
+    p = plan_of(spark, "ns_corpus_shuffle")
+    # per-shard window: partition spec present (not an empty PARTITION BY)
+    assert "row_number()" in p
+    assert "hashpartitioning(shard" in p
+    # no global-sort Exchange SinglePartition feeding the window
+    import re
+
+    window_blocks = [b for b in p.split("\n") if "Window" in b]
+    assert window_blocks, p
+    assert "SinglePartition" not in p
+
+
+def test_quality_curriculum_broadcasts_decile_map(spark):
+    """The decile map (histogram-derived, tiny) must broadcast back to the
+    per-doc side — not shuffle the corpus on score_q."""
+    p = plan_of(spark, "ns_quality_curriculum")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_interval_join_is_equi_join_with_band_filter(spark):
+    """The batch interval join must hash/sort-merge on user_id with the
+    time band as a residual condition — never a broadcast nested loop
+    over the raw event stream."""
+    p = plan_of(spark, "ts_interval_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_ann_bruteforce_is_two_stage_pipeline(spark):
+    """The single-pass rewrite: one Arrow-batched scan stage feeding one
+    small top-k window — no crossJoin, no checkpoint scan, no repartition
+    exchange of the candidate side."""
+    p = plan_of(spark, "ns_ann_topk_bruteforce")
+    assert "MapInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # exactly one exchange: the tiny (query_id-partitioned) top-k window
+    assert p.count("Exchange") <= 2  # window hash + possible AQE read
+
+
+def test_cms_event_types_partial_aggregates(spark):
+    """The CMS counter build must combine map-side: the shuffle carries
+    (ri, b) partial counts — d*w rows — not one row per event."""
+    p = plan_of(spark, "ts_cms_event_types")
+    assert "partial_count" in p

@@ -92,6 +92,7 @@ _DRIVER_WINDOW_R4 = (
     "ns_text_token_entropy_exact",
     "ns_corpus_shuffle",
     "ns_quality_curriculum",
+    "ns_text_bigram_surprisal",
     # spot-check re-runs (green in r1-r3; guard against regressions in the
     # files touched this round and the §2 core)
     "ns_dedup_minhash_lsh",

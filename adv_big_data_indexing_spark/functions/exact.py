@@ -109,3 +109,42 @@ def int_dot_fixed(a: Column, b: Column, dim: int) -> Column:
             for i in range(0, len(terms), 2)
         ]
     return terms[0]
+
+
+def ilog2_q4(col: Column) -> Column:
+    """floor-ish(4·log2 x) for BIGINT x ≥ 1, overflow-safe to 2^63.
+
+    ``length(bin(y⁴))−1`` gives floor(4·log2 y) exactly, but y⁴ only
+    fits an int64 for y < 2^15.75 — so for larger x the top 15 bits are
+    kept (y = x div 2^s, s = max(L−14, 0), L = floor(log2 x)) and the
+    result is 4·s + floor(4·log2 y). The truncation can differ from the
+    true floor(4·log2 x) by at most one quarter-bit step near a
+    boundary (relative error ~2^−14), but the FORMULA is pure integer
+    arithmetic evaluated identically in both engines, so cross-engine
+    parity is exact regardless. 2^s is exact in a double up to s = 49.
+    """
+    c = col.cast("bigint")
+    L = (F.length(F.bin(c)) - F.lit(1)).cast("int")
+    s = F.greatest(L - F.lit(14), F.lit(0))
+    p = F.pow(F.lit(2.0), s).cast("bigint")
+    # exact top-15-bit extraction without integer-div syntax: c - c%p is
+    # y·2^s with y < 2^15 (≤15 significant bits), so the double division
+    # by 2^s is exact at ANY magnitude — no 53-bit mantissa hazard.
+    y = ((c - (c % p)) / p).cast("bigint")
+    return (
+        F.lit(4) * s.cast("bigint")
+        + (F.length(F.bin(y * y * y * y)) - F.lit(1)).cast("bigint")
+    )
+
+
+#: DuckDB mirror of :func:`ilog2_q4` (substitute {col}); y⁴ is spelled as
+#: repeated multiplication because ``**`` returns DOUBLE (inexact > 2^53).
+_DUCK_ILOG_S = "greatest(length(bin(CAST({col} AS BIGINT))) - 15, 0)"
+_DUCK_ILOG_Y = (
+    "(CAST({col} AS BIGINT) // CAST(power(2, " + _DUCK_ILOG_S + ") AS BIGINT))"
+)
+DUCK_ILOG2_Q4 = (
+    "(4 * " + _DUCK_ILOG_S + " + length(bin("
+    + _DUCK_ILOG_Y + " * " + _DUCK_ILOG_Y + " * "
+    + _DUCK_ILOG_Y + " * " + _DUCK_ILOG_Y + ")) - 1)"
+)

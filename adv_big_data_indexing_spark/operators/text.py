@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.exact import DUCK_ILOG2_Q4
 from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, token_rows, tokens
 from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
@@ -649,4 +650,105 @@ def ns_text_token_entropy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num.cast("double") / (F.lit(4) * F.col("n")).cast("double")).alias(
             "entropy_q4_bits"
         ),
+    )
+
+
+_DUCK_BIGRAMS_CTE = f"""
+  t AS (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents),
+  occ AS (
+    SELECT doc_id, pair[1] AS w1, pair[1] || ' ' || pair[2] AS bigram
+    FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1), i -> [toks[i], toks[i+1]])
+             ELSE [] END) AS pair
+      FROM t
+    )
+  ),
+  doc_bi AS (
+    SELECT doc_id, w1, bigram, count(*) AS n_occ FROM occ GROUP BY 1, 2, 3
+  ),
+  c_bi AS (SELECT bigram, count(*) AS cb FROM occ GROUP BY 1),
+  c_first AS (SELECT w1, count(*) AS cf FROM occ GROUP BY 1)
+"""
+
+
+@query(
+    "ns_text_bigram_surprisal",
+    oracle=f"""
+    WITH {_DUCK_BIGRAMS_CTE}
+    SELECT d.doc_id,
+           CAST(sum(d.n_occ) AS BIGINT) AS n_bigrams,
+           CAST(sum(d.n_occ * ({DUCK_ILOG2_Q4.format(col="f.cf")}
+                               - {DUCK_ILOG2_Q4.format(col="b.cb")})) AS BIGINT)
+             AS surprisal_q4_sum,
+           CAST(sum(d.n_occ * ({DUCK_ILOG2_Q4.format(col="f.cf")}
+                               - {DUCK_ILOG2_Q4.format(col="b.cb")})) AS DOUBLE)
+             / CAST(4 * sum(d.n_occ) AS DOUBLE) AS avg_surprisal_bits
+    FROM doc_bi d
+    JOIN c_bi b USING (bigram)
+    JOIN c_first f USING (w1)
+    GROUP BY d.doc_id
+    """,
+    doc="NS corpus-statistics surprisal per document — the LM-free "
+    "fluency/perplexity proxy: each bigram occurrence costs "
+    "log2(count(w1·) / count(w1 w2)) bits, averaged per doc; high values "
+    "flag unnatural token sequences (OCR noise, shuffled scrapes), low "
+    "values flag boilerplate. Every log2 is the overflow-safe quarter-bit "
+    "integer form (functions/exact.py:ilog2_q4 — exact cross-engine to "
+    "2^63, so corpus-scale counts are safe), making the whole signal "
+    "bit-portable with one final double division. Scale shape: one token "
+    "explode feeding three map-side-combined aggregates; the per-doc "
+    "frame joins the (distinct-bigram) count tables on their natural "
+    "keys — partitioned hash joins that never touch raw text, and ilog "
+    "runs on the tiny aggregated frames only.",
+)
+def ns_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.functions.exact import ilog2_q4  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toked = d.select("doc_id", tokens("text").alias("toks"))
+    occ = (
+        toked.select(
+            "doc_id",
+            F.explode_outer(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - 2),
+                        lambda i: F.struct(
+                            F.element_at("toks", i + 1).alias("w1"),
+                            F.concat_ws(
+                                " ",
+                                F.element_at("toks", i + 1),
+                                F.element_at("toks", i + 2),
+                            ).alias("bigram"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("p"),
+        )
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bigram").alias("bigram"))
+    )
+    doc_bi = occ.groupBy("doc_id", "w1", "bigram").agg(F.count("*").alias("n_occ"))
+    c_bi = occ.groupBy("bigram").agg(F.count("*").alias("cb"))
+    c_first = occ.groupBy("w1").agg(F.count("*").alias("cf"))
+    scored = (
+        doc_bi.join(c_bi.select("bigram", ilog2_q4(F.col("cb")).alias("qb")), "bigram")
+        .join(c_first.select("w1", ilog2_q4(F.col("cf")).alias("qf")), "w1")
+        .select("doc_id", "n_occ", (F.col("n_occ") * (F.col("qf") - F.col("qb"))).alias("bits_q4"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("bigint").alias("n_bigrams"),
+        F.sum("bits_q4").cast("bigint").alias("surprisal_q4_sum"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_q4_sum",
+        (
+            F.col("surprisal_q4_sum").cast("double")
+            / (F.lit(4) * F.col("n_bigrams")).cast("double")
+        ).alias("avg_surprisal_bits"),
     )

@@ -60,3 +60,64 @@ def test_centroid_counts_match_label_sizes(spark):
     # every label has exactly 64 dims
     dims = got.groupBy("label").count().collect()
     assert all(r["count"] == 64 for r in dims)
+
+
+def test_ilog2_q4_cross_engine_and_bounds(spark, duck):
+    """ilog2_q4 must be bit-identical to its DuckDB mirror across nibble
+    boundaries, the y^4 truncation threshold, and up to 2^63-1, and stay
+    within one quarter-bit step (plus ~2^-14 truncation) of true 4*log2."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from adv_big_data_indexing_spark.functions.exact import DUCK_ILOG2_Q4, ilog2_q4
+
+    vals = [1, 2, 3, 15, 16, 17, 32767, 32768, 32769, 55107, 55108, 55109,
+            10**6, 10**12, 10**15, 2**52 - 1, 2**53, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "x long").select(
+        "x", ilog2_q4(F.col("x")).alias("q")
+    )
+    got = {r.x: r.q for r in df.collect()}
+    want = dict(
+        duck.execute(
+            f"SELECT x, {DUCK_ILOG2_Q4.format(col='x')} FROM (SELECT unnest({vals}) AS x)"
+        ).fetchall()
+    )
+    assert got == want
+    for v in vals:
+        assert abs(got[v] - 4 * math.log2(v)) <= 1 + 4 * v * 2**-14 / max(v, 1), v
+
+
+def test_bigram_surprisal_matches_python_reference(spark):
+    """Replay the quarter-bit surprisal in Python on a handful of docs."""
+    from collections import Counter
+
+    from adv_big_data_indexing_spark.contract import registry
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = registry()["ns_text_bigram_surprisal"].fn(spark, SF_CORRECTNESS).collect()
+    got = {r.doc_id: (r.n_bigrams, r.surprisal_q4_sum) for r in rows}
+
+    docs = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    occ = []
+    for d in docs:
+        toks = d.text.split()
+        occ += [(d.doc_id, toks[i], (toks[i], toks[i + 1])) for i in range(len(toks) - 1)]
+    cf = Counter(o[1] for o in occ)
+    cb = Counter(o[2] for o in occ)
+
+    def ilog(x: int) -> int:
+        s = max(x.bit_length() - 15, 0)
+        y = x >> s
+        return 4 * s + (y * y * y * y).bit_length() - 1
+
+    for d in docs[:40]:
+        toks = d.text.split()
+        pairs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        if not pairs:
+            assert d.doc_id not in got
+            continue
+        want_sum = sum(ilog(cf[a]) - ilog(cb[(a, b)]) for a, b in pairs)
+        assert got[d.doc_id] == (len(pairs), want_sum), d.doc_id

@@ -396,3 +396,63 @@ def test_streaming_anomaly_matches_batch(spark, tmp_path):
     assert set(got) == set(exp)
     for k in got:
         assert math.isclose(got[k], exp[k], rel_tol=0, abs_tol=0), k
+
+
+def test_streaming_anomaly_matches_batch_negative_values(spark, tmp_path):
+    """Regression (ADVICE r3): the streaming quantizer must round
+    half-away-from-zero for NEGATIVE values too (sign-aware floor), or it
+    diverges from the batch twin's F.round. Same flow as the in-order
+    parity test, with the value pattern mirrored below zero and tie-ish
+    magnitudes (x.xx5) included."""
+    import math
+
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:{i // 2:02d}:{(i % 2) * 30:02d}",
+            i % 2,
+            "click",
+            -1000.0 if i in (40, 41, 50) else -10.005 - (i % 7) * 0.255,
+        )
+        for i in range(60)
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    src = str(tmp_path / "anom_neg_src")
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = _run_stream_to_memory(spark, ev.anomaly_zscores(stream), "t_anom_neg", "append")
+    got = {(r.user_id, r.event_id): r.z for r in out.collect()}
+    assert got, "negative spike rows must be flagged"
+
+    import adv_big_data_indexing_spark.operators.timeseries as ts
+    from pyspark.sql.window import Window
+
+    qx = F.round(F.col("value") * ts.ANOM_Q).cast("bigint")
+    win = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-ts.ANOM_WINDOW, -1)
+    )
+    w = batch_df.select(
+        "user_id", "event_id", qx.alias("qx"),
+        F.count(qx).over(win).alias("n"),
+        F.sum(qx).over(win).alias("s"),
+        F.sum(qx * qx).over(win).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = (F.col("qx").cast("double") - mean) / F.sqrt(var)
+    exp = {
+        (r.user_id, r.event_id): r.z
+        for r in w.filter((F.col("n") >= ts.ANOM_MIN_N) & (var > 0))
+        .select("user_id", "event_id", z.alias("z"))
+        .filter(F.abs(F.col("z")) > ts.ANOM_Z)
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k in got:
+        assert math.isclose(got[k], exp[k], rel_tol=0, abs_tol=0), k

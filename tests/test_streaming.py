@@ -456,3 +456,26 @@ def test_streaming_anomaly_matches_batch_negative_values(spark, tmp_path):
     assert set(got) == set(exp)
     for k in got:
         assert math.isclose(got[k], exp[k], rel_tol=0, abs_tol=0), k
+
+
+def test_streaming_cms_converges_to_registry_batch_twin(spark, tmp_path):
+    """The driver-verified batch twin (ts_cms_event_types) and the
+    streaming CMS state must agree row-for-row on the SAME source — the
+    registry query is the oracle gate for the streaming operator, so the
+    two must stay the same algorithm, not merely similar ones."""
+    from adv_big_data_indexing_spark.contract import registry
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+    from tests.conftest import SF_CORRECTNESS
+
+    events = load_table(spark, SF_CORRECTNESS, "events")
+    src = str(tmp_path / "src")
+    events.select("event_id", "event_type").coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("event_id long, event_type string").parquet(src)
+    state = str(tmp_path / "cms_state")
+    q = ev.run_streaming_cms(stream, state, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    got = {(r.ri, r.b): r.cnt for r in spark.read.parquet(state).collect()}
+    twin = registry()["ts_cms_event_types"].fn(spark, SF_CORRECTNESS)
+    expect = {(r.ri, r.b): r.cnt for r in twin.collect()}
+    assert got == expect

@@ -105,6 +105,42 @@ SHOWCASE = [
         "scan itself never reshuffles.",
     ),
     (
+        "ns_ann_topk_bruteforce",
+        "Exact ANN rescoring, single-pass form: the 10-vector query "
+        "panel broadcasts as numpy; ONE Arrow-batched scan stage computes "
+        "the exact int64 dot matrix and keeps each batch's top-k in the "
+        "global total order, so the final window ranks k*batches rows — "
+        "no crossJoin, no checkpoint, no repartition of the candidates.",
+    ),
+    (
+        "ns_corpus_shuffle",
+        "Training-order shuffle: shard is a hash bucket, pos a per-shard "
+        "row_number — one hash exchange + per-partition sort; the epoch "
+        "order is reproducible from the seed with NO global sort at any "
+        "scale.",
+    ),
+    (
+        "ns_quality_curriculum",
+        "Exact quantile bins: the corpus aggregates to an integer-score "
+        "histogram (map-side partial), the cumulative window runs on that "
+        "tiny frame, and the decile map broadcasts back — exact deciles "
+        "without ntile over a global sort.",
+    ),
+    (
+        "ns_text_bigram_surprisal",
+        "Corpus-statistics surprisal: one token explode feeds three "
+        "map-side-combined aggregates; the quarter-bit integer log2 runs "
+        "on the distinct-gram tables only, and the per-doc join is a "
+        "partitioned hash join that never touches raw text.",
+    ),
+    (
+        "ts_interval_join",
+        "Stream-stream interval join (batch twin): equi-join on user_id "
+        "with the time band as a residual filter — one shuffle, no "
+        "BroadcastNestedLoopJoin; the streaming form bounds the same "
+        "state with watermarks.",
+    ),
+    (
         "ts_anomaly_zscore",
         "Rolling anomaly detection: one shuffle on user_id, one Window "
         "over the trailing frame with exact integer state (quantized "

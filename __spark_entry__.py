@@ -93,6 +93,7 @@ _DRIVER_WINDOW_R4 = (
     "ns_corpus_shuffle",
     "ns_quality_curriculum",
     "ns_text_bigram_surprisal",
+    "ns_doc_chunking",
     # spot-check re-runs (green in r1-r3; guard against regressions in the
     # files touched this round and the §2 core)
     "ns_dedup_minhash_lsh",
@@ -101,7 +102,6 @@ _DRIVER_WINDOW_R4 = (
     "ns_dedup_incremental",
     "ns_dedup_ngram_jaccard",
     "ns_dedup_components",
-    "ns_dedup_cluster_stats",
     "ns_corpus_curation",
     "ns_decontaminate",
     "ns_mixture_weights",

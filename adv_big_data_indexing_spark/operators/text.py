@@ -752,3 +752,57 @@ def ns_text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(4) * F.col("n_bigrams")).cast("double")
         ).alias("avg_surprisal_bits"),
     )
+
+
+#: context-window chunker: window size / stride in whitespace tokens
+CHUNK_W = 64
+CHUNK_S = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "ns_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * {CHUNK_S} AS BIGINT) AS chunk_start,
+           CAST(len(toks[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(toks[i * {CHUNK_S} + 1 : i * {CHUNK_S} + {CHUNK_W}], ' ')
+             AS chunk_text
+    FROM t CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS i)
+    WHERE i * {CHUNK_S} < len(toks)
+    """,
+    doc="NS context-window chunking: overlapping token windows "
+    f"(W={CHUNK_W}, stride={CHUNK_S}) per document — the training-prep / "
+    "retrieval-indexing splitter. Embarrassingly parallel: one tokenize + "
+    "one in-row transform + one explode, no shuffle at all (the plan is a "
+    "single map stage at any corpus size); chunk boundaries depend only "
+    "on the document itself, so the operator composes with any "
+    "partitioning. The oracle's bounded generate_series mirrors the "
+    "transform exactly (documents cap at 1000 chunks ≈ 48k tokens; "
+    "longer docs would raise the bound, not the shape).",
+)
+def ns_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toked = d.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    n_chunks = (F.floor((n - F.lit(1)) / F.lit(CHUNK_S)) + F.lit(1)).cast("int")
+    chunks = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.slice(F.col("toks"), i * CHUNK_S + 1, CHUNK_W),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * CHUNK_S).cast("bigint").alias("chunk_start"),
+        F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )

@@ -121,3 +121,36 @@ def test_bigram_surprisal_matches_python_reference(spark):
             continue
         want_sum = sum(ilog(cf[a]) - ilog(cb[(a, b)]) for a, b in pairs)
         assert got[d.doc_id] == (len(pairs), want_sum), d.doc_id
+
+
+def test_doc_chunking_invariants(spark):
+    """Chunks cover every token, overlap by exactly W-S (except the final
+    short chunk), and the stride-prefixes reassemble the document."""
+    from adv_big_data_indexing_spark.contract import registry
+    from adv_big_data_indexing_spark.operators.text import CHUNK_S, CHUNK_W
+    from tests.conftest import SF_CORRECTNESS
+
+    rows = registry()["ns_doc_chunking"].fn(spark, SF_CORRECTNESS).collect()
+    docs = {
+        d.doc_id: d.text.split()
+        for d in spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.chunk_start == c.chunk_idx * CHUNK_S
+            want = toks[c.chunk_start : c.chunk_start + CHUNK_W]
+            assert c.chunk_text.split() == want and c.n_chunk_tokens == len(want)
+        # every token covered; stride-prefixes reassemble the document
+        reassembled = []
+        for c in chunks:
+            reassembled += c.chunk_text.split()[:CHUNK_S]
+        tail = chunks[-1].chunk_text.split()[CHUNK_S:]
+        assert reassembled + tail == toks

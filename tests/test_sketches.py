@@ -76,3 +76,24 @@ def test_coverage_doc_matches_registry():
     }
     assert not (mentioned - names), f"stale names in COVERAGE.md: {sorted(mentioned - names)}"
     assert not (names - mentioned), f"queries missing from COVERAGE.md: {sorted(names - mentioned)}"
+
+
+def test_ann_exact_rankers_agree(spark):
+    """The single-pass Arrow/numpy exact ranker (ns_ann_topk_bruteforce)
+    and the crossJoin+window Column-expression form (_bruteforce_topk)
+    must produce bit-identical top-k — same quantization, same int64
+    dots, same IEEE division order. Cross-validates the r4 rewrite and
+    keeps the declarative form honest as the reference implementation."""
+    from adv_big_data_indexing_spark.contract import registry
+    from adv_big_data_indexing_spark.operators.similarity import (
+        _bruteforce_topk,
+        _quantized,
+    )
+    from tests.conftest import SF_CORRECTNESS
+
+    fast = registry()["ns_ann_topk_bruteforce"].fn(spark, SF_CORRECTNESS).collect()
+    ref = _bruteforce_topk(
+        _quantized(spark, SF_CORRECTNESS).localCheckpoint(eager=True)
+    ).collect()
+    assert sorted(((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in fast)) == \
+           sorted(((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in ref))

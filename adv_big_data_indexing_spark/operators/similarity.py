@@ -608,3 +608,82 @@ def ns_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("l_neighbor_id").alias("n_hit"),
         (F.count("l_neighbor_id").cast("double") / F.count("*")).alias("recall"),
     )
+
+
+#: outliers reported by the centroid-distance QA scan
+OUTLIER_TOP = 20
+
+
+@query(
+    "ns_embed_outliers",
+    oracle=f"""
+    WITH qv AS (SELECT vec_id, label, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings),
+    nrm AS (
+      SELECT vec_id, label, q,
+             CAST(list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * q[i])) AS BIGINT) AS n2
+      FROM qv
+    ),
+    flat AS (
+      SELECT label, i, CAST(sum(q[i]) AS BIGINT) AS s
+      FROM qv CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(s ORDER BY i) AS csum,
+             CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                  i -> list(s ORDER BY i)[i] * list(s ORDER BY i)[i])) AS BIGINT) AS cn2
+      FROM flat GROUP BY label
+    ),
+    scored AS (
+      SELECT v.vec_id, v.label,
+             CAST(list_sum(list_transform(generate_series(1, {DIM}), i -> v.q[i] * c.csum[i])) AS DOUBLE)
+               / sqrt(CAST(v.n2 AS DOUBLE)) / sqrt(CAST(c.cn2 AS DOUBLE)) AS cos_to_centroid
+      FROM nrm v JOIN cent c USING (label)
+    )
+    SELECT vec_id, label, cos_to_centroid,
+           CAST(row_number() OVER (ORDER BY cos_to_centroid, vec_id) AS INTEGER) AS rank
+    FROM scored
+    ORDER BY cos_to_centroid, vec_id LIMIT {OUTLIER_TOP}
+    """,
+    doc="NS embedding outlier scan — the mislabeled-data QA check: cosine "
+    "of every vector against its label's centroid (exact integer sums; "
+    "cos(q, csum) == cos(q, csum/n), so no division enters until the "
+    "final two correctly-rounded double ops), lowest-cosine top-k "
+    "reported. One scan + a (label, dim) partial-sum shuffle + a "
+    "broadcast of |labels| centroids + TakeOrderedAndProject — no "
+    "global sort. Int64 bound: |csum_i| ≤ n_members·1e6, so the dot "
+    "stays exact below ~1.4e5 members per label; larger cells would "
+    "pre-divide the centroid (DuckDB errors loudly on overflow).",
+)
+def ns_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
+        "vec_id", "label", quantize_vec(F.col("embedding")).alias("q")
+    )
+    e = e.withColumn("n2", int_dot_fixed(F.col("q"), F.col("q"), DIM)).localCheckpoint(
+        eager=True
+    )
+    flat = e.select("label", F.posexplode("q").alias("i", "v"))
+    cent = (
+        flat.groupBy("label", "i")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x.s
+            ).alias("csum")
+        )
+        .withColumn("cn2", int_dot_fixed(F.col("csum"), F.col("csum"), DIM))
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        (
+            int_dot_fixed(F.col("q"), F.col("csum"), DIM).cast("double")
+            / F.sqrt(F.col("n2").cast("double"))
+            / F.sqrt(F.col("cn2").cast("double"))
+        ).alias("cos_to_centroid"),
+    )
+    top = scored.orderBy("cos_to_centroid", "vec_id").limit(OUTLIER_TOP)
+    w = Window.orderBy("cos_to_centroid", "vec_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

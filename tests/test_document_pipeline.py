@@ -481,3 +481,42 @@ def test_schema_registry_crud(spark, schema):
         reg.get("plan")
     with pytest.raises(SchemaNotFoundError):
         reg.delete("plan")
+
+
+def test_dataset_diff_statuses_partition_the_key_universe(spark):
+    """Every doc_id of either snapshot appears exactly once, with the
+    status the synthetic-v2 rule (mod-7 drop, mod-5 edit) predicts."""
+    from adv_big_data_indexing_spark.contract import registry
+    from adv_big_data_indexing_spark.operators.curation import snapshot_diff
+    from tests.conftest import SF_CORRECTNESS
+
+    d = spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    from pyspark.sql import functions as F
+
+    v2 = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rows = snapshot_diff(d, v2).collect()
+    ids = [r.doc_id for r in rows]
+    assert sorted(ids) == sorted(r.doc_id for r in d.collect())
+    for r in rows:
+        if r.doc_id % 7 == 0:
+            want = "removed"
+        elif r.doc_id % 5 == 0:
+            want = "changed"
+        else:
+            want = "unchanged"
+        assert r.status == want, (r.doc_id, r.status, want)
+    # summary query agrees with the per-row statuses
+    summary = {
+        r.status: r.n_docs
+        for r in registry()["ns_dataset_diff"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    from collections import Counter
+
+    assert summary == dict(Counter(r.status for r in rows))

@@ -96,10 +96,10 @@ _DRIVER_WINDOW_R4 = (
     "ns_doc_chunking",
     "ns_dataset_diff",
     "ns_embed_outliers",
+    "ext_skew_profile",
     # spot-check re-runs (green in r1-r3; guard against regressions in the
     # files touched this round and the §2 core)
     "ns_dedup_minhash_lsh",
-    "ns_dedup_exact",
     "ns_dedup_incremental",
     "ns_dedup_components",
     "ns_corpus_curation",

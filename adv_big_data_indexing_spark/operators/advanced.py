@@ -802,3 +802,52 @@ def ext_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("pc") * F.col("expedite_weight")).cast("double") / 100
         ).alias("weighted_revenue"),
     )
+
+
+@query(
+    "ext_skew_profile",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderpriority AS key, count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+             CAST(max(n) AS BIGINT) AS max_n
+      FROM k
+    )
+    SELECT k.key,
+           CAST(k.n AS BIGINT) AS n,
+           CAST(k.n AS DOUBLE) / t.n_rows AS share,
+           CAST(k.n * t.n_keys AS DOUBLE) / t.n_rows AS skew_factor,
+           k.n = t.max_n AS is_hottest
+    FROM k CROSS JOIN tot t
+    ORDER BY n DESC, key LIMIT 20
+    """,
+    doc="EXT join-key skew profiler — the diagnostic run BEFORE choosing a "
+    "join strategy: per-key row count, share of table, and skew factor "
+    "(count ÷ mean-per-key; 1.0 = uniform, ≫1 = hot key that will "
+    "straggle a shuffle join). Pairs with ext_skew_salted_join (the "
+    "FIX this detects the need for): profile ≫1 → salt or AQE-split "
+    "that key. One map-side-combined aggregate + a broadcast of the "
+    "3-number total — the profile costs one scan at any table size, "
+    "top-20 via TakeOrderedAndProject.",
+)
+def ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_orderpriority").alias("key")).agg(F.count("*").alias("n"))
+    tot = k.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_n"),
+    )
+    prof = k.crossJoin(F.broadcast(tot)).select(
+        "key",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("n_rows")).alias("share"),
+        ((F.col("n") * F.col("n_keys")).cast("double") / F.col("n_rows")).alias(
+            "skew_factor"
+        ),
+        (F.col("n") == F.col("max_n")).alias("is_hottest"),
+    )
+    return prof.orderBy(F.col("n").desc(), "key").limit(20)

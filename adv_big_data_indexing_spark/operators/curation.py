@@ -340,9 +340,13 @@ def ns_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = d.select("doc_id", tokens("text").alias("toks"))
     per = toked.select(
         "doc_id",
+        # cast BEFORE multiplying: size() is INT, and 1e6 * stop_cnt wraps
+        # int32 once a doc has >=2148 stopword tokens under non-ANSI Spark,
+        # while the DuckDB oracle computes the product in int64. Casting the
+        # count first makes the arithmetic int64 at any doc length.
         F.expr(
-            "CAST(1000000 * size(filter(toks, "
-            f"x -> x IN ({', '.join(repr(s) for s in sorted(_STOPWORDS))}))) AS BIGINT)"
+            "(1000000 * CAST(size(filter(toks, "
+            f"x -> x IN ({', '.join(repr(s) for s in sorted(_STOPWORDS))}))) AS BIGINT))"
             " DIV size(toks)"
         ).alias("score_q"),
     )

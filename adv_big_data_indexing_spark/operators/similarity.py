@@ -167,6 +167,9 @@ def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_n2))
 
     def gen(batches):
+        # use ONLY the broadcast values inside the task — referencing the
+        # driver-scope q_mat/q_ids/q_n2 here would capture them in every
+        # task closure and defeat the broadcast
         b_ids, b_mat, b_n2 = bc.value
         a_sqrt = np.sqrt(b_n2.astype(np.float64))
         for pdf in batches:
@@ -175,7 +178,7 @@ def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             n_mat = _npq(pdf["embedding"])
             n_n2 = (n_mat * n_mat).sum(axis=1)
-            dot = q_mat @ n_mat.T  # exact int64
+            dot = b_mat @ n_mat.T  # exact int64
             cos = (
                 dot.astype(np.float64) / a_sqrt[:, None]
             ) / np.sqrt(n_n2.astype(np.float64))[None, :]

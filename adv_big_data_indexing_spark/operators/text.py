@@ -789,7 +789,14 @@ def ns_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     toked = d.select("doc_id", tokens("text").alias("toks"))
     n = F.size("toks")
-    n_chunks = (F.floor((n - F.lit(1)) / F.lit(CHUNK_S)) + F.lit(1)).cast("int")
+    # greatest(n, 1): tokens('') yields [''] so n >= 1 today, but if toks
+    # were ever empty the formula would give n_chunks = 0 and
+    # sequence(0, -1) emits the DESCENDING [0, -1] — two bogus chunks where
+    # the oracle emits none. The explicit clamp makes the zero-token case
+    # produce exactly one empty chunk instead of relying on the tokenizer.
+    n_chunks = (
+        F.floor((F.greatest(n, F.lit(1)) - F.lit(1)) / F.lit(CHUNK_S)) + F.lit(1)
+    ).cast("int")
     chunks = toked.select(
         "doc_id",
         F.posexplode(

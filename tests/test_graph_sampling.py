@@ -159,3 +159,70 @@ def test_quality_curriculum_deciles_monotone_and_complete(spark):
         cum += c
         want = -(-10 * cum // n)  # ceil
         assert by_score[s] == {want}, (s, by_score[s], want)
+
+
+def test_quality_curriculum_long_doc_no_int32_wrap(spark, tmp_path):
+    """ADVICE r4 (medium): 1e6 * size(filter(...)) must be int64 BEFORE the
+    multiply — size() is INT and a doc with >=2148 stopword tokens wraps
+    int32 under non-ANSI Spark, silently diverging from the oracle's
+    int64 arithmetic. Synthetic 3000-stopword doc forces the wrap path."""
+    import duckdb
+
+    from adv_big_data_indexing_spark.contract import registry
+    from tests.parity import compare
+
+    docs = [
+        (1, " ".join(["the"] * 3000), "en", "synthetic", 3999),  # all stopwords
+        (2, "quick brown fox jumps over dogs", "en", "synthetic", 31),
+        (3, "the quick fox", "en", "synthetic", 13),
+    ]
+    pdf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{pdf_dir}/documents.parquet")
+
+    spec = registry()["ns_quality_curriculum"]
+    got = spec.fn(spark, pdf_dir)
+    assert {r.doc_id: r.score_q for r in got.collect()}[1] == 1_000_000
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pdf_dir}/documents.parquet/*.parquet'"
+    )
+    assert compare(spec.fn(spark, pdf_dir), con.sql(spec.oracle)) == []
+    con.close()
+
+
+def test_doc_chunking_whitespace_only_doc(spark, tmp_path):
+    """ADVICE r4 (low): chunk count is clamped so a zero/whitespace-only
+    text emits exactly ONE empty chunk (tokens('') == ['']), matching the
+    oracle's `i*S < len(toks)` bound — never the descending-sequence
+    two-bogus-chunks shape."""
+    import duckdb
+
+    from adv_big_data_indexing_spark.contract import registry
+    from tests.parity import compare
+
+    docs = [
+        (1, "", "en", "synthetic", 0),
+        (2, "   ", "en", "synthetic", 3),
+        (3, "alpha beta gamma", "en", "synthetic", 16),
+    ]
+    pdf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{pdf_dir}/documents.parquet")
+
+    spec = registry()["ns_doc_chunking"]
+    rows = spec.fn(spark, pdf_dir).collect()
+    per_doc = {d: [r for r in rows if r.doc_id == d] for d in (1, 2, 3)}
+    assert len(per_doc[1]) == 1 and per_doc[1][0].chunk_text == ""
+    assert len(per_doc[2]) == 1 and per_doc[2][0].chunk_text == ""
+    assert len(per_doc[3]) == 1 and per_doc[3][0].chunk_text == "alpha beta gamma"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{pdf_dir}/documents.parquet/*.parquet'"
+    )
+    assert compare(spec.fn(spark, pdf_dir), con.sql(spec.oracle)) == []
+    con.close()

@@ -15,6 +15,7 @@ Evidence consumed by BASELINE.md "Scaling evidence" (round 4).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -25,6 +26,7 @@ def main() -> None:
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+    os.makedirs(out, exist_ok=True)  # COPY TO fails on a missing directory
     con = duckdb.connect()
     mx = {}
     for t, k in [

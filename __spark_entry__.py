@@ -60,74 +60,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else keeps its registry name. Registry names themselves are
 # unchanged — COVERAGE.md lockstep and tests use the canonical names.
 #
-# Round 4 window = the 7 registry queries that have never received a driver
-# CORRECTNESS row (added after the r3 window froze), every query whose
-# implementation or oracle changed this round (EWMA recurrence fix, perf
-# rewrites of agg/asof/ANN, embedding-topk batch guard), the queries new
-# this round, and already-green spot-check re-runs back-filling toward the
-# 50-slot window as regression guards. Cumulative r1+r2+r3 driver rows
-# cover the other 143 registry names green.
-_DRIVER_WINDOW_R4 = (
-    # never driver-verified (VERDICT r3 "What's missing" item 1)
-    "ns_multimodal_decode",
-    "ns_pack_stats",
-    "ns_phrase_search",
-    "ns_reservoir_sample",
-    "ns_text_langid_confusion",
-    "ns_text_top_terms",
-    "ts_anomaly_zscore",
-    # implementation or oracle changed in round 4 — need fresh rows
-    "ns_udf_ewma",
-    "ext_agg_groupby",
-    "ext_asof_join",
-    "ns_ann_topk_bruteforce",
-    "ns_ann_lsh_recall",
-    "ns_ann_lsh_bucketed",
-    "ns_ann_ivf",
-    "ns_dedup_embedding_topk",
-    "ns_dedup_embedding_cosine",
-    # new in round 4
-    "ts_interval_join",
-    "ts_cms_event_types",
-    "ns_text_token_entropy_exact",
-    "ns_corpus_shuffle",
+# Round 5 window = the 3 queries new this round, the 3 whose implementation
+# changed this round (ADVICE r4 fixes: curriculum int64 cast, chunking
+# guard, ANN broadcast-closure cleanup), then back-fill with the STALEST
+# re-verification evidence: after r4, every registry name is green but 43
+# queries' most recent driver row dates to round 1 — those rotate in as
+# regression guards, plus one r2-stale row to fill slot 50.
+_DRIVER_WINDOW_R5 = (
+    # new in round 5
+    "ns_bm25_topk",
+    "ns_dedup_span_coverage",
+    "ns_semdedup_kmeans",
+    # implementation changed in round 5 (ADVICE r4) — need fresh rows
     "ns_quality_curriculum",
-    "ns_text_bigram_surprisal",
     "ns_doc_chunking",
-    "ns_dataset_diff",
-    "ns_embed_outliers",
-    "ext_skew_profile",
-    # spot-check re-runs (green in r1-r3; guard against regressions in the
-    # files touched this round and the §2 core)
-    "ns_dedup_minhash_lsh",
-    "ns_dedup_incremental",
-    "ns_dedup_components",
-    "ns_corpus_curation",
-    "ns_decontaminate",
-    "ns_mixture_weights",
-    "ns_pii_mask",
-    "ns_split_train_eval",
-    "ns_stratified_sample",
-    "ns_weighted_sample",
-    "ns_pack_sequences",
-    "ns_text_langid",
-    "ns_text_quality",
-    "ns_text_token_stats",
-    "ns_text_fingerprint",
-    "ns_embed_centroids",
-    "ns_embed_dim_stats",
-    "ns_multimodal_metadata",
-    "op_c1_reconstruct_nested",
-    "op_c2_has_child_eq",
-    "op_g2_merge_patch",
-    "op_g4_cascade_closure",
-    "ts_session_window",
-    "ts_tumbling_window",
+    "ns_ann_topk_bruteforce",
+    # stalest evidence: last driver row was round 1
+    "doc_parents_having",
+    "doc_roundtrip_flat",
+    "doc_search_rehydrated",
+    "doc_shred_entities",
+    "ext_agg_cube",
+    "ext_agg_distinct",
+    "ext_agg_rollup",
+    "ext_approx_distinct_portable",
+    "ext_approx_percentile",
+    "ext_argmax",
+    "ext_bitwise",
+    "ext_bloom_semijoin",
+    "ext_conditionals",
+    "ext_correlated_above_avg",
+    "ext_fuzzy_join_levenshtein",
+    "ext_grouping_id",
+    "ext_grouping_sets",
+    "ext_histogram",
+    "ext_join_anti",
+    "ext_join_broadcast_star",
+    "ext_join_full_outer",
+    "ext_join_left_null",
+    "ext_join_size_estimate",
+    "ext_join_tpch_q5",
+    "ext_json_extract",
+    "ext_listagg",
+    "ext_mad_outliers",
+    "ext_map_ops",
+    "ext_not_in_null",
+    "ext_percentile",
+    "ext_posexplode",
+    "ext_range_join",
+    "ext_referential_audit",
+    "ext_scalar_date",
+    "ext_scalar_date_arith",
+    "ext_scalar_hash",
+    "ext_scalar_math",
+    "ext_scalar_regex",
+    "ext_scalar_string",
+    "ext_setops",
+    "ext_stats_moments",
+    "ext_table_diff",
+    "ext_topk_orderby",
+    # stalest r2 row filling slot 50
+    "doc_etag_pipeline",
 )
 
 
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R4 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R5 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

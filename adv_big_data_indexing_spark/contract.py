@@ -56,6 +56,7 @@ def registry() -> dict[str, QuerySpec]:
     # Imports deferred so `import adv_big_data_indexing_spark` stays cheap.
     from adv_big_data_indexing_spark.operators import (  # noqa: F401
         advanced,
+        clustering,
         curation,
         dedup,
         documents,
@@ -63,6 +64,7 @@ def registry() -> dict[str, QuerySpec]:
         multimodal,
         partitioning,
         relational,
+        retrieval,
         sampling,
         similarity,
         sketches,

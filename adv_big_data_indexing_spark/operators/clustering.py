@@ -1,0 +1,286 @@
+"""Embedding clustering for semantic dedup (SemDeDup-style k-means).
+
+Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication" (arXiv:2303.09540): k-means the corpus
+embeddings, then look for near-duplicate pairs ONLY within each cluster
+— the clustering turns the O(n²) semantic-dedup problem into
+O(Σ cᵢ²) with cluster sizes bounded by design (K grows with N, so
+cᵢ ≈ N/K stays constant; the within-cluster stage never sees the whole
+corpus). This module implements the full loop as batch dataframes:
+
+- deterministic init (centroid j = quantized embedding of vec_id j),
+- ``KMEANS_ITERS`` Lloyd iterations entirely in exact int64 arithmetic:
+  distances are Σ(qᵢ−cᵢ)² over :func:`quantize_vec` integers, centroid
+  updates are element-wise integer means computed as
+  ``(s + OFFSET·n) DIV n − OFFSET`` so the floor division only ever sees
+  non-negative operands (Spark ``DIV`` truncates toward zero while
+  DuckDB ``//`` floors — identical on non-negatives, divergent on
+  negatives, so the offset removes the sign from the problem),
+- empty clusters carry their previous centroid forward (both engines,
+  same rule),
+- a final within-cluster pairwise stage computing the exact quantized
+  cosine with the same correctly-rounded op order as
+  ``ns_dedup_embedding_cosine``.
+
+Every intermediate is an integer (bit-portable, merge-order-free — so
+map-side partial aggregation is safe everywhere) except the final
+cosine double. The whole iteration state that crosses stages is
+K·DIM integers — broadcast as ONE wide row, never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.exact import (
+    DUCK_QUANTIZE,
+    int_dot_fixed,
+    quantize_vec,
+)
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2
+DIM = 64
+#: makes every centroid-mean division non-negative: |q_i| ≤ 10^6·max|x|
+#: and the corpus embeddings are bounded well inside [-2, 2].
+_OFFSET = 2_000_000
+#: near-dup threshold for the within-cluster count. Calibrated to the
+#: synthetic corpus (max pairwise cosine ≈ 0.51, no true near-dups);
+#: production SemDeDup uses ~0.95+ — the CONSTANT is policy, the
+#: machinery is the contract.
+SEMDEDUP_TAU = 0.45
+
+
+def _dist2(q: Column, c: Column) -> Column:
+    """Exact squared L2 distance of two array<bigint>, unrolled into a
+    balanced tree that stays inside whole-stage codegen (same rationale
+    as exact.int_dot_fixed)."""
+    terms = [
+        (q.getItem(i) - c.getItem(i)) * (q.getItem(i) - c.getItem(i))
+        for i in range(DIM)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0].cast("bigint")
+
+
+_DUCK_D = (
+    "CAST(list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT)"
+).format(dim=DIM)
+
+
+def _duck_iteration(it: int, cin: str) -> str:
+    """One Lloyd iteration as CTE text: assignment under `cin`, centroid
+    update, empty-cluster carry-forward into c{it+1}."""
+    return f"""
+    a{it} AS (
+      SELECT vec_id, q, cluster, d FROM (
+        SELECT vec_id, q, cluster, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT v.vec_id, v.q, c.j AS cluster, {_DUCK_D} AS d
+              FROM qv v CROSS JOIN {cin} c)
+      ) WHERE rn = 1
+    ),
+    s{it} AS (
+      SELECT cluster, i AS pos, CAST(sum(q[i]) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a{it} CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY 1, 2
+    ),
+    u{it} AS (
+      SELECT cluster,
+             list((s + {_OFFSET} * n) // n - {_OFFSET} ORDER BY pos) AS c
+      FROM s{it} GROUP BY cluster
+    ),
+    c{it + 1} AS (
+      SELECT p.j, coalesce(u.c, p.c) AS c
+      FROM {cin} p LEFT JOIN u{it} u ON u.cluster = p.j
+    )"""
+
+
+_DUCK_COS = (
+    "CAST(dot AS DOUBLE) / sqrt(CAST(nx AS DOUBLE)) / sqrt(CAST(ny AS DOUBLE))"
+)
+
+_N_ITER_CTES = ",".join(
+    _duck_iteration(it, f"c{it}" if it else "cent0") for it in range(KMEANS_ITERS)
+)
+_FINAL_CIN = f"c{KMEANS_ITERS}" if KMEANS_ITERS else "cent0"
+
+
+@query(
+    "ns_semdedup_kmeans",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings
+    ),
+    cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS j, q AS c FROM qv WHERE vec_id < {K_CLUSTERS}
+    ),
+    {_N_ITER_CTES},
+    af AS (
+      SELECT vec_id, q, cluster, d FROM (
+        SELECT vec_id, q, cluster, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT v.vec_id, v.q, c.j AS cluster, {_DUCK_D} AS d
+              FROM qv v CROSS JOIN {_FINAL_CIN} c)
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT x.cluster,
+             CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                  i -> x.q[i] * y.q[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                  i -> x.q[i] * x.q[i])) AS BIGINT) AS nx,
+             CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                  i -> y.q[i] * y.q[i])) AS BIGINT) AS ny
+      FROM af x JOIN af y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ),
+    pstats AS (
+      SELECT cluster,
+             max({_DUCK_COS}) AS max_intra_cosine,
+             CAST(sum(CASE WHEN {_DUCK_COS} >= {SEMDEDUP_TAU} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_pairs
+      FROM pairs GROUP BY cluster
+    )
+    SELECT m.cluster,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(m.inertia_q AS BIGINT) AS inertia_q,
+           p.max_intra_cosine,
+           coalesce(p.n_dup_pairs, 0) AS n_dup_pairs
+    FROM (SELECT cluster, count(*) AS n_members, sum(d) AS inertia_q
+          FROM af GROUP BY cluster) m
+    LEFT JOIN pstats p USING (cluster)
+    """,
+    doc="NS SemDeDup k-means (arXiv:2303.09540): deterministic-init Lloyd "
+    f"iterations ({KMEANS_ITERS}×) in exact int64 over quantized embeddings, "
+    "then within-cluster near-dup stats (max intra-cluster cosine, pair "
+    "count ≥ τ) per final cluster. Scale shape: each iteration is one "
+    "broadcast of K·DIM integers + one map-side-combined (cluster, dim) "
+    "partial-sum shuffle; the pairwise stage is O(Σ cluster²) — bounded "
+    "because K grows with N in the SemDeDup design, never O(corpus²). "
+    "Iteration state crosses stages as ONE wide broadcast row, not a "
+    "driver collect.",
+)
+def ns_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", quantize_vec(F.col("embedding")).alias("q"))
+        # the quantized frame feeds 3+ downstream executions (each
+        # assignment pass + the pairwise stage); materialize once. At
+        # cluster scale this is persist(DISK) of the embeddings table —
+        # the standard trade for any iterative algorithm.
+        .localCheckpoint(eager=True)
+    )
+
+    def wide_centroids(cent: DataFrame, j_col: str, c_col: str) -> DataFrame:
+        return cent.groupBy().agg(
+            *[
+                F.max(F.when(F.col(j_col) == j, F.col(c_col))).alias(f"c{j}")
+                for j in range(K_CLUSTERS)
+            ]
+        )
+
+    wide = wide_centroids(
+        e.filter(F.col("vec_id") < K_CLUSTERS).select(
+            F.col("vec_id").cast("int").alias("j"), F.col("q").alias("c")
+        ),
+        "j",
+        "c",
+    )
+
+    def assign(frame: DataFrame, wide_row: DataFrame) -> DataFrame:
+        a = frame.crossJoin(F.broadcast(wide_row))
+        m = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _dist2(F.col("q"), F.col(f"c{j}")).alias("d"),
+                        F.lit(j).alias("j"),
+                    )
+                    for j in range(K_CLUSTERS)
+                ]
+            )
+        )
+        return a.select(
+            "vec_id",
+            "q",
+            m.getField("j").cast("int").alias("cluster"),
+            m.getField("d").alias("d"),
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(e, wide)
+        sums = (
+            assigned.select("cluster", F.posexplode("q").alias("pos0", "v"))
+            .groupBy("cluster", "pos0")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        newc = (
+            sums.withColumn(
+                "cv", F.expr(f"(s + {_OFFSET} * n) DIV n - {_OFFSET}")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "cv"))),
+                    lambda st: st.getField("cv"),
+                ).alias("c")
+            )
+        )
+        new_wide = newc.groupBy().agg(
+            *[
+                F.max(F.when(F.col("cluster") == j, F.col("c"))).alias(f"n{j}")
+                for j in range(K_CLUSTERS)
+            ]
+        )
+        # empty clusters keep their previous centroid
+        wide = wide.crossJoin(new_wide).select(
+            *[
+                F.coalesce(F.col(f"n{j}"), F.col(f"c{j}")).alias(f"c{j}")
+                for j in range(K_CLUSTERS)
+            ]
+        )
+
+    final = assign(e, wide).localCheckpoint(eager=True)
+
+    members = final.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("d").cast("bigint").alias("inertia_q"),
+    )
+    x, y = final.alias("x"), final.alias("y")
+    dot = int_dot_fixed(F.col("x.q"), F.col("y.q"), DIM)
+    nx = int_dot_fixed(F.col("x.q"), F.col("x.q"), DIM)
+    ny = int_dot_fixed(F.col("y.q"), F.col("y.q"), DIM)
+    cos = (
+        dot.cast("double")
+        / F.sqrt(nx.cast("double"))
+        / F.sqrt(ny.cast("double"))
+    )
+    pstats = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.cluster").alias("cluster"), cos.alias("cos"))
+        .groupBy("cluster")
+        .agg(
+            F.max("cos").alias("max_intra_cosine"),
+            F.sum((F.col("cos") >= SEMDEDUP_TAU).cast("bigint")).alias("n_dup_pairs"),
+        )
+    )
+    return members.join(pstats, "cluster", "left").select(
+        "cluster",
+        "n_members",
+        "inertia_q",
+        "max_intra_cosine",
+        F.coalesce("n_dup_pairs", F.lit(0).cast("bigint")).alias("n_dup_pairs"),
+    )

@@ -664,3 +664,100 @@ def ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication coverage (span-level dedup signal)
+# ---------------------------------------------------------------------------
+
+#: Span width in tokens. Lee et al. ("Deduplicating Training Data Makes
+#: Language Models Better") remove any ≥50-BPE-token substring occurring
+#: twice via a suffix array; a distributed engine gets the same SIGNAL from
+#: fixed-width token n-gram spans — every duplicated substring of length
+#: ≥ W contains a duplicated W-gram, so W-gram coverage upper-bounds
+#: suffix-array coverage and converges to it as spans get long. W is small
+#: here because the synthetic docs are short; production would use ~50.
+SPAN_W = 8
+
+#: Oracle-side position bound (docs cap well under this many tokens; a
+#: longer corpus would raise the constant, not the shape — same device as
+#: the ns_doc_chunking oracle).
+_SPAN_POS_CAP = 2000
+
+
+@query(
+    "ns_dedup_span_coverage",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, p,
+             md5(array_to_string(toks[p + 1 : p + {SPAN_W}], ' ')) AS g
+      FROM t CROSS JOIN (SELECT unnest(generate_series(0, {_SPAN_POS_CAP})) AS p)
+      WHERE p <= len(toks) - {SPAN_W}
+    ),
+    dup AS (
+      SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT doc_id, p,
+             least({SPAN_W}, coalesce(p - lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                                      {SPAN_W})) AS c
+      FROM occ JOIN dup USING (g)
+    )
+    SELECT cov.doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(c) AS BIGINT) AS covered_tokens,
+           CAST((1000 * sum(c)) // CAST(len(t.toks) AS BIGINT) AS BIGINT)
+             AS coverage_permille
+    FROM cov JOIN t ON cov.doc_id = t.doc_id
+    GROUP BY cov.doc_id, len(t.toks)
+    """,
+    bench=True,
+    doc="NS exact-substring duplication coverage: fraction of each doc's "
+    f"tokens covered by {SPAN_W}-token spans that also occur in ANOTHER "
+    "document — the span-level dedup signal of the suffix-array method "
+    "(Lee et al. 2022), distributed as: position-indexed span hashes "
+    "(one in-row transform + posexplode, no shuffle), a hash-keyed "
+    "group for cross-doc span frequency (map-side combined), a keyed "
+    "join back, and an interval-union window per doc (merged overlap "
+    "via least(W, p - lag p)). Work is O(total tokens) + O(duplicated "
+    "occurrences) at any corpus size; no all-pairs stage exists.",
+)
+def ns_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.sources.catalog import spread  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toked = d.select("doc_id", tokens("text").alias("toks"))
+    occ = (
+        toked.filter(F.size("toks") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("dl"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - SPAN_W),
+                    lambda p: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), p + 1, SPAN_W))
+                    ),
+                )
+            ).alias("p", "g"),
+        )
+    )
+    dup = (
+        occ.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    cov = occ.join(dup, "g").withColumn(
+        "c",
+        F.least(F.lit(SPAN_W), F.coalesce(F.col("p") - F.lag("p").over(w), F.lit(SPAN_W))),
+    )
+    return cov.groupBy("doc_id", "dl").agg(
+        F.count("*").cast("bigint").alias("n_dup_spans"),
+        F.sum("c").cast("bigint").alias("covered_tokens"),
+        F.expr("CAST((1000 * sum(c)) DIV dl AS BIGINT)").alias("coverage_permille"),
+    ).drop("dl")

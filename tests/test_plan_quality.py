@@ -203,3 +203,26 @@ def test_cms_event_types_partial_aggregates(spark):
     (ri, b) partial counts — d*w rows — not one row per event."""
     p = plan_of(spark, "ts_cms_event_types")
     assert "partial_count" in p
+
+
+def test_bm25_no_explode_and_ordered_take(spark):
+    """BM25's tf is a per-row expression over the query panel — the plan
+    must have NO Generate (token explode) anywhere, a partially-aggregated
+    scalar stats row, and top-k via TakeOrderedAndProject (per-partition
+    heap), never a global sort."""
+    p = plan_of(spark, "ns_bm25_topk")
+    assert "Generate" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "partial_" in p
+    # corpus stats come back as a 1-row broadcast, not a shuffle join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_span_coverage_partial_agg_and_keyed_window(spark):
+    """Span coverage: the per-doc rollup partially aggregates map-side and
+    the interval-union window is PARTITIONED by doc (never a single-task
+    global window)."""
+    p = plan_of(spark, "ns_dedup_span_coverage")
+    assert "partial_count" in p and "partial_sum" in p
+    assert "windowspecdefinition(doc_id" in p

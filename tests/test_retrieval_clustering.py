@@ -1,0 +1,180 @@
+"""Python-replay and invariant tests for the round-5 operators:
+BM25 ranked retrieval, exact-substring span coverage, SemDeDup k-means.
+
+Each test recomputes the operator's exact integer semantics in plain
+Python/numpy from the raw parquet and compares bit-for-bit — the same
+independence standard as the DuckDB oracles, but through a third
+implementation path.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from adv_big_data_indexing_spark.contract import registry
+from tests.conftest import SF_CORRECTNESS
+
+
+def _ilog2_q4(x: int) -> int:
+    s = max(x.bit_length() - 15, 0)
+    y = x >> s
+    return 4 * s + (y * y * y * y).bit_length() - 1
+
+
+def _docs(spark):
+    return {
+        d.doc_id: d.text.split()
+        for d in spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+
+def test_bm25_topk_replay(spark):
+    from adv_big_data_indexing_spark.operators.retrieval import (
+        BM25_QUERY,
+        BM25_TOP_N,
+        _SCALE,
+    )
+
+    rows = registry()["ns_bm25_topk"].fn(spark, SF_CORRECTNESS).collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, BM25_TOP_N + 1)
+    )
+    docs = _docs(spark)
+    n_docs = len(docs)
+    t_tok = sum(len(t) for t in docs.values())
+    df = {t: sum(1 for toks in docs.values() if t in toks) for t in BM25_QUERY}
+    scored = []
+    for doc_id, toks in docs.items():
+        tf = Counter(toks)
+        if not any(tf[t] for t in BM25_QUERY):
+            continue
+        score = 0
+        for t in BM25_QUERY:
+            idf = _ilog2_q4(2 * n_docs + 2) - _ilog2_q4(2 * df[t] + 1)
+            ratio = (10 * _SCALE * t_tok * tf[t]) // (
+                4 * t_tok * tf[t] + 3 * t_tok + 3 * len(toks) * n_docs
+            )
+            score += idf * ratio
+        scored.append((doc_id, sum(1 for t in BM25_QUERY if tf[t]), score))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    want = [
+        (doc_id, m, s, i + 1) for i, (doc_id, m, s) in enumerate(scored[:BM25_TOP_N])
+    ]
+    got = [
+        (r.doc_id, r.n_matched, r.score_q4, r.rank)
+        for r in sorted(rows, key=lambda r: r.rank)
+    ]
+    assert got == want
+    # scores strictly ordered (desc, ties broken by doc_id upstream)
+    assert all(a[2] >= b[2] for a, b in zip(got, got[1:]))
+
+
+def test_span_coverage_replay(spark):
+    from adv_big_data_indexing_spark.operators.dedup import SPAN_W
+
+    rows = registry()["ns_dedup_span_coverage"].fn(spark, SF_CORRECTNESS).collect()
+    docs = _docs(spark)
+    gram_docs: dict[tuple, set] = {}
+    for doc_id, toks in docs.items():
+        for p in range(len(toks) - SPAN_W + 1):
+            gram_docs.setdefault(tuple(toks[p : p + SPAN_W]), set()).add(doc_id)
+    want = {}
+    for doc_id, toks in docs.items():
+        pos = [
+            p
+            for p in range(len(toks) - SPAN_W + 1)
+            if len(gram_docs[tuple(toks[p : p + SPAN_W])]) >= 2
+        ]
+        if not pos:
+            continue
+        covered = sum(
+            min(SPAN_W, p - q) for p, q in zip(pos[1:], pos)
+        ) + SPAN_W
+        want[doc_id] = (len(pos), covered, 1000 * covered // len(toks))
+    got = {r.doc_id: (r.n_dup_spans, r.covered_tokens, r.coverage_permille) for r in rows}
+    assert got == want
+    # coverage is a fraction: never exceeds the whole document
+    assert all(v[2] <= 1000 for v in want.values())
+
+
+def test_semdedup_kmeans_replay(spark):
+    from adv_big_data_indexing_spark.operators.clustering import (
+        _OFFSET,
+        DIM,
+        K_CLUSTERS,
+        KMEANS_ITERS,
+        SEMDEDUP_TAU,
+    )
+
+    rows = registry()["ns_semdedup_kmeans"].fn(spark, SF_CORRECTNESS).collect()
+    emb = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    q = np.floor(
+        np.array([emb[i].embedding for i in order], dtype=np.float64) * 1_000_000.0
+    ).astype(np.int64)
+
+    cent = q[ids < K_CLUSTERS][np.argsort(ids[ids < K_CLUSTERS])].copy()
+
+    def assign(c):
+        # (n, k) exact int64 distances
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cl = d.argmin(axis=1)  # numpy argmin takes first minimum == lowest j
+        return cl, d[np.arange(len(q)), cl]
+
+    for _ in range(KMEANS_ITERS):
+        cl, _d = assign(cent)
+        for j in range(K_CLUSTERS):
+            m = cl == j
+            if m.any():
+                n = int(m.sum())
+                s = q[m].sum(axis=0)
+                cent[j] = (s + _OFFSET * n) // n - _OFFSET
+    cl, d = assign(cent)
+
+    want = {}
+    for j in range(K_CLUSTERS):
+        m = cl == j
+        if not m.any():
+            continue
+        sub = q[m]
+        n2 = (sub * sub).sum(axis=1)
+        sub_ids = ids[m]
+        mx, ndup = None, 0
+        for a in range(len(sub)):
+            for b in range(a + 1, len(sub)):
+                if sub_ids[a] < sub_ids[b]:
+                    dot, na, nb = int(sub[a] @ sub[b]), int(n2[a]), int(n2[b])
+                else:
+                    dot, na, nb = int(sub[b] @ sub[a]), int(n2[b]), int(n2[a])
+                cos = float(dot) / math.sqrt(float(na)) / math.sqrt(float(nb))
+                mx = cos if mx is None or cos > mx else mx
+                ndup += cos >= SEMDEDUP_TAU
+        want[j] = (int(m.sum()), int(d[m].sum()), mx, ndup)
+
+    got = {
+        r.cluster: (r.n_members, r.inertia_q, r.max_intra_cosine, r.n_dup_pairs)
+        for r in rows
+    }
+    assert set(got) == set(want)
+    for j in want:
+        assert got[j][0] == want[j][0], j
+        assert got[j][1] == want[j][1], j
+        assert got[j][3] == want[j][3], j
+        if want[j][2] is None:
+            assert got[j][2] is None
+        else:
+            assert got[j][2] == pytest.approx(want[j][2], abs=0.0), j
+    # every vector is in exactly one cluster
+    assert sum(v[0] for v in want.values()) == len(ids)

@@ -745,10 +745,17 @@ def ns_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p", "g"),
         )
     )
+    # "≥ 2 distinct docs" as min(doc_id) != max(doc_id): O(1) aggregation
+    # state per gram with full map-side partial aggregation — cheaper than
+    # countDistinct's partial-distinct expansion, and it can never
+    # materialize a per-gram doc list that a boilerplate-hot gram would
+    # blow up. The dup-gram set joins back small (AQE broadcasts it here;
+    # at corpus scale it grows past the threshold and AQE falls back to a
+    # hash-partitioned join on the same key — both correct).
     dup = (
         occ.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("xdoc"))
+        .filter("xdoc")
         .select("g")
     )
     w = Window.partitionBy("doc_id").orderBy("p")

@@ -119,8 +119,8 @@ _DRIVER_WINDOW_R5 = (
     "ext_stats_moments",
     "ext_table_diff",
     "ext_topk_orderby",
-    # stalest r2 row filling slot 50
-    "doc_etag_pipeline",
+    # pagerank added mid-round (replaces the r2-stale filler)
+    "ns_graph_pagerank",
 )
 
 

@@ -271,3 +271,132 @@ def ns_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cluster_size") * F.count("*")).alias("n_docs"),
         ((F.col("cluster_size") - 1) * F.count("*")).alias("n_redundant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph (aggregate-then-iterate)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for rank values (ranks sum to ~RANK_SCALE). With the
+#: 85·r·w numerator the arithmetic stays in int64 while edge weights are
+#: below ~10^8 occurrences — the nation graph aggregates far under that at
+#: any tested SF; a graph whose edge weights exceed it would bucket-split
+#: edges or drop to 10^6 scale, not change the shape.
+RANK_SCALE = 1_000_000_000
+PAGERANK_ITERS = 3
+_DAMP_NUM, _DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
+
+_DUCK_PR_EDGES = """
+    edges AS (
+      SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src),
+    nodes AS (SELECT n_nationkey AS v, n_name FROM nation),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)
+"""
+
+
+def _duck_pr_iter(i: int) -> str:
+    """rank iteration i as CTE text: r{i} from r{i-1}."""
+    return f"""
+    r{i} AS (
+      SELECT nodes.v,
+             {(_DAMP_DEN - _DAMP_NUM) * RANK_SCALE} // ({_DAMP_DEN} * nn.n)
+             + coalesce(m.inbound, 0) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS v,
+               CAST(sum(({_DAMP_NUM} * p.r * e.w) // ({_DAMP_DEN} * o.wout))
+                    AS BIGINT) AS inbound
+        FROM edges e JOIN r{i - 1} p ON p.v = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst
+      ) m ON m.v = nodes.v
+    )"""
+
+
+@query(
+    "ns_graph_pagerank",
+    oracle=f"""
+    WITH {_DUCK_PR_EDGES},
+    r0 AS (SELECT v, {RANK_SCALE} // nn.n AS r FROM nodes CROSS JOIN nn),
+    {",".join(_duck_pr_iter(i) for i in range(1, PAGERANK_ITERS + 1))}
+    SELECT nodes.v AS nationkey, nodes.n_name AS n_name,
+           CAST(r.r AS BIGINT) AS rank_q
+    FROM r{PAGERANK_ITERS} r JOIN nodes ON nodes.v = r.v
+    """,
+    doc="EXT/NS weighted PageRank (d=0.85, 3 iterations) over the nation "
+    "trade graph (customer nation → supplier nation, edge weight = "
+    "lineitem count) in exact fixed-point integer arithmetic — every "
+    "engine computes identical int64 ranks, no float accumulation order "
+    "to diverge. Scale shape: the expensive stage is the EDGE "
+    "AGGREGATION (the TPC-H q5 join tree collapsed map-side to "
+    "|nations|² weights); the rank loop then iterates on the aggregated "
+    "graph with keyed join+groupBy per step — the same loop runs on a "
+    "billion-node graph where each iteration is one shuffle on node id. "
+    "Dangling-node mass is dropped (none exist in this graph; the rule "
+    "is identical in both engines either way).",
+)
+def ns_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+        # the aggregated graph feeds every iteration; materialize once and
+        # truncate the join-tree lineage (same rationale as
+        # connected_components). At real scale this is persist() of a
+        # |nations|²-row frame.
+        .localCheckpoint(eager=True)
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    nodes = n.select(F.col("n_nationkey").alias("v"), "n_name")
+    n_nodes = nodes.count()  # bounded: |nation| (25); the node COUNT is a
+    # scalar the teleport term needs — on a large graph this is one
+    # metadata-cheap count, not a collect
+
+    ranks = nodes.select("v", F.lit(RANK_SCALE // n_nodes).cast("bigint").alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        inbound = (
+            edges.join(ranks, edges.src == ranks.v)
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.expr(
+                    f"({_DAMP_NUM} * r * w) DIV ({_DAMP_DEN} * wout)"
+                ).alias("contrib"),
+            )
+            .groupBy("v")
+            .agg(F.sum("contrib").cast("bigint").alias("inbound"))
+        )
+        teleport = ((_DAMP_DEN - _DAMP_NUM) * RANK_SCALE) // (_DAMP_DEN * n_nodes)
+        ranks = (
+            nodes.join(inbound, "v", "left")
+            .select(
+                "v",
+                (F.lit(teleport) + F.coalesce("inbound", F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return (
+        ranks.join(nodes, "v")
+        .select(F.col("v").alias("nationkey"), "n_name", F.col("r").alias("rank_q"))
+    )

@@ -178,3 +178,44 @@ def test_semdedup_kmeans_replay(spark):
             assert got[j][2] == pytest.approx(want[j][2], abs=0.0), j
     # every vector is in exactly one cluster
     assert sum(v[0] for v in want.values()) == len(ids)
+
+
+def test_pagerank_replay(spark):
+    """Integer PageRank replayed in pure Python from the raw parquet."""
+    import duckdb
+
+    from adv_big_data_indexing_spark.operators.graph import (
+        _DAMP_DEN,
+        _DAMP_NUM,
+        PAGERANK_ITERS,
+        RANK_SCALE,
+    )
+
+    rows = registry()["ns_graph_pagerank"].fn(spark, SF_CORRECTNESS).collect()
+    con = duckdb.connect()
+    edges = con.sql(f"""
+        SELECT c.c_nationkey, s.s_nationkey, count(*) AS w
+        FROM '{SF_CORRECTNESS}/lineitem.parquet' l
+        JOIN '{SF_CORRECTNESS}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{SF_CORRECTNESS}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{SF_CORRECTNESS}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    """).fetchall()
+    nodes = sorted(
+        r[0] for r in con.sql(f"SELECT n_nationkey FROM '{SF_CORRECTNESS}/nation.parquet'").fetchall()
+    )
+    n = len(nodes)
+    wout = Counter()
+    for src, _dst, w in edges:
+        wout[src] += w
+    r = {v: RANK_SCALE // n for v in nodes}
+    for _ in range(PAGERANK_ITERS):
+        inbound = Counter()
+        for src, dst, w in edges:
+            inbound[dst] += (_DAMP_NUM * r[src] * w) // (_DAMP_DEN * wout[src])
+        tele = (_DAMP_DEN - _DAMP_NUM) * RANK_SCALE // (_DAMP_DEN * n)
+        r = {v: tele + inbound[v] for v in nodes}
+    got = {row.nationkey: row.rank_q for row in rows}
+    assert got == r
+    # probability-mass sanity: floor losses only ever shrink the total
+    assert sum(r.values()) <= RANK_SCALE

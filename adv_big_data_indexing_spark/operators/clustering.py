@@ -18,9 +18,9 @@ corpus). This module implements the full loop as batch dataframes:
   negatives, so the offset removes the sign from the problem),
 - empty clusters carry their previous centroid forward (both engines,
   same rule),
-- a final within-cluster pairwise stage computing the exact quantized
-  cosine with the same correctly-rounded op order as
-  ``ns_dedup_embedding_cosine``.
+- a final within-cluster pairwise stage: one exact int64 numpy matmul
+  per cluster (Arrow ``applyInPandas``, the same vectorized backend and
+  correctly-rounded cosine op order as ``ns_dedup_embedding_cosine``).
 
 Every intermediate is an integer (bit-portable, merge-order-free — so
 map-side partial aggregation is safe everywhere) except the final
@@ -30,15 +30,11 @@ K·DIM integers — broadcast as ONE wide row, never collected.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
-from adv_big_data_indexing_spark.functions.exact import (
-    DUCK_QUANTIZE,
-    int_dot_fixed,
-    quantize_vec,
-)
+from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, quantize_vec
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
 K_CLUSTERS = 8
@@ -54,20 +50,18 @@ _OFFSET = 2_000_000
 SEMDEDUP_TAU = 0.45
 
 
-def _dist2(q: Column, c: Column) -> Column:
-    """Exact squared L2 distance of two array<bigint>, unrolled into a
-    balanced tree that stays inside whole-stage codegen (same rationale
-    as exact.int_dot_fixed)."""
-    terms = [
-        (q.getItem(i) - c.getItem(i)) * (q.getItem(i) - c.getItem(i))
-        for i in range(DIM)
-    ]
-    while len(terms) > 1:
-        terms = [
-            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
-            for i in range(0, len(terms), 2)
-        ]
-    return terms[0].cast("bigint")
+def _dist2_sql(q: str, c: str) -> str:
+    """Exact squared L2 distance of two array<bigint> columns as SQL text
+    (Spark array indexing is 0-based). Text, not Column arithmetic: the
+    unrolled form is DIM terms × K clusters × iterations — building it
+    from Column objects costs thousands of Py4J round trips (~40 s of
+    pure driver time for K=8, D=64, 3 assignments), while one expr()
+    string parses in milliseconds and compiles to the identical plan."""
+    return (
+        "CAST(("
+        + " + ".join(f"({q}[{i}] - {c}[{i}]) * ({q}[{i}] - {c}[{i}])" for i in range(DIM))
+        + ") AS BIGINT)"
+    )
 
 
 _DUCK_D = (
@@ -196,24 +190,25 @@ def ns_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
     )
 
-    def assign(frame: DataFrame, wide_row: DataFrame) -> DataFrame:
-        a = frame.crossJoin(F.broadcast(wide_row))
-        m = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _dist2(F.col("q"), F.col(f"c{j}")).alias("d"),
-                        F.lit(j).alias("j"),
-                    )
-                    for j in range(K_CLUSTERS)
-                ]
-            )
+    # one parsed expression per assignment pass: array_min over
+    # (distance, cluster) structs — struct ordering gives argmin with
+    # lowest-j tie-break, matching the oracle's ORDER BY d, cluster
+    m_sql = (
+        "array_min(array("
+        + ", ".join(
+            f"struct({_dist2_sql('q', f'c{j}')} AS d, {j} AS j)"
+            for j in range(K_CLUSTERS)
         )
+        + "))"
+    )
+
+    def assign(frame: DataFrame, wide_row: DataFrame) -> DataFrame:
+        a = frame.crossJoin(F.broadcast(wide_row)).withColumn("m", F.expr(m_sql))
         return a.select(
             "vec_id",
             "q",
-            m.getField("j").cast("int").alias("cluster"),
-            m.getField("d").alias("d"),
+            F.col("m").getField("j").cast("int").alias("cluster"),
+            F.col("m").getField("d").alias("d"),
         )
 
     for _ in range(KMEANS_ITERS):
@@ -255,27 +250,43 @@ def ns_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_members"),
         F.sum("d").cast("bigint").alias("inertia_q"),
     )
-    x, y = final.alias("x"), final.alias("y")
-    dot = int_dot_fixed(F.col("x.q"), F.col("y.q"), DIM)
-    nx = int_dot_fixed(F.col("x.q"), F.col("x.q"), DIM)
-    ny = int_dot_fixed(F.col("y.q"), F.col("y.q"), DIM)
-    cos = (
-        dot.cast("double")
-        / F.sqrt(nx.cast("double"))
-        / F.sqrt(ny.cast("double"))
-    )
-    pstats = (
-        x.join(
-            y,
-            (F.col("x.cluster") == F.col("y.cluster"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
+    # Within-cluster pairwise as one exact int64 numpy matmul per cluster
+    # (applyInPandas, same Arrow backend pattern as
+    # ns_dedup_embedding_cosine). A row-expression self-join on `cluster`
+    # computes the same thing ~25× slower: K keys force a sort-merge join
+    # whose per-group buffering dominates, while BLAS batches the 64-dim
+    # dots. Group size is bounded by the SemDeDup design (K grows with N),
+    # so the n_c² score matrix (~50 MB at n_c=2500) stays executor-local.
+    def _cluster_stats(pdf):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        pdf = pdf.sort_values("vec_id")
+        mat = np.array(list(pdf["q"]), dtype=np.int64)
+        n2 = (mat * mat).sum(axis=1)
+        sq = np.sqrt(n2.astype(np.float64))
+        cluster = int(pdf["cluster"].iloc[0])
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cluster": [cluster], "max_intra_cosine": [None], "n_dup_pairs": [0]}
+            )
+        dot = mat @ mat.T  # exact int64
+        # rows sorted by vec_id, upper triangle i<j → the divisor order
+        # (sqrt of the SMALLER id's norm first) matches the oracle
+        cos = (dot.astype(np.float64) / sq[:, None]) / sq[None, :]
+        iu = np.triu_indices(len(pdf), k=1)
+        vals = cos[iu]
+        return pd.DataFrame(
+            {
+                "cluster": [cluster],
+                "max_intra_cosine": [float(vals.max())],
+                "n_dup_pairs": [int((vals >= SEMDEDUP_TAU).sum())],
+            }
         )
-        .select(F.col("x.cluster").alias("cluster"), cos.alias("cos"))
-        .groupBy("cluster")
-        .agg(
-            F.max("cos").alias("max_intra_cosine"),
-            F.sum((F.col("cos") >= SEMDEDUP_TAU).cast("bigint")).alias("n_dup_pairs"),
-        )
+
+    pstats = final.select("cluster", "vec_id", "q").groupBy("cluster").applyInPandas(
+        _cluster_stats,
+        schema="cluster int, max_intra_cosine double, n_dup_pairs long",
     )
     return members.join(pstats, "cluster", "left").select(
         "cluster",

@@ -69,6 +69,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_R5 = (
     # new in round 5
     "ns_bm25_topk",
+    "ns_semdedup_prune",
     "ns_dedup_span_coverage",
     "ns_semdedup_kmeans",
     # implementation changed in round 5 (ADVICE r4) — need fresh rows
@@ -111,7 +112,6 @@ _DRIVER_WINDOW_R5 = (
     "ext_referential_audit",
     "ext_scalar_date",
     "ext_scalar_date_arith",
-    "ext_scalar_hash",
     "ext_scalar_math",
     "ext_scalar_regex",
     "ext_scalar_string",

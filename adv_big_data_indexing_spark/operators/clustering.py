@@ -164,6 +164,62 @@ _FINAL_CIN = f"c{KMEANS_ITERS}" if KMEANS_ITERS else "cent0"
     "driver collect.",
 )
 def ns_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = kmeans_assign(spark, sf_dir)
+
+    members = final.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("d").cast("bigint").alias("inertia_q"),
+    )
+    # Within-cluster pairwise as one exact int64 numpy matmul per cluster
+    # (applyInPandas, same Arrow backend pattern as
+    # ns_dedup_embedding_cosine). A row-expression self-join on `cluster`
+    # computes the same thing ~25× slower: K keys force a sort-merge join
+    # whose per-group buffering dominates, while BLAS batches the 64-dim
+    # dots. Group size is bounded by the SemDeDup design (K grows with N),
+    # so the n_c² score matrix (~50 MB at n_c=2500) stays executor-local.
+    def _cluster_stats(pdf):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        pdf = pdf.sort_values("vec_id")
+        mat = np.array(list(pdf["q"]), dtype=np.int64)
+        n2 = (mat * mat).sum(axis=1)
+        sq = np.sqrt(n2.astype(np.float64))
+        cluster = int(pdf["cluster"].iloc[0])
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cluster": [cluster], "max_intra_cosine": [None], "n_dup_pairs": [0]}
+            )
+        dot = mat @ mat.T  # exact int64
+        # rows sorted by vec_id, upper triangle i<j → the divisor order
+        # (sqrt of the SMALLER id's norm first) matches the oracle
+        cos = (dot.astype(np.float64) / sq[:, None]) / sq[None, :]
+        iu = np.triu_indices(len(pdf), k=1)
+        vals = cos[iu]
+        return pd.DataFrame(
+            {
+                "cluster": [cluster],
+                "max_intra_cosine": [float(vals.max())],
+                "n_dup_pairs": [int((vals >= SEMDEDUP_TAU).sum())],
+            }
+        )
+
+    pstats = final.select("cluster", "vec_id", "q").groupBy("cluster").applyInPandas(
+        _cluster_stats,
+        schema="cluster int, max_intra_cosine double, n_dup_pairs long",
+    )
+    return members.join(pstats, "cluster", "left").select(
+        "cluster",
+        "n_members",
+        "inertia_q",
+        "max_intra_cosine",
+        F.coalesce("n_dup_pairs", F.lit(0).cast("bigint")).alias("n_dup_pairs"),
+    )
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared Lloyd loop: returns the final (vec_id, q, cluster, d)
+    assignment frame, checkpointed (it feeds multiple downstream stages)."""
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", quantize_vec(F.col("embedding")).alias("q"))
@@ -244,54 +300,83 @@ def ns_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    final = assign(e, wide).localCheckpoint(eager=True)
+    return assign(e, wide).localCheckpoint(eager=True)
 
-    members = final.groupBy("cluster").agg(
-        F.count("*").cast("bigint").alias("n_members"),
-        F.sum("d").cast("bigint").alias("inertia_q"),
+
+@query(
+    "ns_semdedup_prune",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings
+    ),
+    cent0 AS (
+      SELECT CAST(vec_id AS INTEGER) AS j, q AS c FROM qv WHERE vec_id < {K_CLUSTERS}
+    ),
+    {_N_ITER_CTES},
+    af AS (
+      SELECT vec_id, q, cluster, d FROM (
+        SELECT vec_id, q, cluster, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT v.vec_id, v.q, c.j AS cluster, {_DUCK_D} AS d
+              FROM qv v CROSS JOIN {_FINAL_CIN} c)
+      ) WHERE rn = 1
+    ),
+    drops AS (
+      SELECT y.vec_id, CAST(min(x.vec_id) AS BIGINT) AS dup_of
+      FROM af x JOIN af y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                 i -> x.q[i] * y.q[i])) AS DOUBLE)
+            / sqrt(CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                   i -> x.q[i] * x.q[i])) AS DOUBLE))
+            / sqrt(CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                   i -> y.q[i] * y.q[i])) AS DOUBLE))
+            >= {SEMDEDUP_TAU}
+      GROUP BY y.vec_id
     )
-    # Within-cluster pairwise as one exact int64 numpy matmul per cluster
-    # (applyInPandas, same Arrow backend pattern as
-    # ns_dedup_embedding_cosine). A row-expression self-join on `cluster`
-    # computes the same thing ~25× slower: K keys force a sort-merge join
-    # whose per-group buffering dominates, while BLAS batches the 64-dim
-    # dots. Group size is bounded by the SemDeDup design (K grows with N),
-    # so the n_c² score matrix (~50 MB at n_c=2500) stays executor-local.
-    def _cluster_stats(pdf):
+    SELECT af.vec_id, af.cluster,
+           drops.dup_of IS NULL AS keep,
+           drops.dup_of
+    FROM af LEFT JOIN drops ON drops.vec_id = af.vec_id
+    """,
+    doc="NS SemDeDup prune verdict: per vector, KEEP unless a same-cluster "
+    "vector with a lower vec_id is cosine-≥τ similar (greedy "
+    "lowest-id-representative rule — deterministic, order-free); dropped "
+    "rows carry dup_of = the lowest such representative. Same per-cluster "
+    "Arrow matmul backend as ns_semdedup_kmeans — the verdict set is what "
+    "a curation pipeline anti-joins against the corpus to materialize the "
+    "deduplicated training set.",
+)
+def ns_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = kmeans_assign(spark, sf_dir)
+
+    def _cluster_prune(pdf):
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        pdf = pdf.sort_values("vec_id")
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["q"]), dtype=np.int64)
-        n2 = (mat * mat).sum(axis=1)
-        sq = np.sqrt(n2.astype(np.float64))
-        cluster = int(pdf["cluster"].iloc[0])
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"cluster": [cluster], "max_intra_cosine": [None], "n_dup_pairs": [0]}
-            )
-        dot = mat @ mat.T  # exact int64
-        # rows sorted by vec_id, upper triangle i<j → the divisor order
-        # (sqrt of the SMALLER id's norm first) matches the oracle
-        cos = (dot.astype(np.float64) / sq[:, None]) / sq[None, :]
-        iu = np.triu_indices(len(pdf), k=1)
-        vals = cos[iu]
+        sq = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        if len(pdf) >= 2:
+            dot = mat @ mat.T  # exact int64
+            cos = (dot.astype(np.float64) / sq[:, None]) / sq[None, :]
+            # rows sorted ascending by vec_id: for column j, candidate
+            # representatives are rows i<j (divisor order matches oracle)
+            for j in range(1, len(pdf)):
+                hits = np.nonzero(cos[:j, j] >= SEMDEDUP_TAU)[0]
+                if len(hits):
+                    dup_of[j] = ids[hits[0]]  # ids sorted → first hit is min
         return pd.DataFrame(
             {
-                "cluster": [cluster],
-                "max_intra_cosine": [float(vals.max())],
-                "n_dup_pairs": [int((vals >= SEMDEDUP_TAU).sum())],
+                "vec_id": ids,
+                "cluster": pdf["cluster"],
+                "keep": dup_of < 0,
+                "dup_of": [None if d < 0 else int(d) for d in dup_of],
             }
         )
 
-    pstats = final.select("cluster", "vec_id", "q").groupBy("cluster").applyInPandas(
-        _cluster_stats,
-        schema="cluster int, max_intra_cosine double, n_dup_pairs long",
-    )
-    return members.join(pstats, "cluster", "left").select(
-        "cluster",
-        "n_members",
-        "inertia_q",
-        "max_intra_cosine",
-        F.coalesce("n_dup_pairs", F.lit(0).cast("bigint")).alias("n_dup_pairs"),
+    return final.select("cluster", "vec_id", "q").groupBy("cluster").applyInPandas(
+        _cluster_prune,
+        schema="vec_id long, cluster int, keep boolean, dup_of long",
     )

@@ -219,3 +219,60 @@ def test_pagerank_replay(spark):
     assert got == r
     # probability-mass sanity: floor losses only ever shrink the total
     assert sum(r.values()) <= RANK_SCALE
+
+
+def test_semdedup_prune_replay(spark):
+    """Prune verdicts replayed in numpy on top of the replayed assignment
+    (shares the greedy lowest-id-representative rule with the oracle)."""
+    from adv_big_data_indexing_spark.operators.clustering import (
+        _OFFSET,
+        K_CLUSTERS,
+        KMEANS_ITERS,
+        SEMDEDUP_TAU,
+    )
+
+    rows = registry()["ns_semdedup_prune"].fn(spark, SF_CORRECTNESS).collect()
+    emb = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array(sorted(r.vec_id for r in emb), dtype=np.int64)
+    by_id = {r.vec_id: r.embedding for r in emb}
+    q = np.floor(
+        np.array([by_id[i] for i in ids], dtype=np.float64) * 1_000_000.0
+    ).astype(np.int64)
+    cent = q[ids < K_CLUSTERS].copy()
+
+    def assign(c):
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(KMEANS_ITERS):
+        cl = assign(cent)
+        for j in range(K_CLUSTERS):
+            m = cl == j
+            if m.any():
+                n = int(m.sum())
+                cent[j] = (q[m].sum(axis=0) + _OFFSET * n) // n - _OFFSET
+    cl = assign(cent)
+
+    want = {}
+    for j in range(K_CLUSTERS):
+        m = cl == j
+        sub, sub_ids = q[m], ids[m]
+        sq = np.sqrt((sub * sub).sum(axis=1).astype(np.float64))
+        for b in range(len(sub)):
+            dup = None
+            for a in range(b):
+                cos = (float(sub[a] @ sub[b]) / sq[a]) / sq[b]
+                if cos >= SEMDEDUP_TAU:
+                    dup = int(sub_ids[a])
+                    break  # ids ascending → first hit is the min
+            want[int(sub_ids[b])] = (int(j), dup is None, dup)
+    got = {r.vec_id: (r.cluster, r.keep, r.dup_of) for r in rows}
+    assert got == want
+    # at least one drop on this corpus, and every dup_of is a kept row
+    dropped = [v for v in got.values() if not v[1]]
+    assert dropped
+    assert all(got[v[2]][1] for v in dropped)

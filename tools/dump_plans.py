@@ -148,6 +148,29 @@ SHOWCASE = [
         "variance parity across engines without a single "
         "order-dependent float sum.",
     ),
+    (
+        "ns_bm25_topk",
+        "BM25 ranked retrieval: per-row tf expressions (no token explode "
+        "anywhere — zero Generate nodes), corpus stats reduce to ONE "
+        "broadcast scalar row, quarter-bit integer idf + scaled-integer "
+        "tf saturation in codegen, and top-k via TakeOrderedAndProject.",
+    ),
+    (
+        "ns_dedup_span_coverage",
+        "Exact-substring duplication coverage: position-indexed span "
+        "hashes from one posexplode, the dup-gram set via an O(1)-state "
+        "min!=max aggregate (full map-side combine), a keyed join back, "
+        "and a doc-partitioned interval-union window — O(tokens) + "
+        "O(dup occurrences) at any corpus size.",
+    ),
+    (
+        "ns_graph_pagerank",
+        "PageRank, aggregate-then-iterate: the q5-shaped join tree "
+        "collapses map-side into a checkpointed |nations|^2 edge list; "
+        "each damped iteration is a keyed join + partial-agg groupBy in "
+        "exact fixed-point int64 — the loop that runs unchanged when the "
+        "graph is a billion nodes and each step is one shuffle.",
+    ),
 ]
 
 

@@ -70,6 +70,7 @@ _DRIVER_WINDOW_R5 = (
     # new in round 5
     "ns_bm25_topk",
     "ns_semdedup_prune",
+    "ts_downsample_lttb",
     "ns_dedup_span_coverage",
     "ns_semdedup_kmeans",
     # implementation changed in round 5 (ADVICE r4) — need fresh rows
@@ -113,7 +114,6 @@ _DRIVER_WINDOW_R5 = (
     "ext_scalar_date",
     "ext_scalar_date_arith",
     "ext_scalar_math",
-    "ext_scalar_regex",
     "ext_scalar_string",
     "ext_setops",
     "ext_stats_moments",

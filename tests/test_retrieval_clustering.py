@@ -276,3 +276,63 @@ def test_semdedup_prune_replay(spark):
     dropped = [v for v in got.values() if not v[1]]
     assert dropped
     assert all(got[v[2]][1] for v in dropped)
+
+
+def test_lttb_replay(spark):
+    """LTTB downsampling replayed in pure Python integers: same bucket
+    formula, same scaled integer areas, same earliest-wins tie-break."""
+    from adv_big_data_indexing_spark.operators.timeseries import _LTTB_B, LTTB_T
+
+    rows = registry()["ts_downsample_lttb"].fn(spark, SF_CORRECTNESS).collect()
+    ev = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            "CAST(floor(value * 1000) AS BIGINT) AS y",
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 AS x",
+        )
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append(r)
+    want = {}
+    for uid, pts in series.items():
+        pts.sort(key=lambda r: (r.ts, r.event_id))
+        n = len(pts)
+        if n <= LTTB_T:
+            for i, r in enumerate(pts):
+                want[(uid, i)] = r.event_id
+            continue
+        buckets = [[] for _ in range(_LTTB_B)]
+        for idx in range(1, n - 1):
+            buckets[(idx - 1) * _LTTB_B // (n - 2)].append(idx)
+        sel = [0]
+        for b in range(_LTTB_B):
+            if b < _LTTB_B - 1:
+                nb = buckets[b + 1]
+                sx = sum(pts[i].x for i in nb)
+                sy = sum(pts[i].y for i in nb)
+                m = len(nb)
+            else:
+                sx, sy, m = pts[n - 1].x, pts[n - 1].y, 1
+            a = sel[-1]
+            best, best_area = None, -1
+            for c in buckets[b]:
+                xa, ya, xc, yc = pts[a].x, pts[a].y, pts[c].x, pts[c].y
+                area = abs((xa * m - sx) * (yc - ya) - (xa - xc) * (sy - ya * m))
+                if area > best_area:
+                    best, best_area = c, area
+            sel.append(best)
+        sel.append(n - 1)
+        for bkt, idx in enumerate(sel):
+            want[(uid, bkt)] = pts[idx].event_id
+    got = {(r.user_id, r.bucket): r.event_id for r in rows}
+    assert got == want
+    # structural invariants: first/last kept, buckets are 0..T-1 per series
+    for uid, pts in series.items():
+        t = min(LTTB_T, len(pts))
+        assert sorted(b for (u, b) in got if u == uid) == list(range(t))

@@ -71,3 +71,43 @@ def test_driver_alias_window_guard():
     assert not shadows, f"aliases shadow registry names: {shadows}"
     # every oracle key must have a queries() key (driver pairs them by name)
     assert set(e.oracle_sql()) <= set(q)
+
+
+def test_recursive_oracles_deterministic_under_parallelism():
+    """DuckDB's parallel executor dropped rows nondeterministically from
+    the first LTTB oracle shape (WITH RECURSIVE + LATERAL list_reduce) at
+    threads>1 — always-correct at threads=1, 1494-1500 rows at 32. The
+    driver runs oracles at its own thread count, so every oracle using
+    recursion or lambda-bearing list functions must produce identical
+    results across repeated parallel runs."""
+    import hashlib
+
+    import duckdb
+
+    from tests.conftest import SF_CORRECTNESS
+
+    risky = [
+        name
+        for name, spec in registry().items()
+        if spec.oracle
+        and ("RECURSIVE" in spec.oracle or "list_reduce" in spec.oracle)
+    ]
+    assert risky, "expected at least the EWMA/FFD recursive oracles"
+    for name in risky:
+        sigs = set()
+        for _ in range(3):
+            con = duckdb.connect()
+            con.execute("SET threads=32")
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings".split()
+            ):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{SF_CORRECTNESS}/{t}.parquet'"
+                )
+            rows = con.sql(registry()[name].oracle).fetchall()
+            sigs.add(
+                (len(rows), hashlib.md5(str(sorted(map(str, rows))).encode()).hexdigest())
+            )
+            con.close()
+        assert len(sigs) == 1, f"{name}: nondeterministic oracle {sigs}"

@@ -71,6 +71,7 @@ _DRIVER_WINDOW_R5 = (
     "ns_bm25_topk",
     "ns_semdedup_prune",
     "ts_downsample_lttb",
+    "ts_cusum_alarm",
     "ns_dedup_span_coverage",
     "ns_semdedup_kmeans",
     # implementation changed in round 5 (ADVICE r4) — need fresh rows
@@ -112,7 +113,6 @@ _DRIVER_WINDOW_R5 = (
     "ext_range_join",
     "ext_referential_audit",
     "ext_scalar_date",
-    "ext_scalar_date_arith",
     "ext_scalar_math",
     "ext_scalar_string",
     "ext_setops",

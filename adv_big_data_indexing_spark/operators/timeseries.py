@@ -974,3 +974,105 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, bucket int, ts timestamp, event_id long, value double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection (one-sided, integer-exact, restart-on-alarm)
+# ---------------------------------------------------------------------------
+
+#: allowance k = mu/KDIV, alarm threshold h = HMUL*mu — per-series
+#: self-calibrating (both derive from the series' own integer mean), the
+#: standard parameterization for unlabeled drift monitoring.
+CUSUM_KDIV = 10
+CUSUM_HMUL = 3
+
+
+@query(
+    "ts_cusum_alarm",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(floor(value * 1000) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    mu AS (
+      SELECT user_id, CAST(sum(x) // count(*) AS BIGINT) AS mu
+      FROM ordered GROUP BY user_id
+    ),
+    rec AS (
+      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+             greatest(CAST(0 AS BIGINT), o.x - m.mu - m.mu // {CUSUM_KDIV}) AS s_raw,
+             CASE WHEN greatest(CAST(0 AS BIGINT), o.x - m.mu - m.mu // {CUSUM_KDIV})
+                       > {CUSUM_HMUL} * m.mu
+                  THEN CAST(0 AS BIGINT)
+                  ELSE greatest(CAST(0 AS BIGINT), o.x - m.mu - m.mu // {CUSUM_KDIV})
+             END AS s_carry
+      FROM ordered o JOIN mu m USING (user_id) WHERE o.rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.value, o.rn,
+             greatest(CAST(0 AS BIGINT),
+                      r.s_carry + o.x - m.mu - m.mu // {CUSUM_KDIV}) AS s_raw,
+             CASE WHEN greatest(CAST(0 AS BIGINT),
+                                r.s_carry + o.x - m.mu - m.mu // {CUSUM_KDIV})
+                       > {CUSUM_HMUL} * m.mu
+                  THEN CAST(0 AS BIGINT)
+                  ELSE greatest(CAST(0 AS BIGINT),
+                                r.s_carry + o.x - m.mu - m.mu // {CUSUM_KDIV})
+             END AS s_carry
+      FROM rec r
+      JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+      JOIN mu m ON m.user_id = r.user_id
+    )
+    SELECT user_id, event_id, ts, value, CAST(s_raw AS BIGINT) AS s_q
+    FROM rec JOIN mu USING (user_id)
+    WHERE s_raw > {CUSUM_HMUL} * mu
+    """,
+    doc="TS one-sided CUSUM drift detection per user series (Page 1954): "
+    "s_i = max(0, s_(i-1) + x_i − μ − k) with alarm + restart when "
+    "s_i > h; k = μ/10, h = 3μ self-calibrated from the series' own "
+    "integer mean, x in exact milli-units — the whole recurrence is "
+    "integer arithmetic, bit-portable by construction. Sequential per "
+    "series → grouped-map Arrow kernel (same escape hatch as EWMA); the "
+    "oracle replays it with the EWMA-style 1:1 recursive CTE (per-step "
+    "equi-join — the recursion shape that IS parallel-safe in DuckDB, "
+    "unlike the list_reduce argmax the LTTB oracle had to unroll; both "
+    "are pinned by test_recursive_oracles_deterministic_under_parallelism).",
+)
+def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("x"),
+    )
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        xs = [int(v) for v in pdf["x"]]
+        mu = sum(xs) // len(xs)
+        k, h = mu // CUSUM_KDIV, CUSUM_HMUL * mu
+        s = 0
+        keep, sq = [], []
+        for i, x in enumerate(xs):
+            s = max(0, s + x - mu - k)
+            if s > h:
+                keep.append(i)
+                sq.append(s)
+                s = 0
+        out = pdf.iloc[keep].copy()
+        out["s_q"] = sq
+        return out[["user_id", "event_id", "ts", "value", "s_q"]]
+
+    n_part = max(8, spark.sparkContext.defaultParallelism // 2)
+    return (
+        e.repartition(n_part, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            cusum,
+            schema="user_id long, event_id long, ts timestamp, value double, s_q long",
+        )
+    )

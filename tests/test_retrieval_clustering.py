@@ -336,3 +336,38 @@ def test_lttb_replay(spark):
     for uid, pts in series.items():
         t = min(LTTB_T, len(pts))
         assert sorted(b for (u, b) in got if u == uid) == list(range(t))
+
+
+def test_cusum_replay(spark):
+    """CUSUM alarms replayed in pure Python integers."""
+    from adv_big_data_indexing_spark.operators.timeseries import (
+        CUSUM_HMUL,
+        CUSUM_KDIV,
+    )
+
+    rows = registry()["ts_cusum_alarm"].fn(spark, SF_CORRECTNESS).collect()
+    ev = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+        .selectExpr(
+            "user_id", "event_id", "ts", "CAST(floor(value * 1000) AS BIGINT) AS x"
+        )
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append(r)
+    want = {}
+    for uid, pts in series.items():
+        pts.sort(key=lambda r: (r.ts, r.event_id))
+        xs = [r.x for r in pts]
+        mu = sum(xs) // len(xs)
+        k, h = mu // CUSUM_KDIV, CUSUM_HMUL * mu
+        s = 0
+        for r, x in zip(pts, xs):
+            s = max(0, s + x - mu - k)
+            if s > h:
+                want[(uid, r.event_id)] = s
+                s = 0
+    got = {(r.user_id, r.event_id): r.s_q for r in rows}
+    assert got == want
+    assert len(want) > 0  # calibrated to actually fire on this corpus

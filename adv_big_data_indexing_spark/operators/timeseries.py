@@ -931,35 +931,35 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: PLC0415
+
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         n = len(pdf)
         if n <= LTTB_T:
             out = pdf.copy()
             out["bucket"] = range(n)
             return out[["user_id", "bucket", "ts", "event_id", "value"]]
-        x = [int(v) for v in pdf["x"]]
-        y = [int(v) for v in pdf["y"]]
+        x = pdf["x"].to_numpy(dtype=np.int64)
+        y = pdf["y"].to_numpy(dtype=np.int64)
         # interior rows rn=2..n-1 → 0-based idx 1..n-2; bucket via the
-        # same integer formula as the oracle
-        buckets: list[list[int]] = [[] for _ in range(_LTTB_B)]
-        for idx in range(1, n - 1):
-            buckets[(idx - 1) * _LTTB_B // (n - 2)].append(idx)
+        # same integer formula as the oracle. np.int64 arithmetic is exact
+        # at these magnitudes (areas ≤ ~10^14, bounds in the header note).
+        interior = np.arange(1, n - 1, dtype=np.int64)
+        bkt = (interior - 1) * _LTTB_B // (n - 2)
+        buckets = [interior[bkt == b] for b in range(_LTTB_B)]
         sel = [0]
         for b in range(_LTTB_B):
             if b < _LTTB_B - 1:
                 nb = buckets[b + 1]
-                sx, sy, m = sum(x[i] for i in nb), sum(y[i] for i in nb), len(nb)
+                sx, sy, m = int(x[nb].sum()), int(y[nb].sum()), len(nb)
             else:
-                sx, sy, m = x[n - 1], y[n - 1], 1
+                sx, sy, m = int(x[n - 1]), int(y[n - 1]), 1
             a = sel[-1]
-            best, best_area = None, -1
-            for c in buckets[b]:  # ascending idx → strict > keeps earliest
-                area = abs(
-                    (x[a] * m - sx) * (y[c] - y[a]) - (x[a] - x[c]) * (sy - y[a] * m)
-                )
-                if area > best_area:
-                    best, best_area = c, area
-            sel.append(best)
+            cand = buckets[b]  # ascending → argmax's first-max = earliest
+            areas = np.abs(
+                (x[a] * m - sx) * (y[cand] - y[a]) - (x[a] - x[cand]) * (sy - y[a] * m)
+            )
+            sel.append(int(cand[np.argmax(areas)]))
         sel.append(n - 1)
         out = pdf.iloc[sel].copy()
         out["bucket"] = range(LTTB_T)

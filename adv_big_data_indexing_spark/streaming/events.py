@@ -175,6 +175,61 @@ def anomaly_zscores(events: DataFrame) -> DataFrame:
     )
 
 
+CUSUM_OUTPUT = "user_id long, event_id long, ts timestamp, value double, s_q long"
+CUSUM_STATE = "s_carry bigint"
+
+
+def cusum_alarms(events: DataFrame, mu_q: int) -> DataFrame:
+    """Streaming twin of ``ts_cusum_alarm`` (operators/timeseries.py) for a
+    FIXED target mean ``mu_q`` (milli-units): the batch operator
+    self-calibrates mu from the whole series, which a stream cannot see,
+    so the streaming form monitors drift against a configured target —
+    the standard deployment of CUSUM monitors. State is ONE bigint per
+    user (the carried cusum), alarm resets it — when events arrive in
+    event-time order the output equals the batch recurrence with the
+    same mu bit-for-bit (pure integer arithmetic on both paths).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from adv_big_data_indexing_spark.operators.timeseries import (  # noqa: PLC0415
+        CUSUM_HMUL,
+        CUSUM_KDIV,
+    )
+
+    k, h = mu_q // CUSUM_KDIV, CUSUM_HMUL * mu_q
+
+    def update(key, pdf_iter, state):
+        import math  # noqa: PLC0415
+
+        (user_id,) = key
+        s_carry = int(state.get()[0]) if state.exists else 0
+        out = {c: [] for c in ("user_id", "event_id", "ts", "value", "s_q")}
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for _, row in pdf.iterrows():
+            x = int(math.floor(float(row["value"]) * 1000.0))
+            s_carry = max(0, s_carry + x - mu_q - k)
+            if s_carry > h:
+                out["user_id"].append(user_id)
+                out["event_id"].append(int(row["event_id"]))
+                out["ts"].append(row["ts"])
+                out["value"].append(float(row["value"]))
+                out["s_q"].append(s_carry)
+                s_carry = 0
+        state.update((s_carry,))
+        yield pd.DataFrame(out)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def error_click_interval_join(
     errors: DataFrame, clicks: DataFrame, window_sec: int = 60
 ) -> DataFrame:

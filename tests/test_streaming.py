@@ -479,3 +479,59 @@ def test_streaming_cms_converges_to_registry_batch_twin(spark, tmp_path):
     twin = registry()["ts_cms_event_types"].fn(spark, SF_CORRECTNESS)
     expect = {(r.ri, r.b): r.cnt for r in twin.collect()}
     assert got == expect
+
+
+def test_streaming_cusum_matches_batch_recurrence(spark, tmp_path):
+    """Streaming CUSUM (single-bigint state, alarm reset) must equal the
+    batch integer recurrence with the same fixed target mean on in-order
+    input, including across multiple micro-batches carrying state."""
+    import math
+
+    # drifting series: user 0 drifts up after i=30, user 1 stays flat
+    rows = [
+        (
+            i,
+            f"2024-01-01 00:{i // 2:02d}:{(i % 2) * 30:02d}",
+            i % 2,
+            "click",
+            (250.0 + (i - 30) * 40.0) if (i % 2 == 0 and i >= 30) else 200.0 + (i % 5),
+        )
+        for i in range(60)
+    ]
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    src = str(tmp_path / "cusum_src")
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    mu_q = 200_000  # fixed monitoring target: 200.0 in milli-units
+    out = _run_stream_to_memory(
+        spark, ev.cusum_alarms(stream, mu_q), "t_cusum", "append"
+    )
+    got = {(r.user_id, r.event_id): r.s_q for r in out.collect()}
+    assert got, "the drifting series must alarm"
+
+    # batch replay of the same fixed-mu recurrence
+    from adv_big_data_indexing_spark.operators.timeseries import (
+        CUSUM_HMUL,
+        CUSUM_KDIV,
+    )
+
+    k, h = mu_q // CUSUM_KDIV, CUSUM_HMUL * mu_q
+    exp = {}
+    for uid in (0, 1):
+        pts = sorted(
+            (r for r in rows if r[2] == uid), key=lambda r: (r[1], r[0])
+        )
+        s = 0
+        for eid, _ts, _u, _t, value in pts:
+            s = max(0, s + int(math.floor(value * 1000.0)) - mu_q - k)
+            if s > h:
+                exp[(uid, eid)] = s
+                s = 0
+    assert got == exp
+    # only the drifting user alarms
+    assert {u for (u, _e) in got} == {0}

@@ -200,3 +200,54 @@ def test_predicate_compiler_rejects_mistyped(spark, param_df):
 def test_predicate_compiler_unknown_op(spark):
     with pytest.raises(ValueError, match="unsupported range op"):
         compile_params({"copay": {"between": [1, 2]}})
+
+
+def test_ilog2_q4_cross_engine_sweep(spark):
+    """ilog2_q4 is the quarter-bit integer log2 underpinning the
+    surprisal/entropy/BM25/idf oracles. Sweep: the exact region
+    (x < 2^15.75), powers of two ± 1 up to 2^62, and pseudorandom large
+    values — Spark, DuckDB, and the Python reference must agree EXACTLY
+    (parity requires identical formula evaluation, not closeness), and
+    the result must be monotone and within one step of true floor(4*log2)."""
+    import math
+
+    import duckdb
+
+    from adv_big_data_indexing_spark.functions.exact import DUCK_ILOG2_Q4, ilog2_q4
+    from pyspark.sql import functions as F
+
+    xs = list(range(1, 4096))
+    xs += [2**k + d for k in range(12, 63) for d in (-1, 0, 1)]
+    xs += [(1103515245 * k + 12345) % (2**62) + 1 for k in range(500)]
+    xs = sorted(set(xs))
+
+    def py_ref(x: int) -> int:
+        s = max(x.bit_length() - 15, 0)
+        y = x >> s
+        return 4 * s + (y * y * y * y).bit_length() - 1
+
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got_spark = {
+        r.x: r.q for r in df.select("x", ilog2_q4(F.col("x")).alias("q")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    got_duck = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT x, {DUCK_ILOG2_Q4.format(col='x')} AS q FROM t"
+        ).fetchall()
+    }
+    prev = None
+    for x in xs:
+        want = py_ref(x)
+        assert got_spark[x] == want, (x, got_spark[x], want)
+        assert got_duck[x] == want, (x, got_duck[x], want)
+        true_q4 = math.floor(4 * math.log2(x)) if x > 1 else 0
+        assert abs(want - true_q4) <= 1, (x, want, true_q4)
+        if x < 2**15:  # exact region: bit-exact quarter-bit floor
+            assert want == true_q4, (x, want, true_q4)
+        if prev is not None:
+            assert want >= prev
+        prev = want

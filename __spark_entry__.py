@@ -112,9 +112,11 @@ _DRIVER_WINDOW_R5 = (
     "ext_posexplode",
     "ext_range_join",
     "ext_referential_audit",
-    "ext_scalar_date",
-    "ext_scalar_math",
-    "ext_scalar_string",
+    # new mid-round (rotated in over three r1-stale scalar-function rows,
+    # which stay green on the r1 evidence + the local parity gate)
+    "ns_bpe_train_merges",
+    "ts_holt_forecast",
+    "ts_ohlc_bars",
     "ext_setops",
     "ext_stats_moments",
     "ext_table_diff",

@@ -70,6 +70,7 @@ def registry() -> dict[str, QuerySpec]:
         sketches,
         text,
         timeseries,
+        tokenizer,
         udfs,
     )
 

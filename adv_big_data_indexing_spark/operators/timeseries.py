@@ -1076,3 +1076,157 @@ def ts_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, event_id long, ts timestamp, value double, s_q long",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (candlestick downsampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             TIMESTAMP '1970-01-01 00:00:00'
+               + ((epoch_us(ts) // 600000000) * 600) * INTERVAL 1 SECOND AS bar_start,
+             ts, event_id,
+             CAST(floor(value * 1000) AS BIGINT) AS x
+      FROM events
+    ),
+    o AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bar_start
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bar_start
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bar_start,
+           CAST(max(CASE WHEN rn_a = 1 THEN x END) AS BIGINT) AS open_m,
+           CAST(max(x) AS BIGINT) AS high_m,
+           CAST(min(x) AS BIGINT) AS low_m,
+           CAST(max(CASE WHEN rn_d = 1 THEN x END) AS BIGINT) AS close_m,
+           count(*) AS n_events
+    FROM o GROUP BY 1, 2
+    """,
+    doc="TS OHLC candlestick bars per (event_type, 10-min bucket): "
+    "open/close = value at the first/last (ts, event_id) of the bar, "
+    "high/low = extrema, all in exact milli-units. Spark plan is ONE "
+    "shuffle: a single hash aggregate where open/close are min_by/max_by "
+    "over the composite (ts, event_id) order key — min_by/max_by support "
+    "partial (map-side) aggregation, so at 100 TB each task reduces its "
+    "split to one candidate row per open bar before the exchange. The "
+    "oracle reaches the same rows via two row_number windows (DuckDB's "
+    "arg_min on a composite key is the same computation).",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.window("ts", "600 seconds").alias("w"),
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("x"),
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("event_type", F.col("w.start").alias("bar_start"))
+        .agg(
+            F.min_by("x", key).alias("open_m"),
+            F.max("x").alias("high_m"),
+            F.min("x").alias("low_m"),
+            F.max_by("x", key).alias("close_m"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential), integer-exact
+# ---------------------------------------------------------------------------
+
+#: alpha = 1/HOLT_ADIV (level gain), beta = 1/HOLT_BDIV (trend gain).
+HOLT_ADIV = 4
+HOLT_BDIV = 4
+#: Offset guard making truncating integer DIV behave as floor division on
+#: both engines (DuckDB `//` and Spark `div` truncate toward zero;
+#: Python's `//` floors): (e + OFF) // d - OFF // d == floor(e / d) for
+#: any e > -OFF. Forecast errors are bounded by the milli-value range
+#: (|e| < ~2^31 on any realistic value column), far inside 2^42.
+_HOLT_OFF = 1 << 42
+
+_HOLT_D = f"((o.x - r.l - r.b + {_HOLT_OFF}) // {HOLT_ADIV} - {_HOLT_OFF // HOLT_ADIV})"
+
+
+@query(
+    "ts_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, rn, n, x AS l, CAST(0 AS BIGINT) AS b
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.n,
+             r.l + r.b + {_HOLT_D} AS l,
+             r.b + (({_HOLT_D}) + {_HOLT_OFF}) // {HOLT_BDIV}
+                 - {_HOLT_OFF // HOLT_BDIV} AS b
+      FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           l AS level_m, b AS trend_m, l + b AS forecast_m
+    FROM rec WHERE rn = n
+    """,
+    doc="TS Holt linear-trend (double exponential) smoothing per user "
+    "series — the capacity-planning / rate-forecast primitive: level "
+    "l_t = l + b + floor(err/4), trend b_t = b + floor(floor(err/4)/4) "
+    "(alpha = beta = 1/4), x in exact milli-units, so the whole "
+    "recurrence is integer arithmetic and the one-step-ahead forecast "
+    "l + b is bit-portable. Truncating-vs-floor DIV divergence on "
+    "negative errors is neutralized by the +2^42 offset guard (same "
+    "trick as clustering's centroid DIV). Sequential per series -> "
+    "grouped-map Arrow kernel (the EWMA/CUSUM escape hatch); the oracle "
+    "replays it with the 1:1 recursive CTE. Scale: state is two bigints "
+    "per series; series count is the parallelism.",
+)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("x"),
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        xs = [int(v) for v in pdf["x"]]
+        l, b = xs[0], 0
+        for x in xs[1:]:
+            d = (x - l - b) // HOLT_ADIV  # Python // floors: matches the guard
+            l = l + b + d
+            b = b + d // HOLT_BDIV
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_obs": [len(xs)],
+                "level_m": [l],
+                "trend_m": [b],
+                "forecast_m": [l + b],
+            }
+        )
+
+    n_part = max(8, spark.sparkContext.defaultParallelism // 2)
+    return (
+        e.repartition(n_part, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            holt,
+            schema="user_id long, n_obs long, level_m long, trend_m long, forecast_m long",
+        )
+    )

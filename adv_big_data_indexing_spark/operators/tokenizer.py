@@ -1,0 +1,183 @@
+"""BPE tokenizer training over the documents corpus.
+
+The reference pipeline stops at whitespace/keyword analysis (its
+Elasticsearch mapping, src/elasticSearch/dataMapping.json); a training-
+data engine must also LEARN a subword vocabulary — byte-pair encoding
+(Sennrich et al. 2016, the GPT/Llama tokenizer family) — from corpus
+statistics. This module trains the first K merges exactly.
+
+Algorithm (classic corpus-level BPE on a word-frequency table):
+
+1. Aggregate the corpus to ``(word, freq)`` — vocabulary-sized, shuffled
+   once. All further work is over the vocab table, never the corpus.
+2. Represent each word as its character symbols. The symbol sequence is
+   carried as ONE string with double-space separators and double-space
+   sentinels (``'  a  b  c  '``): a merge of pair (a, b) is then exactly
+   ``replace(sym, ' a  b ', ' ab ')`` — left-to-right, non-overlapping
+   (both JVM ``String.replace`` and DuckDB ``replace`` scan that way),
+   which is precisely greedy BPE merge order, and each match leaves one
+   space on each side so back-to-back occurrences (``a b a b``) and
+   self-pairs (``a a a`` -> ``aa a``) merge like the textbook algorithm.
+3. Per iteration: explode adjacent symbol pairs (with multiplicity,
+   weighted by word freq), aggregate counts, take the argmax with the
+   deterministic (count DESC, left ASC, right ASC) tie-break, apply the
+   merge, repeat.
+
+Scale design: the corpus tokenize + count is one map + one shuffle; the
+per-iteration pair count is a map + aggregate over the VOCAB table
+(millions of rows at web scale, not the 100 TB corpus), with the argmax
+as a TakeOrdered(1). The per-iteration driver action carries one row —
+the same driver-loop shape as k-means (clustering.py) and PageRank
+(graph.py). State between iterations is the vocab DataFrame with a
+chained narrow ``replace`` projection; the base is localCheckpoint-ed so
+the corpus scan runs exactly once.
+
+Determinism: pure integer counts and binary string comparison — no
+hashes, no floats — so the DuckDB oracle (an unrolled CTE triple per
+merge) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, tokens
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+#: number of merges to learn. Each merge is one vocab-table aggregate;
+#: real trainings run ~30k merges of the identical step.
+BPE_MERGES = 10
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(lsym, rsym, pair_count) over the vocab table's symbol strings.
+
+    The explicit >=2 guard matters: Spark's ``sequence(1, 0)`` infers
+    step -1 and yields [1, 0] (the ns_doc_chunking lesson), so a
+    single-symbol word would fabricate a bogus pair.
+    """
+    ls = F.split(F.trim(F.col("sym")), "  ")
+    pairs = F.when(
+        F.size(ls) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ls) - 1),
+            lambda i: F.struct(
+                F.element_at(ls, i).alias("l"), F.element_at(ls, i + 1).alias("r")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("lsym"), F.col("p.r").alias("rsym"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def train_bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from ``docs(text)``."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.lit("  "),
+                F.array_join(F.expr("regexp_extract_all(w, '(.)', 1)"), "  "),
+                F.lit("  "),
+            ).alias("sym"),
+        )
+        .localCheckpoint()
+    )
+    out = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("pair_count"), "lsym", "rsym")
+            .first()
+        )
+        if best is None:
+            break
+        out.append(
+            (rank, best.lsym, best.rsym, best.lsym + best.rsym, best.pair_count)
+        )
+        words = words.select(
+            "freq",
+            F.replace(
+                F.col("sym"),
+                F.lit(f" {best.lsym}  {best.rsym} "),
+                F.lit(f" {best.lsym}{best.rsym} "),
+            ).alias("sym"),
+        )
+    return spark.createDataFrame(
+        out, schema="rank int, lsym string, rsym string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    toks = DUCK_TOKENS.format(col="text")
+    ctes = [
+        f"""w0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS freq,
+             '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' AS sym
+      FROM (SELECT unnest({toks}) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    )"""
+    ]
+    for i in range(n_merges):
+        # DuckDB's generate_series(1, 0) is [] (no step inference), so the
+        # single-symbol case needs no CASE guard here.
+        ctes.append(
+            f"""p{i} AS (
+      SELECT pr[1] AS lsym, pr[2] AS rsym, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM (
+        SELECT freq,
+               unnest(list_transform(generate_series(1, len(ls) - 1),
+                                     j -> [ls[j], ls[j + 1]])) AS pr
+        FROM (SELECT freq, str_split(trim(sym), '  ') AS ls FROM w{i})
+      )
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+      SELECT lsym, rsym, pair_count FROM p{i}
+      ORDER BY pair_count DESC, lsym, rsym LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""w{i + 1} AS (
+      SELECT w.freq,
+             replace(w.sym, ' ' || b.lsym || '  ' || b.rsym || ' ',
+                            ' ' || b.lsym || b.rsym || ' ') AS sym
+      FROM w{i} w CROSS JOIN b{i} b
+    )"""
+        )
+    final = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS rank, lsym, rsym, "
+        f"lsym || rsym AS merged, pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM (\n      {final}\n    )"
+
+
+@query(
+    "ns_bpe_train_merges",
+    oracle=_bpe_oracle(BPE_MERGES),
+    doc="NS BPE tokenizer training (Sennrich et al. 2016): learn the "
+    f"first {BPE_MERGES} merges from corpus word frequencies. Pure "
+    "integer counts + binary-collation tie-break (count DESC, pair ASC) "
+    "make every merge bit-deterministic; the double-space symbol-string "
+    "encoding turns 'apply merge' into a single literal replace() on "
+    "both engines with exactly greedy left-to-right BPE semantics. "
+    "Distributed shape: corpus -> vocab is the only corpus-sized "
+    "shuffle; each merge is a vocab-table aggregate + TakeOrdered(1) "
+    "(k-means-style driver loop carrying one row per iteration).",
+)
+def ns_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return train_bpe_merges(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,147 @@
+"""Round-5 additions: OHLC bars, Holt forecast, BPE merge training.
+
+Each gets a pure-Python reference replay on real testdata (the same
+bar the LTTB/CUSUM/EWMA recurrences meet) plus structural invariants;
+exact cross-engine parity is covered by the oracle gate in
+test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from tests.conftest import SF_CORRECTNESS, SF_SMOKE
+
+from adv_big_data_indexing_spark.contract import registry
+
+
+def test_holt_replay(spark):
+    """Holt level/trend recurrence replayed in pure Python integers
+    (Python // floors — the same floor the oracle's offset guard
+    produces)."""
+    from adv_big_data_indexing_spark.operators.timeseries import HOLT_ADIV, HOLT_BDIV
+
+    rows = registry()["ts_holt_forecast"].fn(spark, SF_CORRECTNESS).collect()
+    ev = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+        .selectExpr(
+            "user_id", "event_id", "ts", "CAST(floor(value * 1000) AS BIGINT) AS x"
+        )
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append(r)
+    want = {}
+    for uid, pts in series.items():
+        pts.sort(key=lambda r: (r.ts, r.event_id))
+        xs = [r.x for r in pts]
+        l, b = xs[0], 0
+        for x in xs[1:]:
+            d = (x - l - b) // HOLT_ADIV
+            l = l + b + d
+            b = b + d // HOLT_BDIV
+        want[uid] = (len(xs), l, b, l + b)
+    got = {r.user_id: (r.n_obs, r.level_m, r.trend_m, r.forecast_m) for r in rows}
+    assert got == want
+
+
+def test_ohlc_replay_and_invariants(spark):
+    rows = registry()["ts_ohlc_bars"].fn(spark, SF_CORRECTNESS).collect()
+    ev = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "ts",
+            "event_id",
+            "CAST(floor(value * 1000) AS BIGINT) AS x",
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 600000000 AS bar",
+        )
+        .collect()
+    )
+    bars: dict[tuple, list] = {}
+    for r in ev:
+        bars.setdefault((r.event_type, r.bar), []).append(r)
+    want = {}
+    for key, pts in bars.items():
+        pts.sort(key=lambda r: (r.ts, r.event_id))
+        want[key] = (
+            pts[0].x,
+            max(p.x for p in pts),
+            min(p.x for p in pts),
+            pts[-1].x,
+            len(pts),
+        )
+    got = {}
+    for r in rows:
+        bar = int(r.bar_start.timestamp()) // 600
+        got[(r.event_type, bar)] = (r.open_m, r.high_m, r.low_m, r.close_m, r.n_events)
+        assert r.low_m <= r.open_m <= r.high_m
+        assert r.low_m <= r.close_m <= r.high_m
+    assert got == want
+    assert sum(v[4] for v in got.values()) == len(ev)
+
+
+def _py_bpe(word_freq: dict[str, int], n_merges: int) -> list[tuple]:
+    """Textbook corpus-level BPE on a word-frequency dict."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, l + r, c))
+        merged = {}
+        for syms, f in vocab.items():
+            new = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            merged[tuple(new)] = merged.get(tuple(new), 0) + f
+        vocab = merged
+    return out
+
+
+def test_bpe_reference_replay(spark):
+    """Spark-trained merges equal the textbook greedy algorithm's."""
+    rows = (
+        registry()["ns_bpe_train_merges"].fn(spark, SF_SMOKE).orderBy("rank").collect()
+    )
+    toks = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .selectExpr("explode(split(trim(text), '\\\\s+')) AS w")
+        .filter("w <> ''")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    want = _py_bpe({r.w: r["count"] for r in toks}, 10)
+    got = [(r.rank, r.lsym, r.rsym, r.merged, r.pair_count) for r in rows]
+    assert got == want
+    # counts are non-increasing only within equal symbol-inventory steps is
+    # NOT guaranteed for BPE in general, but ranks must be 1..K and merged
+    # symbols must concatenate their parts
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """Self-pair and back-to-back merges follow greedy left-to-right BPE:
+    'a a a a a' merges to 'aa aa a', never 'a aa aa' or 'aaa ...'."""
+    from adv_big_data_indexing_spark.operators.tokenizer import train_bpe_merges
+
+    docs = spark.createDataFrame([("aaaaa baba",)], "text string")
+    merges = train_bpe_merges(docs, 2).orderBy("rank").collect()
+    # word 'aaaaa' has 4 (a,a) pairs; 'baba' has (b,a) x2 + (a,b) x1
+    assert (merges[0].lsym, merges[0].rsym, merges[0].pair_count) == ("a", "a", 4)
+    # after merging: 'aa aa a' -> pairs (aa,aa) 1, (aa,a) 1; 'b a b a' ->
+    # (b,a) 2, (a,b) 1: best is (b,a) with 2
+    assert (merges[1].lsym, merges[1].rsym, merges[1].pair_count) == ("b", "a", 2)

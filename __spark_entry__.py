@@ -91,7 +91,7 @@ _DRIVER_WINDOW_R5 = (
     "ext_argmax",
     "ext_bitwise",
     "ext_bloom_semijoin",
-    "ext_conditionals",
+    "ns_embed_pca_power",
     "ext_correlated_above_avg",
     "ext_fuzzy_join_levenshtein",
     "ext_grouping_id",
@@ -112,7 +112,7 @@ _DRIVER_WINDOW_R5 = (
     "ext_posexplode",
     "ext_range_join",
     "ext_referential_audit",
-    # new mid-round (rotated in over three r1-stale scalar-function rows,
+    # new mid-round (rotated in over four r1-stale scalar/conditional rows,
     # which stay green on the r1 evidence + the local parity gate)
     "ns_bpe_train_merges",
     "ts_holt_forecast",

@@ -690,3 +690,123 @@ def ns_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy("cos_to_centroid", "vec_id").limit(OUTLIER_TOP)
     w = Window.orderBy("cos_to_centroid", "vec_id")
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: Gram-matrix aggregation + exact integer power iteration
+# ---------------------------------------------------------------------------
+
+#: truncate the Gram matrix to |g| <= 2^32 before iterating; with
+#: |v| <= ~2^21 after each rescale, a matvec stays under
+#: 64 * 2^32 * 2^21 = 2^59 — comfortably inside int64 on both engines.
+_PCA_GBITS = 1 << 32
+#: eigenvector components rescaled to |v| <= ~2^20 per iteration.
+_PCA_VSCALE = 1 << 20
+#: the synthetic embeddings are near-isotropic (lambda2/lambda1 ~ 0.984),
+#: so the Rayleigh quotient climbs at ~(lambda2/lambda1)^2 per step; 24
+#: steps reach >= 0.985 * lambda_max on that spectrum (test-pinned). The
+#: iteration runs on a D x D matrix — its cost is data-independent, so
+#: the count is a quality knob, not a scale concern.
+_PCA_ITERS = 24
+
+
+def _tdiv(expr: str, den: str) -> str:
+    """Truncating integer division with explicit sign handling — the form
+    whose result is identical in DuckDB (`//` truncates), Spark (`div`
+    truncates) and the driver-side Python replica below (which uses the
+    same abs//sign decomposition, NOT Python's flooring `//`)."""
+    return f"CASE WHEN {expr} < 0 THEN -((-({expr})) // {den}) ELSE ({expr}) // {den} END"
+
+
+def _pca_oracle(iters: int = _PCA_ITERS) -> str:
+    ctes = [
+        f"q AS (SELECT {DUCK_QUANTIZE.format(col='embedding')} AS qv FROM embeddings)",
+        f"dims AS (SELECT CAST(unnest(generate_series(1, {DIM})) AS BIGINT) AS j)",
+        """gram AS MATERIALIZED (
+      SELECT d1.j AS j, d2.j AS k, CAST(sum(qv[d1.j] * qv[d2.j]) AS BIGINT) AS g
+      FROM q CROSS JOIN dims d1 CROSS JOIN dims d2
+      GROUP BY 1, 2
+    )""",
+        f"gden AS (SELECT greatest(max(abs(g)) // {_PCA_GBITS}, 1) AS gd FROM gram)",
+        f"gt AS MATERIALIZED (SELECT j, k, {_tdiv('g', 'gd')} AS g FROM gram CROSS JOIN gden)",
+        f"v0 AS (SELECT j, CAST(1 AS BIGINT) AS v FROM dims)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT gt.j AS j, CAST(sum(gt.g * v.v) AS BIGINT) AS w
+      FROM gt JOIN v{t - 1} v ON v.j = gt.k GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT greatest(max(abs(w)) // {_PCA_VSCALE}, 1) AS d FROM w{t})"
+        )
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT j, {_tdiv('w', 'd')} AS v FROM w{t} CROSS JOIN m{t})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(v.j AS INTEGER) AS dim, v.v AS loading, diag.g AS g_diag
+    FROM v{iters} v
+    JOIN (SELECT j, g FROM gram WHERE j = k) diag ON diag.j = v.j"""
+    )
+
+
+@query(
+    "ns_embed_pca_power",
+    oracle=_pca_oracle(),
+    doc="NS distributed PCA, top principal direction: the D x D Gram "
+    "matrix is aggregated in one distributed pass (per-Arrow-batch exact "
+    "int64 numpy B^T B partials -> a 4096-key sum), then power iteration "
+    "runs on the driver over the tiny D x D result — the standard "
+    "split for covariance-family algorithms at 100 TB (data-sized work "
+    "is one scan + one constant-size shuffle; iteration cost is "
+    "O(D^2 T), data-independent). All arithmetic is integer-exact: "
+    "quantized inputs, Gram truncated to 2^32, per-step rescale to "
+    "2^20 with sign-explicit truncating division, so every engine (and "
+    "the pure-Python driver loop) lands on identical int64s. Output: "
+    "per-dim loading of the dominant eigenvector + exact per-dim "
+    "second-moment diagonal.",
+)
+def ns_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        quantize_vec(F.col("embedding")).alias("q")
+    )
+
+    def gram_partials(batches):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            b = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            g = b.T @ b  # exact: |q|<=2^20-ish, batch<=10k rows -> < 2^52
+            jj, kk = np.meshgrid(np.arange(DIM), np.arange(DIM), indexing="ij")
+            yield pd.DataFrame(
+                {"j": jj.ravel() + 1, "k": kk.ravel() + 1, "g": g.ravel()}
+            )
+
+    gram_rows = (
+        e.mapInPandas(gram_partials, schema="j int, k int, g long")
+        .groupBy("j", "k")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    g = {(r.j, r.k): r.g for r in gram_rows}
+
+    def tdiv(x: int, d: int) -> int:
+        return -((-x) // d) if x < 0 else x // d
+
+    gd = max(max(abs(v) for v in g.values()) // _PCA_GBITS, 1)
+    gt = {jk: tdiv(v, gd) for jk, v in g.items()}
+    v = [1] * DIM
+    for _ in range(_PCA_ITERS):
+        w = [sum(gt[(j + 1, k + 1)] * v[k] for k in range(DIM)) for j in range(DIM)]
+        d = max(max(abs(x) for x in w) // _PCA_VSCALE, 1)
+        v = [tdiv(x, d) for x in w]
+    out = [(j + 1, v[j], g[(j + 1, j + 1)]) for j in range(DIM)]
+    return spark.createDataFrame(out, schema="dim int, loading long, g_diag long")

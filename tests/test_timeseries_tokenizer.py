@@ -145,3 +145,32 @@ def test_bpe_greedy_overlap_semantics(spark):
     # after merging: 'aa aa a' -> pairs (aa,aa) 1, (aa,a) 1; 'b a b a' ->
     # (b,a) 2, (a,b) 1: best is (b,a) with 2
     assert (merges[1].lsym, merges[1].rsym, merges[1].pair_count) == ("b", "a", 2)
+
+
+def test_pca_power_rayleigh(spark):
+    """g_diag is the exact quantized second moment, and the integer
+    power-iteration loading captures the dominant eigenvalue band: its
+    Rayleigh quotient reaches >= 0.985 * lambda_max. (The synthetic
+    embeddings are near-isotropic — lambda2/lambda1 ~ 0.984 at sf0.01 —
+    so no bounded iteration count can pin the exact top EIGENVECTOR;
+    the energy bound is the resolvable claim. Cross-engine bit-equality
+    of the full computation is the oracle gate's job.)"""
+    import numpy as np
+
+    rows = registry()["ns_embed_pca_power"].fn(spark, SF_CORRECTNESS).collect()
+    emb = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    q = np.floor(np.array([r.embedding for r in emb], dtype=np.float64) * 1e6).astype(
+        np.int64
+    )
+    gram = q.T @ q
+    want_diag = {j + 1: int(gram[j, j]) for j in range(64)}
+    got_diag = {r.dim: r.g_diag for r in rows}
+    assert got_diag == want_diag
+    lam_max = np.linalg.eigvalsh(gram.astype(np.float64))[-1]
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)], dtype=np.float64)
+    rayleigh = (v @ gram.astype(np.float64) @ v) / (v @ v)
+    assert rayleigh >= 0.985 * lam_max

@@ -1160,6 +1160,7 @@ _HOLT_D = f"((o.x - r.l - r.b + {_HOLT_OFF}) // {HOLT_ADIV} - {_HOLT_OFF // HOLT
 
 @query(
     "ts_holt_forecast",
+    bench=True,
     oracle=f"""
     WITH RECURSIVE ordered AS (
       SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS x,

@@ -169,6 +169,7 @@ def _bpe_oracle(n_merges: int) -> str:
 @query(
     "ns_bpe_train_merges",
     oracle=_bpe_oracle(BPE_MERGES),
+    bench=True,
     doc="NS BPE tokenizer training (Sennrich et al. 2016): learn the "
     f"first {BPE_MERGES} merges from corpus word frequencies. Pure "
     "integer counts + binary-collation tie-break (count DESC, pair ASC) "

@@ -115,9 +115,9 @@ _DRIVER_WINDOW_R5 = (
     # new mid-round (rotated in over four r1-stale scalar/conditional rows,
     # which stay green on the r1 evidence + the local parity gate)
     "ns_bpe_train_merges",
+    "ns_bpe_apply_fertility",
     "ts_holt_forecast",
     "ts_ohlc_bars",
-    "ext_setops",
     "ext_stats_moments",
     "ext_table_diff",
     "ext_topk_orderby",

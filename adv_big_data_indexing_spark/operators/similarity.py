@@ -797,6 +797,8 @@ def ns_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     g = {(r.j, r.k): r.g for r in gram_rows}
+    if not g:  # empty input: no principal direction, no rows (oracle agrees)
+        return spark.createDataFrame([], schema="dim int, loading long, g_diag long")
 
     def tdiv(x: int, d: int) -> int:
         return -((-x) // d) if x < 0 else x // d

@@ -75,9 +75,8 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def train_bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges from ``docs(text)``."""
-    spark = docs.sparkSession
+def _train_merges_list(docs: DataFrame, n_merges: int) -> list[tuple]:
+    """(rank, lsym, rsym, merged, pair_count) rows of the learned merges."""
     words = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .filter(F.col("w") != "")
@@ -113,8 +112,14 @@ def train_bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
                 F.lit(f" {best.lsym}{best.rsym} "),
             ).alias("sym"),
         )
-    return spark.createDataFrame(
-        out, schema="rank int, lsym string, rsym string, merged string, pair_count bigint"
+    return out
+
+
+def train_bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from ``docs(text)``."""
+    return docs.sparkSession.createDataFrame(
+        _train_merges_list(docs, n_merges),
+        schema="rank int, lsym string, rsym string, merged string, pair_count bigint",
     )
 
 
@@ -182,3 +187,110 @@ def _bpe_oracle(n_merges: int) -> str:
 )
 def ns_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe_merges(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_apply_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Training CTE chain + per-document merge application + fertility.
+
+    Every CTE that is referenced more than once (the training prefix is
+    walked by both the next training step and the apply chain) is
+    MATERIALIZED — without it the CTE tree doubles per step (the
+    ns_embed_pca_power lesson: 2^K inlining, file-handle exhaustion).
+    """
+    toks = DUCK_TOKENS.format(col="text")
+    base = _bpe_oracle(n_merges)
+    train_ctes = base[len("WITH ") : base.rindex("SELECT * FROM")].rstrip().rstrip(",")
+    train_ctes = train_ctes.replace(" AS (", " AS MATERIALIZED (")
+    ctes = [train_ctes]
+    ctes.append(
+        f"""d0 AS MATERIALIZED (
+      SELECT doc_id,
+             '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' AS sym
+      FROM (SELECT doc_id, unnest({toks}) AS w FROM documents)
+      WHERE w <> ''
+    )"""
+    )
+    for i in range(n_merges):
+        ctes.append(
+            f"""d{i + 1} AS MATERIALIZED (
+      SELECT d.doc_id,
+             replace(d.sym, ' ' || b.lsym || '  ' || b.rsym || ' ',
+                            ' ' || b.lsym || b.rsym || ' ') AS sym
+      FROM d{i} d CROSS JOIN b{i} b
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(len(str_split(trim(sym), '  '))) AS BIGINT) AS n_subwords,
+           CAST(sum(len(str_split(trim(sym), '  '))) AS BIGINT) * 1000000
+             // CAST(count(*) AS BIGINT) AS fertility_ppm
+    FROM d{n_merges}
+    GROUP BY doc_id"""
+    )
+
+
+@query(
+    "ns_bpe_apply_fertility",
+    oracle=_bpe_apply_oracle(),
+    doc="NS tokenizer application + fertility report: apply the "
+    f"{BPE_MERGES} learned BPE merges to every document and report "
+    "tokens, subwords and fertility (subwords per word, ppm) per doc — "
+    "the metric that prices a tokenizer against a corpus (fertility "
+    "drives context-window cost). Spark side is expression-only and "
+    "ZERO-shuffle after training: per-doc token array -> per-token "
+    "symbol strings -> the merge chain as nested transform(replace) "
+    "literals -> aggregate() for the subword sum; no explode, no "
+    "groupBy — embarrassingly parallel at any corpus size. The oracle "
+    "re-derives the same merges (training CTE chain) and applies them "
+    "row-wise. Integer fertility: subwords * 1e6 // tokens, both "
+    "operands positive so truncating DIV is engine-identical.",
+)
+def ns_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _train_merges_list(docs, BPE_MERGES)
+
+    d = docs.select(
+        "doc_id",
+        F.filter(tokens("text"), lambda w: w != F.lit("")).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    d = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.transform(
+            "toks",
+            lambda w: F.concat(
+                F.lit("  "),
+                F.array_join(F.regexp_extract_all(w, F.lit("(.)"), 1), "  "),
+                F.lit("  "),
+            ),
+        ).alias("syms"),
+    )
+    # NB: a `lambda t, lsym=lsym: ...` default-arg binding breaks here —
+    # Spark derives the higher-order function's arity from the Python
+    # signature, so defaults read as extra lambda variables. Bind via a
+    # closure factory instead.
+    def _apply_merge(lsym: str, rsym: str):
+        return lambda t: F.replace(
+            t, F.lit(f" {lsym}  {rsym} "), F.lit(f" {lsym}{rsym} ")
+        )
+
+    for m in merges:
+        d = d.withColumn("syms", F.transform("syms", _apply_merge(m[1], m[2])))
+    nsub = F.aggregate(
+        "syms",
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.size(F.split(F.trim(t), "  ")).cast("bigint"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        nsub.alias("n_subwords"),
+        F.expr(
+            "CAST(aggregate(syms, CAST(0 AS BIGINT),"
+            " (acc, t) -> acc + CAST(size(split(trim(t), '  ')) AS BIGINT))"
+            " * 1000000 DIV n_tokens AS BIGINT)"
+        ).alias("fertility_ppm"),
+    )

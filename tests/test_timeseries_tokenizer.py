@@ -174,3 +174,19 @@ def test_pca_power_rayleigh(spark):
     v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)], dtype=np.float64)
     rayleigh = (v @ gram.astype(np.float64) @ v) / (v @ v)
     assert rayleigh >= 0.985 * lam_max
+
+
+def test_bpe_fertility_invariants(spark):
+    """Every token yields >= 1 subword (fertility >= 1e6 ppm), subwords
+    never exceed characters, and fertility is the exact integer ratio."""
+    rows = registry()["ns_bpe_apply_fertility"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    for r in rows:
+        toks = [w for w in docs[r.doc_id].split() if w]
+        assert r.n_tokens == len(toks)
+        assert r.n_tokens <= r.n_subwords <= sum(len(w) for w in toks)
+        assert r.fertility_ppm == r.n_subwords * 1_000_000 // r.n_tokens

@@ -252,10 +252,15 @@ def ns_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = _train_merges_list(docs, BPE_MERGES)
 
-    d = docs.select(
+    # the empty-doc guard filters on length(trim(text)) — equivalent to
+    # "has >= 1 non-empty token" (tokens() splits the trimmed text on \s+)
+    # but cheap enough to live in the scan stage; filtering on
+    # size(toks) > 0 would push the whole tokenizer down into the scan
+    # and run it twice per row (the token_rows lesson).
+    d = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id",
         F.filter(tokens("text"), lambda w: w != F.lit("")).alias("toks"),
-    ).filter(F.size("toks") > 0)
+    )
     d = d.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_tokens"),
@@ -284,13 +289,12 @@ def ns_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, t: acc + F.size(F.split(F.trim(t), "  ")).cast("bigint"),
     )
+    d = d.select("doc_id", "n_tokens", nsub.alias("n_subwords"))
     return d.select(
         "doc_id",
         "n_tokens",
-        nsub.alias("n_subwords"),
-        F.expr(
-            "CAST(aggregate(syms, CAST(0 AS BIGINT),"
-            " (acc, t) -> acc + CAST(size(split(trim(t), '  ')) AS BIGINT))"
-            " * 1000000 DIV n_tokens AS BIGINT)"
-        ).alias("fertility_ppm"),
+        "n_subwords",
+        F.expr("CAST(n_subwords * 1000000 DIV n_tokens AS BIGINT)").alias(
+            "fertility_ppm"
+        ),
     )

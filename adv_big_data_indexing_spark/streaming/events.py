@@ -81,7 +81,7 @@ def user_running_stats(events: DataFrame) -> DataFrame:
 
     def update(key, pdf_iter, state):
         (user_id,) = key
-        n, total, last_us = state.get() if state.exists else (0, 0.0, 0)
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -134,7 +134,7 @@ def anomaly_zscores(events: DataFrame) -> DataFrame:
 
     def update(key, pdf_iter, state):
         (user_id,) = key
-        buf = list(state.get()[0]) if state.exists else []
+        buf = list(state.get[0]) if state.exists else []
         out = {k: [] for k in ("user_id", "event_id", "ts", "value", "z")}
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
@@ -202,7 +202,7 @@ def cusum_alarms(events: DataFrame, mu_q: int) -> DataFrame:
         import math  # noqa: PLC0415
 
         (user_id,) = key
-        s_carry = int(state.get()[0]) if state.exists else 0
+        s_carry = int(state.get[0]) if state.exists else 0
         out = {c: [] for c in ("user_id", "event_id", "ts", "value", "s_q")}
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
@@ -355,4 +355,70 @@ def run_streaming_cms(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+HOLT_OUTPUT = "user_id long, n_obs long, level_m long, trend_m long, forecast_m long"
+HOLT_STATE = "l bigint, b bigint, n bigint"
+
+
+def holt_forecasts(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``ts_holt_forecast`` (operators/timeseries.py):
+    per-user Holt level/trend smoothing with THREE bigints of state
+    (level, trend, count). Each micro-batch folds its in-order rows into
+    the recurrence and emits the user's refreshed one-step-ahead
+    forecast — the live capacity-planning feed. On in-order input the
+    emitted (level, trend, forecast) after the last batch equals the
+    batch operator's output bit-for-bit: both run the identical integer
+    recurrence (floor(err/4) level gain, floor(floor(err/4)/4) trend
+    gain, Python floor division on both paths).
+    """
+    import math  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from adv_big_data_indexing_spark.operators.timeseries import (  # noqa: PLC0415
+        HOLT_ADIV,
+        HOLT_BDIV,
+    )
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            l, b, n = (int(v) for v in state.get)
+        else:
+            l, b, n = 0, 0, 0
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for v in pdf["value"]:
+            x = int(math.floor(float(v) * 1000.0))
+            if n == 0:
+                l, b = x, 0
+            else:
+                d = (x - l - b) // HOLT_ADIV
+                l = l + b + d
+                b = b + d // HOLT_BDIV
+            n += 1
+        state.update((l, b, n))
+        if len(pdf):
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_obs": [n],
+                    "level_m": [l],
+                    "trend_m": [b],
+                    "forecast_m": [l + b],
+                }
+            )
+        else:
+            yield pd.DataFrame({c: [] for c in ("user_id", "n_obs", "level_m", "trend_m", "forecast_m")})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=HOLT_OUTPUT,
+        stateStructType=HOLT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

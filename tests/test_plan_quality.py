@@ -226,3 +226,23 @@ def test_span_coverage_partial_agg_and_keyed_window(spark):
     p = plan_of(spark, "ns_dedup_span_coverage")
     assert "partial_count" in p and "partial_sum" in p
     assert "windowspecdefinition(doc_id" in p
+
+
+def test_ohlc_single_exchange_partial_minby(spark):
+    """OHLC bars: ONE exchange, with partial min_by/max_by (map-side
+    candidate reduction) below it — never a window over the raw stream."""
+    p = plan_of(spark, "ts_ohlc_bars")
+    assert p.count("Exchange") == 1
+    assert "partial_min_by" in p and "partial_max_by" in p
+    assert "Window" not in p
+
+
+def test_bpe_fertility_zero_shuffle(spark):
+    """Tokenizer application is a pure map: no Exchange anywhere, one
+    transform chain (the aggregate is computed once, not re-inlined per
+    output column), and the empty-doc guard lives in the scan stage as a
+    cheap length(trim(text)) filter — not a second tokenizer run."""
+    p = plan_of(spark, "ns_bpe_apply_fertility")
+    assert "Exchange" not in p
+    assert p.count("aggregate(transform") == 1
+    assert "length(trim(text" in p

@@ -505,8 +505,20 @@ def test_streaming_cusum_matches_batch_recurrence(spark, tmp_path):
         "user_id", "event_type", "value",
     )
     src = str(tmp_path / "cusum_src")
-    batch_df.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    # two files / two micro-batches in event-time order: the alarm carry
+    # (s_carry read back from state) is exercised, not just the
+    # first-batch cold start — this is the path the state.get property
+    # bug hid behind single-batch tests
+    import time as _time
+
+    batch_df.filter("event_id < 30").coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    batch_df.filter("event_id >= 30").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     mu_q = 200_000  # fixed monitoring target: 200.0 in milli-units
     out = _run_stream_to_memory(
         spark, ev.cusum_alarms(stream, mu_q), "t_cusum", "append"
@@ -535,3 +547,59 @@ def test_streaming_cusum_matches_batch_recurrence(spark, tmp_path):
     assert got == exp
     # only the drifting user alarms
     assert {u for (u, _e) in got} == {0}
+
+
+def test_streaming_holt_matches_batch_recurrence(spark, tmp_path):
+    """Streaming Holt (3-bigint state) across TWO micro-batches equals the
+    batch integer recurrence over the concatenated in-order input — the
+    state carry is exercised, not just the single-batch fold."""
+    import math
+    import time
+
+    from adv_big_data_indexing_spark.operators.timeseries import HOLT_ADIV, HOLT_BDIV
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string, value double",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    rows = [
+        (i, f"2024-01-01 00:{i // 2:02d}:{(i % 2) * 30:02d}", i % 3, "click",
+         100.0 + 7.0 * i + (13.0 if i % 5 == 0 else -4.0))
+        for i in range(40)
+    ]
+    src = str(tmp_path / "holt_src")
+    # two files, written in event-time order with distinct mtimes; the file
+    # source processes oldest-first with maxFilesPerTrigger=1
+    mk(rows[:20]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    mk(rows[20:]).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(mk(rows).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_memory(spark, ev.holt_forecasts(stream), "t_holt", "append")
+    # last emission per user = the one with the highest n_obs
+    got = {}
+    for r in out.collect():
+        if r.user_id not in got or r.n_obs > got[r.user_id][0]:
+            got[r.user_id] = (r.n_obs, r.level_m, r.trend_m, r.forecast_m)
+
+    series: dict[int, list] = {}
+    for i, _ts, uid, _et, v in rows:
+        series.setdefault(uid, []).append(v)  # rows are already in (ts, event_id) order
+    exp = {}
+    for uid, vals in series.items():
+        xs = [int(math.floor(v * 1000.0)) for v in vals]
+        l, b = xs[0], 0
+        for x in xs[1:]:
+            d = (x - l - b) // HOLT_ADIV
+            l = l + b + d
+            b = b + d // HOLT_BDIV
+        exp[uid] = (len(xs), l, b, l + b)
+    assert got == exp

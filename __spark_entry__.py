@@ -120,7 +120,7 @@ _DRIVER_WINDOW_R5 = (
     "ts_ohlc_bars",
     "ext_stats_moments",
     "ext_table_diff",
-    "ext_topk_orderby",
+    "ns_minhash_jaccard_estimate",
     # pagerank added mid-round (replaces the r2-stale filler)
     "ns_graph_pagerank",
 )

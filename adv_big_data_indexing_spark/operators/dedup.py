@@ -175,7 +175,7 @@ def _band_keys() -> list[Column]:
     ]
 
 
-def _lsh_pair_stats(sh: DataFrame) -> DataFrame:
+def _lsh_pair_stats(sh: DataFrame, with_mhs: bool = False) -> DataFrame:
     """(doc_a, doc_b, n_inter, n_a, n_b) for every LSH-colliding doc pair —
     ONE pipeline over the corpus, no second pass for the verify.
 
@@ -206,32 +206,52 @@ def _lsh_pair_stats(sh: DataFrame) -> DataFrame:
         ],
         F.collect_set("hp").alias("hs"),
     )
+    carry = ["doc_id", "hs"]
+    if with_mhs:
+        per_doc = per_doc.withColumn(
+            "mhs", F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)])
+        )
+        carry.append("mhs")
     bands = per_doc.select(
-        "doc_id", "hs", F.posexplode(F.array(*_band_keys())).alias("band", "band_key")
+        *carry, F.posexplode(F.array(*_band_keys())).alias("band", "band_key")
     )
     grouped = (
         bands.groupBy("band", "band_key")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "hs"))).alias("ms"))
+        .agg(F.array_sort(F.collect_list(F.struct(*carry))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
+
+    def pair_fields(x, y):
+        fields = [
+            x.doc_id.alias("doc_a"),
+            y.doc_id.alias("doc_b"),
+            F.size(F.array_intersect(x.hs, y.hs)).cast("bigint").alias("n_inter"),
+            F.size(x.hs).cast("bigint").alias("n_a"),
+            F.size(y.hs).cast("bigint").alias("n_b"),
+        ]
+        if with_mhs:
+            fields.append(
+                F.size(
+                    F.filter(F.zip_with(x.mhs, y.mhs, lambda a, b: a == b), lambda t: t)
+                )
+                .cast("bigint")
+                .alias("n_eq")
+            )
+        return fields
+
     pairs = F.flatten(
         F.transform(
             F.col("ms"),
             lambda x, i: F.transform(
                 F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x.doc_id.alias("doc_a"),
-                    y.doc_id.alias("doc_b"),
-                    F.size(F.array_intersect(x.hs, y.hs)).cast("bigint").alias("n_inter"),
-                    F.size(x.hs).cast("bigint").alias("n_a"),
-                    F.size(y.hs).cast("bigint").alias("n_b"),
-                ),
+                lambda y: F.struct(*pair_fields(x, y)),
             ),
         )
     )
-    return grouped.select(F.explode(pairs).alias("p")).select(
-        "p.doc_a", "p.doc_b", "p.n_inter", "p.n_a", "p.n_b"
-    )
+    cols = ["p.doc_a", "p.doc_b", "p.n_inter", "p.n_a", "p.n_b"]
+    if with_mhs:
+        cols.append("p.n_eq")
+    return grouped.select(F.explode(pairs).alias("p")).select(*cols)
 
 
 def _with_jaccard(stats: DataFrame) -> DataFrame:
@@ -768,3 +788,61 @@ def ns_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("covered_tokens"),
         F.expr("CAST((1000 * sum(c)) DIV dl AS BIGINT)").alias("coverage_permille"),
     ).drop("dl")
+
+
+_EST_EQ_SQL = " + ".join(
+    f"(CASE WHEN pa.mh{i} = pb.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+)
+
+
+@query(
+    "ns_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    {_DUCK_LSH_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT cand.doc_a, cand.doc_b,
+             CAST(len(list_intersect(pa.hs, pb.hs)) AS BIGINT) AS n_inter,
+             CAST(len(pa.hs) AS BIGINT) AS n_a,
+             CAST(len(pb.hs) AS BIGINT) AS n_b,
+             CAST({_EST_EQ_SQL} AS BIGINT) AS n_eq
+      FROM cand JOIN perdoc pa ON cand.doc_a = pa.doc_id
+                JOIN perdoc pb ON cand.doc_b = pb.doc_id
+    )
+    SELECT doc_a, doc_b, n_eq,
+           n_eq * 1000000 // {N_MINHASH} AS est_ppm,
+           n_inter * 1000000 // (n_a + n_b - n_inter) AS exact_ppm,
+           n_eq * 1000000 // {N_MINHASH}
+             - n_inter * 1000000 // (n_a + n_b - n_inter) AS err_ppm
+    FROM est
+    """,
+    doc="NS MinHash calibration contract: for every LSH-candidate pair, "
+    "the minhash ESTIMATE of jaccard (matching signature components / "
+    f"{N_MINHASH}, ppm) next to the exact jaccard from the carried "
+    "shingle-hash sets, plus the signed error — the estimator-quality "
+    "report that justifies (or indicts) trusting signatures alone at "
+    "scale, the same role ns_ann_lsh_recall plays for the ANN path. "
+    "Same one-pass pipeline as ns_dedup_minhash_lsh (signatures ride "
+    "the band structs; no second corpus pass); all ratios integer-exact "
+    "ppm (operands positive, truncating DIV engine-identical).",
+)
+def ns_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = _lsh_pair_stats(_shingle_df(spark, sf_dir), with_mhs=True)
+    return stats.select(
+        "doc_a",
+        "doc_b",
+        "n_eq",
+        F.expr(f"CAST(n_eq * 1000000 DIV {N_MINHASH} AS BIGINT)").alias("est_ppm"),
+        F.expr(
+            "CAST(n_inter * 1000000 DIV (n_a + n_b - n_inter) AS BIGINT)"
+        ).alias("exact_ppm"),
+        F.expr(
+            f"CAST(n_eq * 1000000 DIV {N_MINHASH}"
+            " - n_inter * 1000000 DIV (n_a + n_b - n_inter) AS BIGINT)"
+        ).alias("err_ppm"),
+    ).distinct()

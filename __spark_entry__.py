@@ -119,7 +119,7 @@ _DRIVER_WINDOW_R5 = (
     "ts_holt_forecast",
     "ts_ohlc_bars",
     "ext_stats_moments",
-    "ext_table_diff",
+    "ts_gapfill_locf",
     "ns_minhash_jaccard_estimate",
     # pagerank added mid-round (replaces the r2-stale filler)
     "ns_graph_pagerank",

@@ -1231,3 +1231,81 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, n_obs long, level_m long, trend_m long, forecast_m long",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill to a regular grid + last-observation-carried-forward
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, bucket, CAST(max(CASE WHEN rn = 1 THEN x END) AS BIGINT) AS x_m
+      FROM (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+               CAST(floor(value * 1000) AS BIGINT) AS x,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      )
+      GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM hourly GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM rng),
+    j AS (
+      SELECT g.user_id, g.bucket, h.x_m
+      FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.bucket = g.bucket
+    )
+    SELECT user_id,
+           TIMESTAMP '1970-01-01 00:00:00' + (bucket * 3600) * INTERVAL 1 SECOND AS bucket_start,
+           last_value(x_m IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_m,
+           x_m IS NULL AS is_gap
+    FROM j
+    """,
+    doc="TS gap-fill + LOCF (the hypertable resample: TimescaleDB's "
+    "time_bucket_gapfill/locf semantics): per user, an hourly grid over "
+    "the user's own observed range, the last observation in each bucket "
+    "(by (ts, event_id), exact milli-units), empty buckets carried "
+    "forward from the previous value. Plan: one partial-agg shuffle for "
+    "the hourly rollup; the grid is GENERATED per user from the "
+    "aggregated range (sequence + explode — rows never leave the "
+    "bucket-count scale), and the fill is a per-user running last() "
+    "window. No as-of join, no per-gap probing; state per user is one "
+    "value. Grid size is bounded by span/bucket, independent of event "
+    "volume.",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("bucket"),
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("x"),
+    )
+    hourly = e.groupBy("user_id", "bucket").agg(
+        F.max_by("x", F.struct(F.col("ts"), F.col("event_id"))).alias("x_m")
+    )
+    rng = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = rng.select(
+        "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    j = grid.join(hourly, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.timestamp_seconds(F.col("bucket") * 3600)
+        .cast("timestamp_ntz")
+        .alias("bucket_start"),
+        F.last("x_m", ignorenulls=True).over(w).alias("filled_m"),
+        F.col("x_m").isNull().alias("is_gap"),
+    )

@@ -210,3 +210,44 @@ def test_minhash_estimate_contract(spark):
     # observed max on this (deterministic) corpus is 2.3 components
     assert all(abs(r.err_ppm) <= 3 * comp for r in near)
     assert sum(abs(r.err_ppm) for r in near) / len(near) <= comp
+
+
+def test_gapfill_locf_invariants(spark):
+    """Grid is contiguous per user, every row is filled, observed rows
+    carry the bucket's last observation, gap rows repeat the previous
+    filled value."""
+    rows = registry()["ts_gapfill_locf"].fn(spark, SF_CORRECTNESS).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev = (
+        spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+        .selectExpr(
+            "user_id", "ts", "event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000 AS bucket",
+            "CAST(floor(value * 1000) AS BIGINT) AS x",
+        )
+        .collect()
+    )
+    last_obs: dict[tuple, tuple] = {}
+    for r in ev:
+        k = (r.user_id, r.bucket)
+        o = (r.ts, r.event_id)
+        if k not in last_obs or o > last_obs[k][0:2]:
+            last_obs[k] = (r.ts, r.event_id, r.x)
+    some_gap = False
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.bucket_start)
+        buckets = [int(r.bucket_start.timestamp()) // 3600 for r in rs]
+        assert buckets == list(range(buckets[0], buckets[-1] + 1))
+        prev = None
+        for r, b in zip(rs, buckets):
+            assert r.filled_m is not None
+            if r.is_gap:
+                some_gap = True
+                assert (uid, b) not in last_obs
+                assert r.filled_m == prev
+            else:
+                assert r.filled_m == last_obs[(uid, b)][2]
+            prev = r.filled_m
+    assert some_gap, "hourly grid over sparse users must contain gaps"

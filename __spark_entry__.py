@@ -118,7 +118,7 @@ _DRIVER_WINDOW_R5 = (
     "ns_bpe_apply_fertility",
     "ts_holt_forecast",
     "ts_ohlc_bars",
-    "ext_stats_moments",
+    "ns_text_collocations_pmi",
     "ts_gapfill_locf",
     "ns_minhash_jaccard_estimate",
     # pagerank added mid-round (replaces the r2-stale filler)

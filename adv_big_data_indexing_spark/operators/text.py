@@ -813,3 +813,108 @@ def ns_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+
+@query(
+    "ns_text_collocations_pmi",
+    oracle=f"""
+    WITH t AS (SELECT {DUCK_TOKENS.format(col="text")} AS toks FROM documents),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cw
+      FROM (SELECT unnest(toks) AS w FROM t) WHERE w <> '' GROUP BY w
+    ),
+    bi AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS cab
+      FROM (
+        SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                 list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END) AS bigram
+        FROM t
+      ) GROUP BY bigram
+    ),
+    n AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM bi),
+    scored AS (
+      SELECT b.bigram, b.cab, ua.cw AS ca, ub.cw AS cb,
+             CAST(({DUCK_ILOG2_Q4.format(col="b.cab")})
+                + ({DUCK_ILOG2_Q4.format(col="n.nb")})
+                - ({DUCK_ILOG2_Q4.format(col="ua.cw")})
+                - ({DUCK_ILOG2_Q4.format(col="ub.cw")}) AS BIGINT) AS pmi_q4
+      FROM bi b
+      JOIN uni ua ON ua.w = str_split(b.bigram, ' ')[1]
+      JOIN uni ub ON ub.w = str_split(b.bigram, ' ')[2]
+      CROSS JOIN n
+      WHERE b.cab >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, cab, ca, cb, pmi_q4 FROM scored
+    ORDER BY pmi_q4 DESC, bigram LIMIT {PMI_TOP_K}
+    """,
+    doc="NS collocation mining: top-30 word bigrams by pointwise mutual "
+    "information, PMI = log2(c_ab*N / (c_a*c_b)), computed as the SUM of "
+    "quarter-bit integer logs q4(c_ab)+q4(N)-q4(c_a)-q4(c_b) — each term "
+    "fits int64 at ANY corpus size (no c_ab*N product, which overflows "
+    "past N~3e9), quantization error <= ~1 quarter-bit per term, "
+    "bit-identical cross-engine. Min-count 5 gate kills noise pairs. "
+    "Shape: token/bigram aggregates (partial map-side), two vocab-sized "
+    "equi-joins, one 1-row broadcast total, TakeOrdered(30).",
+)
+def ns_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.functions.exact import ilog2_q4  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toked = d.select(tokens("text").alias("toks"))
+    uni = (
+        toked.select(F.explode_outer("toks").alias("w"))
+        .filter(F.col("w").isNotNull() & (F.col("w") != ""))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cw"))
+    )
+    bi = (
+        toked.select(
+            F.explode_outer(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("toks") - 2),
+                        lambda i: F.struct(
+                            F.element_at("toks", i + 1).alias("w1"),
+                            F.element_at("toks", i + 2).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("g")
+        )
+        .filter(F.col("g").isNotNull())
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count("*").cast("bigint").alias("cab"))
+        # checkpoint the (vocab-bigram-sized) counts once: both N (the
+        # unfiltered total) and the thresholded table derive from it, so
+        # the corpus-sized explode runs exactly one time
+        .localCheckpoint()
+    )
+    n = bi.agg(F.sum("cab").cast("bigint").alias("nb"))
+    bi = bi.filter(F.col("cab") >= PMI_MIN_COUNT)
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb")), "w2")
+        .crossJoin(F.broadcast(n.select("nb")))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "cab",
+            "ca",
+            "cb",
+            (
+                ilog2_q4(F.col("cab"))
+                + ilog2_q4(F.col("nb"))
+                - ilog2_q4(F.col("ca"))
+                - ilog2_q4(F.col("cb"))
+            )
+            .cast("bigint")
+            .alias("pmi_q4"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_q4").desc(), "bigram").limit(PMI_TOP_K)

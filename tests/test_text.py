@@ -154,3 +154,37 @@ def test_doc_chunking_invariants(spark):
             reassembled += c.chunk_text.split()[:CHUNK_S]
         tail = chunks[-1].chunk_text.split()[CHUNK_S:]
         assert reassembled + tail == toks
+
+
+def test_collocations_pmi_reference(spark):
+    """PMI top-k replayed in pure Python: same counts, same quarter-bit
+    log terms, same (pmi DESC, bigram) order."""
+    from collections import Counter
+
+    from adv_big_data_indexing_spark.operators.text import PMI_MIN_COUNT, PMI_TOP_K
+
+    rows = registry()["ns_text_collocations_pmi"].fn(spark, SF_CORRECTNESS).collect()
+
+    def q4(x: int) -> int:
+        s = max(x.bit_length() - 15, 0)
+        y = x >> s
+        return 4 * s + (y * y * y * y).bit_length() - 1
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for (text,) in (
+        spark.read.parquet(f"{SF_CORRECTNESS}/documents.parquet").select("text").collect()
+    ):
+        toks = [w for w in text.split() if w]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    nb = sum(bi.values())
+    scored = [
+        (f"{a} {b}", c, uni[a], uni[b], q4(c) + q4(nb) - q4(uni[a]) - q4(uni[b]))
+        for (a, b), c in bi.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[4], t[0]))
+    want = scored[:PMI_TOP_K]
+    got = [(r.bigram, r.cab, r.ca, r.cb, r.pmi_q4) for r in rows]
+    assert got == want

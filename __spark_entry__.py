@@ -94,7 +94,7 @@ _DRIVER_WINDOW_R5 = (
     "ns_embed_pca_power",
     "ext_correlated_above_avg",
     "ext_fuzzy_join_levenshtein",
-    "ext_grouping_id",
+    "ts_resample_interp",
     "ext_grouping_sets",
     "ext_histogram",
     "ext_join_anti",

@@ -1309,3 +1309,106 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("x_m", ignorenulls=True).over(w).alias("filled_m"),
         F.col("x_m").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "ts_resample_interp",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, bucket, CAST(max(CASE WHEN rn = 1 THEN x END) AS BIGINT) AS x_m
+      FROM (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+               CAST(floor(value * 1000) AS BIGINT) AS x,
+               row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      )
+      GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM hourly GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM rng),
+    j AS (
+      SELECT g.user_id, g.bucket, h.x_m
+      FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.bucket = g.bucket
+    ),
+    sides AS (
+      SELECT user_id, bucket, x_m,
+             last_value(x_m IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN x_m IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             first_value(x_m IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN x_m IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j
+    )
+    SELECT user_id,
+           TIMESTAMP '1970-01-01 00:00:00' + (bucket * 3600) * INTERVAL 1 SECOND AS bucket_start,
+           CASE WHEN x_m IS NOT NULL THEN x_m
+                ELSE pv + (nv - pv) * (bucket - pb) // (nb - pb)
+           END AS interp_m,
+           x_m IS NULL AS is_gap
+    FROM sides
+    """,
+    doc="TS resample with exact linear interpolation: same per-user "
+    "hourly grid as ts_gapfill_locf, but gaps take "
+    "v0 + (v1-v0)*(g-t0) DIV (t1-t0) between the surrounding "
+    "observations — all int64, and since Spark DIV and DuckDB // BOTH "
+    "truncate toward zero, the signed slope needs no offset guard "
+    "(unlike the Python-floor recurrences). Interior gaps only by "
+    "construction: the grid spans each user's own observed range, so "
+    "every gap has both neighbors. Two window passes (running last / "
+    "reversed first, both keyed by user), no self-join, no as-of probe.",
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("bucket"),
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("x"),
+    )
+    hourly = e.groupBy("user_id", "bucket").agg(
+        F.max_by("x", F.struct(F.col("ts"), F.col("event_id"))).alias("x_m")
+    )
+    rng = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = rng.select("user_id", F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    j = grid.join(hourly, ["user_id", "bucket"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("x_m").isNotNull(), F.col("bucket"))
+    sides = j.select(
+        "user_id",
+        "bucket",
+        "x_m",
+        F.last("x_m", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(back).alias("pb"),
+        F.first("x_m", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(fwd).alias("nb"),
+    )
+    interp = F.when(F.col("x_m").isNotNull(), F.col("x_m")).otherwise(
+        F.expr("pv + (nv - pv) * (bucket - pb) DIV (nb - pb)")
+    )
+    return sides.select(
+        "user_id",
+        F.timestamp_seconds(F.col("bucket") * 3600)
+        .cast("timestamp_ntz")
+        .alias("bucket_start"),
+        interp.alias("interp_m"),
+        F.col("x_m").isNull().alias("is_gap"),
+    )

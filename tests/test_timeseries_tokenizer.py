@@ -251,3 +251,38 @@ def test_gapfill_locf_invariants(spark):
                 assert r.filled_m == last_obs[(uid, b)][2]
             prev = r.filled_m
     assert some_gap, "hourly grid over sparse users must contain gaps"
+
+
+def test_resample_interp_between_neighbors(spark):
+    """Interpolated gap values lie between (or at) their surrounding
+    observations and match the exact integer formula; observed rows pass
+    through unchanged and agree with LOCF's non-gap rows."""
+    rows = registry()["ts_resample_interp"].fn(spark, SF_CORRECTNESS).collect()
+    locf = {
+        (r.user_id, r.bucket_start): (r.filled_m, r.is_gap)
+        for r in registry()["ts_gapfill_locf"].fn(spark, SF_CORRECTNESS).collect()
+    }
+    assert len(rows) == len(locf)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked_gap = 0
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.bucket_start)
+        obs = [(i, r.interp_m) for i, r in enumerate(rs) if not r.is_gap]
+        for (i0, v0), (i1, v1) in zip(obs, obs[1:]):
+            for k in range(i0 + 1, i1):
+                r = rs[k]
+                assert r.is_gap
+                want = v0 + int((v1 - v0) * (k - i0) / (i1 - i0))  # trunc div
+                assert r.interp_m == want
+                assert min(v0, v1) <= r.interp_m <= max(v0, v1)
+                checked_gap += 1
+        # first and last rows are observations (grid spans the observed range)
+        assert not rs[0].is_gap and not rs[-1].is_gap
+        for r in rs:
+            lf, lg = locf[(uid, r.bucket_start)]
+            assert lg == r.is_gap
+            if not r.is_gap:
+                assert lf == r.interp_m
+    assert checked_gap > 0

@@ -60,12 +60,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # everything else keeps its registry name. Registry names themselves are
 # unchanged — COVERAGE.md lockstep and tests use the canonical names.
 #
-# Round 5 window = the 3 queries new this round, the 3 whose implementation
-# changed this round (ADVICE r4 fixes: curriculum int64 cast, chunking
-# guard, ANN broadcast-closure cleanup), then back-fill with the STALEST
-# re-verification evidence: after r4, every registry name is green but 43
-# queries' most recent driver row dates to round 1 — those rotate in as
-# regression guards, plus one r2-stale row to fill slot 50.
+# Round 5 window = every query NEW this round (6 early + 11 late:
+# BPE train/apply, Holt + streaming twin's batch form, OHLC, PCA,
+# MinHash calibration, PMI collocations, LOCF + interp resample,
+# Benford audit, PageRank), the 3 whose implementation changed this
+# round (ADVICE r4 fixes), then back-fill with the STALEST
+# re-verification evidence (r1-only driver rows) as regression guards.
+# The rows rotated OUT for the late additions stay green on their r1
+# evidence + the local 174-query parity gate.
 _DRIVER_WINDOW_R5 = (
     # new in round 5
     "ns_bm25_topk",
@@ -96,7 +98,7 @@ _DRIVER_WINDOW_R5 = (
     "ext_fuzzy_join_levenshtein",
     "ts_resample_interp",
     "ext_grouping_sets",
-    "ext_histogram",
+    "ext_benford_audit",
     "ext_join_anti",
     "ext_join_broadcast_star",
     "ext_join_full_outer",

@@ -851,3 +851,67 @@ def ext_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") == F.col("max_n")).alias("is_hottest"),
     )
     return prof.orderBy(F.col("n").desc(), "key").limit(20)
+
+
+import math as _math
+
+#: floor(log10(1 + 1/d) * 1e6) per leading digit — computed once here and
+#: embedded as identical literals in both engines, so parity is by
+#: construction (no engine evaluates a log).
+BENFORD_PPM = {d: int(_math.floor(_math.log10(1 + 1 / d) * 1_000_000)) for d in range(1, 10)}
+
+_BENFORD_VALUES = ", ".join(f"({d}, {p})" for d, p in BENFORD_PPM.items())
+
+
+@query(
+    "ext_benford_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM lineitem
+    ),
+    agg AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM agg),
+    expected AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) AS e(digit, exp_ppm))
+    SELECT a.digit, a.n,
+           a.n * 1000000 // t.total AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           a.n * 1000000 // t.total - e.exp_ppm AS dev_ppm
+    FROM agg a JOIN expected e ON e.digit = a.digit CROSS JOIN t
+    """,
+    doc="EXT Benford first-digit audit over lineitem prices — the "
+    "fabricated-data / ETL-corruption screen: observed leading-digit "
+    "distribution (exact integer ppm) against Benford's law, expected "
+    "values embedded as shared integer literals so neither engine "
+    "evaluates a logarithm. Digit extraction is string-exact on the "
+    "integer cents (no float log10 at bucket boundaries). One partial "
+    "aggregate over 9 keys + a 1-row broadcast total: the audit costs "
+    "one scan at any table size.",
+)
+def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.substring(
+            F.expr("CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS STRING)"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    # 9-row checkpoint: both the total and the join side derive from it,
+    # so the table scan runs exactly once
+    agg = c.groupBy("digit").agg(F.count("*").cast("bigint").alias("n")).localCheckpoint()
+    total = agg.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = li.sparkSession.createDataFrame(
+        [(d, p) for d, p in BENFORD_PPM.items()], "digit int, exp_ppm bigint"
+    )
+    return (
+        agg.join(F.broadcast(expected), "digit")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 DIV total").alias("obs_ppm"),
+            "exp_ppm",
+            F.expr("n * 1000000 DIV total - exp_ppm").alias("dev_ppm"),
+        )
+    )

@@ -773,9 +773,21 @@ def _pca_oracle(iters: int = _PCA_ITERS) -> str:
 def ns_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: PLC0415
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        quantize_vec(F.col("embedding")).alias("q")
-    )
+    raw = load_table(spark, sf_dir, "embeddings")
+    # exactness guard: Gram entries are sums of N products bounded by
+    # max|q|^2 ~ 2.8e11 at the 1e6 quantization scale, so int64 holds
+    # them for N up to ~3.3e7 rows (metadata-only count). Beyond that,
+    # re-quantize coarser (scale 1e3 -> N < 3.3e13) — overflow here is
+    # SILENT wraparound in both numpy and the SQL oracle, so refuse
+    # loudly instead.
+    n_rows = raw.count()
+    if n_rows > 30_000_000:
+        raise ValueError(
+            f"ns_embed_pca_power: {n_rows} rows would overflow int64 Gram "
+            "sums at quantization scale 1e6; re-quantize at 1e3 for "
+            "corpora past ~3e7 vectors."
+        )
+    e = raw.select(quantize_vec(F.col("embedding")).alias("q"))
 
     def gram_partials(batches):
         import numpy as np  # noqa: PLC0415

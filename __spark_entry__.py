@@ -85,8 +85,8 @@ _DRIVER_WINDOW_R5 = (
     "doc_roundtrip_flat",
     "doc_search_rehydrated",
     "doc_shred_entities",
-    "ext_agg_cube",
-    "ext_agg_distinct",
+    "ns_dataset_card",
+    "ext_k_anonymity_audit",
     "ext_agg_rollup",
     "ext_approx_distinct_portable",
     "ext_approx_percentile",

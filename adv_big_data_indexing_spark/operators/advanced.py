@@ -915,3 +915,57 @@ def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 DIV total - exp_ppm").alias("dev_ppm"),
         )
     )
+
+
+K_ANON_MIN = 8
+
+
+@query(
+    "ext_k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT CAST(sum(k) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN k < {K_ANON_MIN} THEN k ELSE 0 END) AS BIGINT) AS at_risk
+      FROM g
+    )
+    SELECT g.c_mktsegment, g.c_nationkey, g.k,
+           t.at_risk * 1000000 // t.total AS corpus_at_risk_ppm
+    FROM g CROSS JOIN t
+    WHERE g.k < {K_ANON_MIN}
+    """,
+    doc=f"EXT k-anonymity audit over the (mktsegment, nationkey) "
+    "quasi-identifier pair: every equivalence class smaller than "
+    f"k={K_ANON_MIN} (re-identification risk under linkage attack, "
+    "Sweeney 2002) with the corpus-wide at-risk fraction in exact ppm "
+    "riding along — the privacy-governance gate that pairs with the "
+    "ns_pii_mask scrub step. One partial-aggregated groupBy; the risk "
+    "total is a second aggregate over the (tiny) class table, broadcast "
+    "back — the base table is scanned once.",
+)
+def ext_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        c.groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .localCheckpoint()  # class table: both the total and the filter reuse it
+    )
+    t = g.agg(
+        F.sum("k").cast("bigint").alias("total"),
+        F.sum(F.when(F.col("k") < K_ANON_MIN, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("at_risk"),
+    )
+    return (
+        g.filter(F.col("k") < K_ANON_MIN)
+        .crossJoin(F.broadcast(t))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "k",
+            F.expr("at_risk * 1000000 DIV total").alias("corpus_at_risk_ppm"),
+        )
+    )

@@ -447,3 +447,72 @@ def ns_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+@query(
+    "ns_dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source, md5(text) AS h,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  w -> w <> '')) AS BIGINT) AS n_toks,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT * FROM (
+      SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM t
+      UNION ALL
+      SELECT 'n_tokens', CAST(sum(n_toks) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'n_chars', CAST(sum(n_chars) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'mean_tokens_ppm', CAST(sum(n_toks) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'exact_dup_ppm',
+             (CAST(count(*) AS BIGINT) - CAST(count(DISTINCT h) AS BIGINT)) * 1000000
+               // CAST(count(*) AS BIGINT)
+      FROM t
+    )
+    """,
+    doc="NS dataset card: the one-glance corpus summary every released "
+    "training set ships (docs, tokens, chars, languages, sources, mean "
+    "length, exact-dup rate) as (metric, value) rows — all integer-exact "
+    "(ppm ratios via truncating DIV on positive operands). ONE pass: a "
+    "single multi-aggregate over a projected row (token count computed "
+    "per row map-side; dup rate via count distinct of md5). The UNION "
+    "shape is presentation only — Spark computes one aggregate row and "
+    "unpivots it, so the corpus is scanned once.",
+)
+def ns_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.filter(tokens("text"), lambda w: w != F.lit("")))
+        .cast("bigint")
+        .alias("n_toks"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    row = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("h").cast("bigint").alias("n_hashes"),
+    )
+    return row.selectExpr(
+        """stack(7,
+             'n_docs', n_docs,
+             'n_tokens', n_tokens,
+             'n_chars', n_chars,
+             'n_langs', n_langs,
+             'n_sources', n_sources,
+             'mean_tokens_ppm', n_tokens * 1000000 DIV n_docs,
+             'exact_dup_ppm', (n_docs - n_hashes) * 1000000 DIV n_docs
+           ) AS (metric, value)"""
+    )

@@ -87,7 +87,7 @@ _DRIVER_WINDOW_R5 = (
     "doc_shred_entities",
     "ns_dataset_card",
     "ext_k_anonymity_audit",
-    "ext_agg_rollup",
+    "ts_forecast_backtest",
     "ext_approx_distinct_portable",
     "ext_approx_percentile",
     "ext_argmax",

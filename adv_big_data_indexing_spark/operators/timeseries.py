@@ -1412,3 +1412,89 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("interp_m"),
         F.col("x_m").isNull().alias("is_gap"),
     )
+
+
+_BT_D = f"((o.x - r.l - r.b + {_HOLT_OFF}) // {HOLT_ADIV} - {_HOLT_OFF // HOLT_ADIV})"
+
+
+@query(
+    "ts_forecast_backtest",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, rn, n, x, x AS l, CAST(0 AS BIGINT) AS b,
+             CAST(0 AS BIGINT) AS sae_naive, CAST(0 AS BIGINT) AS sae_holt
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.n, o.x,
+             r.l + r.b + {_BT_D} AS l,
+             r.b + (({_BT_D}) + {_HOLT_OFF}) // {HOLT_BDIV}
+                 - {_HOLT_OFF // HOLT_BDIV} AS b,
+             r.sae_naive + abs(o.x - r.x) AS sae_naive,
+             r.sae_holt + abs(o.x - r.l - r.b) AS sae_holt
+      FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs, sae_naive AS sae_naive_m,
+           sae_holt AS sae_holt_m,
+           CASE WHEN sae_holt < sae_naive THEN 'holt'
+                WHEN sae_holt > sae_naive THEN 'naive'
+                ELSE 'tie' END AS winner
+    FROM rec WHERE rn = n
+    """,
+    doc="TS walk-forward forecast backtest: per user series, the summed "
+    "absolute one-step-ahead error of the Holt recurrence (level+trend "
+    "forecast made BEFORE seeing each point) against the naive "
+    "last-value forecast — the model-selection report that says whether "
+    "trend-smoothing earns its keep per series, in exact milli-units "
+    "(the MASE numerator/denominator pair without the division). Same "
+    "grouped-map Arrow kernel family as Holt/CUSUM; the oracle extends "
+    "the Holt recursive CTE with two running error accumulators.",
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("x"),
+    )
+
+    def backtest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        xs = [int(v) for v in pdf["x"]]
+        l, b = xs[0], 0
+        prev = xs[0]
+        sae_naive = sae_holt = 0
+        for x in xs[1:]:
+            sae_naive += abs(x - prev)
+            sae_holt += abs(x - l - b)  # forecast made before seeing x
+            d = (x - l - b) // HOLT_ADIV
+            l = l + b + d
+            b = b + d // HOLT_BDIV
+            prev = x
+        winner = "holt" if sae_holt < sae_naive else ("naive" if sae_holt > sae_naive else "tie")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_obs": [len(xs)],
+                "sae_naive_m": [sae_naive],
+                "sae_holt_m": [sae_holt],
+                "winner": [winner],
+            }
+        )
+
+    n_part = max(8, spark.sparkContext.defaultParallelism // 2)
+    return (
+        e.repartition(n_part, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            backtest,
+            schema="user_id long, n_obs long, sae_naive_m long, sae_holt_m long, winner string",
+        )
+    )

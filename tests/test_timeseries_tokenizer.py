@@ -286,3 +286,22 @@ def test_resample_interp_between_neighbors(spark):
             if not r.is_gap:
                 assert lf == r.interp_m
     assert checked_gap > 0
+
+
+def test_forecast_backtest_invariants(spark):
+    """Every event is covered, winner matches the error comparison, and
+    the backtest discriminates (both models win somewhere on this data —
+    146 holt / 4 naive at sf0.01, deterministic)."""
+    rows = registry()["ts_forecast_backtest"].fn(spark, SF_CORRECTNESS).collect()
+    n_events = spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet").count()
+    assert sum(r.n_obs for r in rows) == n_events
+    winners = {"holt": 0, "naive": 0, "tie": 0}
+    for r in rows:
+        if r.sae_holt_m < r.sae_naive_m:
+            assert r.winner == "holt"
+        elif r.sae_holt_m > r.sae_naive_m:
+            assert r.winner == "naive"
+        else:
+            assert r.winner == "tie"
+        winners[r.winner] += 1
+    assert winners["holt"] > 0 and winners["naive"] > 0

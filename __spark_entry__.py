@@ -91,7 +91,7 @@ _DRIVER_WINDOW_R5 = (
     "ext_approx_distinct_portable",
     "ext_approx_percentile",
     "ext_argmax",
-    "ext_bitwise",
+    "ns_embed_matryoshka",
     "ext_bloom_semijoin",
     "ns_embed_pca_power",
     "ext_correlated_above_avg",

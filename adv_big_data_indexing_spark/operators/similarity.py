@@ -824,3 +824,82 @@ def ns_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = [tdiv(x, d) for x in w]
     out = [(j + 1, v[j], g[(j + 1, j + 1)]) for j in range(DIM)]
     return spark.createDataFrame(out, schema="dim int, loading long, g_diag long")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation report: energy retained per prefix length
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_LEVELS = (16, 32, 48)
+_MAT_LOSSY_PPM = 900_000
+
+
+@query(
+    "ns_embed_matryoshka",
+    oracle=f"""
+    WITH q AS (
+      SELECT {DUCK_QUANTIZE.format(col="embedding")} AS qv FROM embeddings
+    ),
+    e AS (
+      SELECT CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS full_e, qv
+      FROM q
+    ),
+    lev AS (
+      SELECT unnest([{", ".join(str(lv) for lv in MATRYOSHKA_LEVELS)}]) AS level,
+             full_e, qv
+      FROM e WHERE full_e > 0
+    ),
+    r AS (
+      SELECT level,
+             CAST(list_sum(list_transform(qv[1:level], x -> x * x)) AS BIGINT)
+               * 1000000 // full_e AS ret_ppm
+      FROM lev
+    )
+    SELECT CAST(level AS INTEGER) AS level, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ret_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_ret_ppm,
+           CAST(min(ret_ppm) AS BIGINT) AS min_ret_ppm,
+           CAST(max(ret_ppm) AS BIGINT) AS max_ret_ppm,
+           CAST(sum(CASE WHEN ret_ppm < {_MAT_LOSSY_PPM} THEN 1 ELSE 0 END) AS BIGINT) AS n_lossy
+    FROM r GROUP BY 1
+    """,
+    doc="NS Matryoshka truncation report (Kusupati et al. 2022): for each "
+    f"prefix length {MATRYOSHKA_LEVELS}, the fraction of each vector's "
+    "energy retained by keeping only the first L dimensions — the "
+    "planning table for shrinking the ANN index (retained energy bounds "
+    "the cosine perturbation). Exact integer ppm per vector on the "
+    "shared quantization, aggregated to mean/min/max plus a lossy count "
+    f"(< {_MAT_LOSSY_PPM} ppm). Expression-only single scan, a 3x level "
+    "explode of two ints per row, partial agg to 3 rows.",
+)
+def ns_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        quantize_vec(F.col("embedding")).alias("qv")
+    )
+
+    def energy(col):
+        return F.aggregate(
+            col, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        )
+
+    e = e.select(energy(F.col("qv")).alias("full_e"), "qv").filter(F.col("full_e") > 0)
+    lev = e.select(
+        F.explode(F.array(*[F.lit(lv) for lv in MATRYOSHKA_LEVELS])).alias("level"),
+        "full_e",
+        "qv",
+    )
+    r = lev.select(
+        "level",
+        F.expr(
+            "CAST(aggregate(slice(qv, 1, level), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x * x) * 1000000 DIV full_e AS BIGINT)"
+        ).alias("ret_ppm"),
+    )
+    return r.groupBy("level").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST(sum(ret_ppm) DIV count(*) AS BIGINT)").alias("mean_ret_ppm"),
+        F.min("ret_ppm").alias("min_ret_ppm"),
+        F.max("ret_ppm").alias("max_ret_ppm"),
+        F.sum(F.when(F.col("ret_ppm") < _MAT_LOSSY_PPM, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lossy"),
+    )

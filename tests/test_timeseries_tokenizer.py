@@ -305,3 +305,17 @@ def test_forecast_backtest_invariants(spark):
             assert r.winner == "tie"
         winners[r.winner] += 1
     assert winners["holt"] > 0 and winners["naive"] > 0
+
+
+def test_matryoshka_monotone(spark):
+    """Mean retained energy grows with prefix length; every level covers
+    all vectors; ppm ratios stay in [0, 1e6]."""
+    rows = registry()["ns_embed_matryoshka"].fn(spark, SF_CORRECTNESS).collect()
+    n_vec = spark.read.parquet(f"{SF_CORRECTNESS}/embeddings.parquet").count()
+    by_level = {r.level: r for r in rows}
+    assert sorted(by_level) == [16, 32, 48]
+    means = [by_level[lv].mean_ret_ppm for lv in (16, 32, 48)]
+    assert means == sorted(means)
+    for r in rows:
+        assert r.n == n_vec
+        assert 0 <= r.min_ret_ppm <= r.mean_ret_ppm <= r.max_ret_ppm <= 1_000_000

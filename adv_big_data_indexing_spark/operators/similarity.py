@@ -851,8 +851,8 @@ _MAT_LOSSY_PPM = 900_000
     ),
     r AS (
       SELECT level,
-             CAST(list_sum(list_transform(qv[1:level], x -> x * x)) AS BIGINT)
-               * 1000000 // full_e AS ret_ppm
+             (CAST(list_sum(list_transform(qv[1:level], x -> x * x)) AS BIGINT) // 64)
+               * 1000000 // greatest(full_e // 64, 1) AS ret_ppm
       FROM lev
     )
     SELECT CAST(level AS INTEGER) AS level, CAST(count(*) AS BIGINT) AS n,
@@ -889,9 +889,15 @@ def ns_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = lev.select(
         "level",
+        # the DIV-64 pre-shift keeps prefix_e * 1e6 inside int64 for ANY
+        # 64-dim vector at the 1e6 quantization scale (raw headroom is
+        # only ~9x for unit-norm vectors — a norm^2 > 9.2 outlier would
+        # silently wrap in Spark and error in DuckDB); cost is <0.02%
+        # relative error on the ratio, identical in both engines.
         F.expr(
-            "CAST(aggregate(slice(qv, 1, level), CAST(0 AS BIGINT),"
-            " (acc, x) -> acc + x * x) * 1000000 DIV full_e AS BIGINT)"
+            "CAST((aggregate(slice(qv, 1, level), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x * x) DIV 64)"
+            " * 1000000 DIV greatest(full_e DIV 64, 1) AS BIGINT)"
         ).alias("ret_ppm"),
     )
     return r.groupBy("level").agg(

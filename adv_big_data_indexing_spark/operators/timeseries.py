@@ -1386,10 +1386,16 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward fill is expressed as a BACKWARD fill over descending
+    # bucket order: Spark's (currentRow, unboundedFollowing) frame
+    # recomputes the aggregate from scratch per row — O(n^2) per
+    # partition, measured 19.7 s vs 1.05 s for the LOCF twin at sf0.1 —
+    # while two running last() frames over opposite sorts are O(n) and
+    # share one exchange (same partitioning, second sort only).
     fwd = (
         Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_bucket = F.when(F.col("x_m").isNotNull(), F.col("bucket"))
     sides = j.select(
@@ -1398,8 +1404,8 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x_m",
         F.last("x_m", ignorenulls=True).over(back).alias("pv"),
         F.last(obs_bucket, ignorenulls=True).over(back).alias("pb"),
-        F.first("x_m", ignorenulls=True).over(fwd).alias("nv"),
-        F.first(obs_bucket, ignorenulls=True).over(fwd).alias("nb"),
+        F.last("x_m", ignorenulls=True).over(fwd).alias("nv"),
+        F.last(obs_bucket, ignorenulls=True).over(fwd).alias("nb"),
     )
     interp = F.when(F.col("x_m").isNotNull(), F.col("x_m")).otherwise(
         F.expr("pv + (nv - pv) * (bucket - pb) DIV (nb - pb)")

@@ -89,7 +89,7 @@ _DRIVER_WINDOW_R5 = (
     "ext_k_anonymity_audit",
     "ts_forecast_backtest",
     "ext_approx_distinct_portable",
-    "ext_approx_percentile",
+    "ns_tfidf_keywords",
     "ext_argmax",
     "ns_embed_matryoshka",
     "ext_bloom_semijoin",

@@ -155,3 +155,83 @@ def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("score_q4").desc(), "doc_id")
     return hits.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+KEYWORDS_PER_DOC = 3
+
+
+@query(
+    "ns_tfidf_keywords",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS w FROM t) WHERE w <> ''
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w, tf.tf, df.df,
+             tf.tf * (({DUCK_ILOG2_Q4.format(col="2 * n.nd + 2")})
+                    - ({DUCK_ILOG2_Q4.format(col="2 * df.df + 1")})) AS score_q4,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (({DUCK_ILOG2_Q4.format(col="2 * n.nd + 2")})
+                               - ({DUCK_ILOG2_Q4.format(col="2 * df.df + 1")})) DESC,
+                        tf.w) AS rnk
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, w AS term, tf, df, CAST(score_q4 AS BIGINT) AS score_q4,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM scored WHERE rnk <= {KEYWORDS_PER_DOC}
+    """,
+    doc="NS per-document keyword extraction: top-3 terms by tf-idf, with "
+    "the Lucene-style idf in quarter-bit integers (ilog2_q4(2N+2) - "
+    "ilog2_q4(2df+1), the same portable form BM25 uses) so scores and "
+    "tie-breaks are bit-deterministic. The corpus-exploration complement "
+    "to ns_bm25_topk (which ranks docs for a query; this names each "
+    "doc). Shape: doc-term counts (one shuffle), vocab-sized df join, "
+    "1-row broadcast N, per-doc top-k window partitioned by doc_id — "
+    "never a global sort.",
+)
+def ns_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from adv_big_data_indexing_spark.functions.exact import ilog2_q4  # noqa: PLC0415
+    from adv_big_data_indexing_spark.functions.text import token_rows  # noqa: PLC0415
+    from adv_big_data_indexing_spark.sources.catalog import spread  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        token_rows(d, ["doc_id"])
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    nd = d.agg(F.count("*").cast("bigint").alias("nd"))
+    scored = (
+        tf.join(df_t, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    ilog2_q4(F.lit(2) * F.col("nd") + F.lit(2))
+                    - ilog2_q4(F.lit(2) * F.col("df") + F.lit(1))
+                )
+            )
+            .cast("bigint")
+            .alias("score_q4"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_q4").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= KEYWORDS_PER_DOC)
+    )

@@ -90,7 +90,7 @@ _DRIVER_WINDOW_R5 = (
     "ts_forecast_backtest",
     "ext_approx_distinct_portable",
     "ns_tfidf_keywords",
-    "ext_argmax",
+    "ext_column_stats",
     "ns_embed_matryoshka",
     "ext_bloom_semijoin",
     "ns_embed_pca_power",

@@ -969,3 +969,66 @@ def ext_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("at_risk * 1000000 DIV total").alias("corpus_at_risk_ppm"),
         )
     )
+
+
+_PROFILE_COLS = (
+    ("l_orderkey", "bigint"),
+    ("l_partkey", "bigint"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_shipdate", "date"),
+    ("l_returnflag", "string"),
+)
+
+
+@query(
+    "ext_column_stats",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    """
+    + ",\n    ".join(
+        f"""        CAST(count({c}) AS BIGINT) AS nn_{c},
+        CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_{c},
+        CAST(min(CAST({c} AS VARCHAR)) AS VARCHAR) AS min_{c},
+        CAST(max(CAST({c} AS VARCHAR)) AS VARCHAR) AS max_{c}"""
+        for c, _t in _PROFILE_COLS
+    )
+    + """
+      FROM lineitem
+    )
+    SELECT * FROM (
+    """
+    + "\n      UNION ALL\n    ".join(
+        f"""  SELECT '{c}' AS col, nn_{c} AS n_nonnull, n_rows - nn_{c} AS n_null,
+             ndv_{c} AS ndv, min_{c} AS min_str, max_{c} AS max_str FROM s"""
+        for c, _t in _PROFILE_COLS
+    )
+    + "\n    )",
+    doc="EXT ANALYZE-style column profile of lineitem (the stats a "
+    "cost-based optimizer or data-quality gate feeds on): per column, "
+    "non-null/null counts, exact NDV, and min/max — normalized through "
+    "a VARCHAR cast so one schema carries every type and both engines "
+    "compare the same rendering. ONE multi-aggregate scan (Spark "
+    "expands the distinct counts via a single expand+aggregate plan), "
+    "unpivoted to (col, stats) rows presentation-side.",
+)
+def ext_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c, _t in _PROFILE_COLS:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"nn_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"max_{c}"),
+        ]
+    s = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, n_rows - nn_{c}, ndv_{c}, min_{c}, max_{c}"
+        for c, _t in _PROFILE_COLS
+    )
+    return s.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (col, n_nonnull, n_null, ndv, min_str, max_str)"
+    )

@@ -92,7 +92,7 @@ _DRIVER_WINDOW_R5 = (
     "ns_tfidf_keywords",
     "ext_column_stats",
     "ns_embed_matryoshka",
-    "ext_bloom_semijoin",
+    "ts_sliding_rate_flags",
     "ns_embed_pca_power",
     "ext_correlated_above_avg",
     "ext_fuzzy_join_levenshtein",

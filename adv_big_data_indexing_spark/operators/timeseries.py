@@ -1504,3 +1504,60 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id long, n_obs long, sae_naive_m long, sae_holt_m long, winner string",
         )
     )
+
+
+RATE_WINDOW_SEC = 86400  # 24 h — the synthetic corpus averages ~2 events/user/day
+RATE_LIMIT = 6
+
+
+@query(
+    "ts_sliding_rate_flags",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+      FROM events
+    ),
+    counted AS (
+      SELECT user_id, event_id, ts,
+             CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN {RATE_WINDOW_SEC - 1} PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n_trailing
+      FROM e
+    )
+    SELECT user_id, event_id, ts, n_trailing
+    FROM counted WHERE n_trailing > {RATE_LIMIT}
+    """,
+    doc="TS sliding-rate limiter / burst detector: for every event, the "
+    f"count of the user's events in the trailing {RATE_WINDOW_SEC} s "
+    f"(inclusive), flagging those past {RATE_LIMIT} — the abuse/DDoS "
+    "primitive. ONE range-frame window over epoch seconds: Spark's "
+    "bounded-preceding RANGE frame slides both ends monotonically "
+    "(O(n) per partition, unlike the unbounded-following trap), one "
+    "shuffle on user_id, no self-join, no per-event probe. Ties at the "
+    "same second count together on both engines (RANGE frame = peer "
+    "rows included).",
+)
+def ts_sliding_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 AS BIGINT)").alias(
+            "sec"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-(RATE_WINDOW_SEC - 1), Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.count("*").over(w).cast("bigint").alias("n_trailing"),
+        )
+        .filter(F.col("n_trailing") > RATE_LIMIT)
+    )

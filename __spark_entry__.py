@@ -94,7 +94,7 @@ _DRIVER_WINDOW_R5 = (
     "ns_embed_matryoshka",
     "ts_sliding_rate_flags",
     "ns_embed_pca_power",
-    "ext_correlated_above_avg",
+    "ts_seasonality_profile",
     "ext_fuzzy_join_levenshtein",
     "ts_resample_interp",
     "ext_grouping_sets",

@@ -1561,3 +1561,51 @@ def ts_sliding_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_trailing") > RATE_LIMIT)
     )
+
+
+@query(
+    "ts_seasonality_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1
+    )
+    SELECT c.event_type, c.hod, c.n,
+           c.n * 1000000 // t.total AS share_ppm,
+           c.n * 1000000 // t.total - 1000000 // 24 AS dev_ppm
+    FROM c JOIN t USING (event_type)
+    """,
+    doc="TS seasonality profile: per event type, the hour-of-day "
+    "distribution (UTC epoch hours mod 24 — tz-free and exact) with "
+    "each hour's share and its signed deviation from the uniform "
+    "1/24 in integer ppm — the load-shaping / anomaly-baseline table. "
+    "One partial-aggregated groupBy to (type x 24) rows, a type-level "
+    "re-aggregate of that tiny table, and a broadcast-sized join back; "
+    "the events table is scanned once.",
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST((unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24 AS BIGINT)"
+        ).alias("hod"),
+    )
+    c = (
+        e.groupBy("event_type", "hod")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()  # (type x 24) rows: total and join reuse it
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hod",
+        "n",
+        F.expr("n * 1000000 DIV total").alias("share_ppm"),
+        F.expr("n * 1000000 DIV total - 1000000 DIV 24").alias("dev_ppm"),
+    )

@@ -422,3 +422,36 @@ def holt_forecasts(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ohlc_bars(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``ts_ohlc_bars`` (operators/timeseries.py): the
+    same one-aggregation candlestick rollup as a watermarked windowed
+    agg — min_by/max_by on the composite (ts, event_id) key work
+    unchanged under Structured Streaming's partial-merge model (their
+    state is one candidate row per bar side), so the live feed carries
+    exactly the batch semantics; append mode emits each bar once its
+    watermark passes.
+    """
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withColumn("x", F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "600 seconds").alias("w"), "event_type")
+        .agg(
+            F.min_by("x", key).alias("open_m"),
+            F.max("x").alias("high_m"),
+            F.min("x").alias("low_m"),
+            F.max_by("x", key).alias("close_m"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "event_type",
+            "open_m",
+            "high_m",
+            "low_m",
+            "close_m",
+            "n_events",
+        )
+    )

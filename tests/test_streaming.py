@@ -603,3 +603,22 @@ def test_streaming_holt_matches_batch_recurrence(spark, tmp_path):
             b = b + d // HOLT_BDIV
         exp[uid] = (len(xs), l, b, l + b)
     assert got == exp
+
+
+def test_streaming_ohlc_matches_batch(spark, event_stream_dir):
+    """Streaming OHLC bars (watermarked min_by/max_by windowed agg) agree
+    with the batch operator on every emitted bar."""
+    path, batch_df = event_stream_dir
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    out = _run_stream_to_memory(spark, ev.ohlc_bars(stream), "t_ohlc", "append")
+    got = {
+        (r.bar_start, r.event_type): (r.open_m, r.high_m, r.low_m, r.close_m, r.n_events)
+        for r in out.collect()
+    }
+    assert got
+    exp = {
+        (r.bar_start, r.event_type): (r.open_m, r.high_m, r.low_m, r.close_m, r.n_events)
+        for r in ev.ohlc_bars(batch_df).collect()
+    }
+    for k, v in got.items():
+        assert exp[k] == v

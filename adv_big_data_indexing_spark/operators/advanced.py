@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
-from adv_big_data_indexing_spark.functions.exact import dec, epoch_us, sum_money
+from adv_big_data_indexing_spark.functions.exact import cents, dec, epoch_us, sum_money
 from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
 # ---------------------------------------------------------------------------
@@ -1031,4 +1031,187 @@ def ext_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args})"
         " AS (col, n_nonnull, n_null, ndv, min_str, max_str)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact AUC (Mann-Whitney rank-sum), integer-exact with tie handling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_auc_exact",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(floor(value * 1000000) AS BIGINT) AS score
+      FROM events
+    ),
+    ranked AS (
+      SELECT y,
+             2 * rank() OVER (ORDER BY score)
+               + count(*) OVER (PARTITION BY score) - 1 AS dbl_rank
+      FROM scored
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN y = 1 THEN dbl_rank END) AS BIGINT) AS r2_pos,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           r2_pos - n_pos * (n_pos + 1) AS auc2_num,
+           CAST((r2_pos - n_pos * (n_pos + 1)) AS DOUBLE)
+             / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM agg
+    """,
+    doc="EXT exact ROC-AUC via the Mann-Whitney rank-sum identity, the "
+    "model-eval primitive a training pipeline runs after every scoring "
+    "job: label = purchase events, score = micro-quantized value. Ties "
+    "use average ranks, kept integer by doubling (2*avg_rank = 2*min_rank "
+    "+ tie_count - 1), so both engines aggregate identical int64s and "
+    "the single final double division is correctly rounded. Scale shape: "
+    "one sort by score (Spark range-partitions the global rank at real "
+    "scale) + one scan-sized aggregate; no pairwise O(n_pos*n_neg) "
+    "comparison ever materializes.",
+)
+def ext_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("score"),
+    )
+    w_rank = Window.orderBy("score")
+    w_tie = Window.partitionBy("score")
+    ranked = e.select(
+        "y",
+        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1)
+        .cast("bigint")
+        .alias("dbl_rank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("dbl_rank"))).cast("bigint").alias("r2_pos"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("auc2_num"),
+        (
+            (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             epoch_us(max(o_orderdate)) AS last_us,
+             count(*) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT ntile(4) OVER (ORDER BY last_us DESC, o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m_q,
+             cents
+      FROM per_cust
+    )
+    SELECT r_q, f_q, m_q,
+           count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="EXT RFM segmentation — the classic customer-analytics rollup: per "
+    "customer recency (last order timestamp), frequency (order count), "
+    "monetary (exact cents), each cut into quartiles by ntile over a "
+    "fully tie-broken order (metric, custkey) so bucket assignment is "
+    "bit-deterministic in both engines; segments then aggregated to "
+    "(r,f,m) cells. Scale shape: the per-customer aggregate is the "
+    "data-sized stage (partial-agg shuffle on custkey); the ntile runs "
+    "on the customer-count aggregate. The global ntile sort is the toy "
+    "formulation — at 100 TB the quartile boundaries come from "
+    "approx_percentile + a broadcast range join, same output cells.",
+)
+def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        epoch_us(F.max("o_orderdate")).alias("last_us"),
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).cast("bigint").alias("cents"),
+    )
+    scored = per_cust.select(
+        F.ntile(4).over(Window.orderBy(F.desc("last_us"), "o_custkey")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("n_orders"), "o_custkey")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("m_q"),
+        "cents",
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("segment_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram (optimizer-grade quantile buckets)
+# ---------------------------------------------------------------------------
+
+#: bucket count for the equi-depth histogram (ext_equidepth_histogram).
+EQUIDEPTH_BUCKETS = 8
+
+
+@query(
+    "ext_equidepth_histogram",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    b AS (
+      SELECT cents,
+             ntile({EQUIDEPTH_BUCKETS}) OVER (ORDER BY cents, o_orderkey) AS bucket
+      FROM c
+    )
+    SELECT bucket,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents,
+           count(*) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY bucket
+    """,
+    doc="EXT equi-depth histogram of order value (8 buckets of equal row "
+    "count), the statistic a cost-based optimizer stores per column — "
+    "complements ext_histogram's equi-WIDTH buckets. ntile over the "
+    "fully tie-broken (cents, orderkey) order makes boundaries exact "
+    "and bit-stable. Scale shape: global sort + streaming bucket "
+    "aggregate; at 100 TB Spark's range partitioner IS the equi-depth "
+    "split (each output partition is one bucket), so the op costs one "
+    "repartitionByRange pass.",
+)
+def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("cents"), "o_orderkey"
+    )
+    b = o.select(
+        "cents",
+        F.ntile(EQUIDEPTH_BUCKETS)
+        .over(Window.orderBy("cents", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.min("cents").cast("bigint").alias("lo_cents"),
+        F.max("cents").cast("bigint").alias("hi_cents"),
+        F.count("*").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
     )

@@ -1215,3 +1215,138 @@ def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square contingency test (2x2, exact rational arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_chi2_contingency",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type <> 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type <> 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM events
+    )
+    SELECT a, b, c, d,
+           CAST((1000000 * CAST(a + b + c + d AS HUGEINT)
+                 * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                 * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
+                // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+                AS BIGINT) AS chi2_ppm
+    FROM cells
+    """,
+    doc="EXT chi-square independence test on a 2x2 contingency table "
+    "(user-cohort parity x purchase outcome) — the A/B-test primitive. "
+    "chi2 = N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) evaluated as EXACT "
+    "integer arithmetic in 128-bit intermediates (Spark DECIMAL(38,0), "
+    "DuckDB HUGEINT; N*(ad-bc)^2*1e6 stays under 1e34 even at sf100), "
+    "surfaced as integer ppm so both engines hash identically — no "
+    "float chi2, no p-value approximation to diverge. Scale shape: ONE "
+    "map-side-combined scan to 4 cells; the test itself is O(1).",
+)
+def ext_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    is_even = F.col("user_id") % 2 == 0
+    is_buy = F.col("event_type") == "purchase"
+    one = lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    cells = e.agg(
+        one(is_even & is_buy).alias("a"),
+        one(is_even & ~is_buy).alias("b"),
+        one(~is_even & is_buy).alias("c"),
+        one(~is_even & ~is_buy).alias("d"),
+    )
+    big = "DECIMAL(38,0)"
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            f"CAST((CAST(1000000 AS {big}) * CAST(a + b + c + d AS {big})"
+            f" * (CAST(a AS {big}) * d - CAST(b AS {big}) * c)"
+            f" * (CAST(a AS {big}) * d - CAST(b AS {big}) * c))"
+            f" DIV (CAST(a + b AS {big}) * (c + d) * (a + c) * (b + d))"
+            " AS BIGINT)"
+        ).alias("chi2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# zone-map pruning simulation (data-skipping effectiveness audit)
+# ---------------------------------------------------------------------------
+
+#: rows per simulated storage block (zone) for ext_zonemap_prune.
+ZONE_BLOCK = 4096
+
+#: the probe predicate: ship dates inside calendar 1995.
+ZONE_LO = "1995-01-01 00:00:00"
+ZONE_HI = "1996-01-01 00:00:00"
+
+
+@query(
+    "ext_zonemap_prune",
+    oracle=f"""
+    WITH zones AS (
+      SELECT l_orderkey // {ZONE_BLOCK} AS zone,
+             min(l_shipdate) AS zmin,
+             max(l_shipdate) AS zmax,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    )
+    SELECT count(*) AS n_zones,
+           CAST(sum(CASE WHEN zmax < TIMESTAMP '{ZONE_LO}'
+                          OR zmin >= TIMESTAMP '{ZONE_HI}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+           CAST(sum(CASE WHEN zmax < TIMESTAMP '{ZONE_LO}'
+                          OR zmin >= TIMESTAMP '{ZONE_HI}'
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_skipped,
+           CAST(1000000 * sum(CASE WHEN zmax < TIMESTAMP '{ZONE_LO}'
+                                    OR zmin >= TIMESTAMP '{ZONE_HI}'
+                                   THEN n_rows ELSE 0 END)
+                // sum(n_rows) AS BIGINT) AS skip_ppm
+    FROM zones
+    """,
+    doc="EXT zone-map (min/max data-skipping) effectiveness audit: "
+    "simulate parquet row-group zone maps as 4096-row blocks keyed by "
+    "orderkey, and measure what fraction a ship-date range predicate "
+    "could prune — the report that decides whether a table is worth "
+    "re-clustering (pairs with ns_layout_zorder). One partial-agg scan "
+    "to block-count rows, then an O(blocks) summary; the same two-level "
+    "rollup a file-skipping planner runs over footer stats at 100 TB.",
+)
+def ext_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") / ZONE_BLOCK).cast("bigint").alias("zone"),
+        "l_shipdate",
+    )
+    zones = li.groupBy("zone").agg(
+        F.min("l_shipdate").alias("zmin"),
+        F.max("l_shipdate").alias("zmax"),
+        F.count("*").alias("n_rows"),
+    )
+    pruned = (F.col("zmax") < F.lit(ZONE_LO).cast("timestamp_ntz")) | (
+        F.col("zmin") >= F.lit(ZONE_HI).cast("timestamp_ntz")
+    )
+    return zones.agg(
+        F.count("*").alias("n_zones"),
+        F.sum(F.when(pruned, 1).otherwise(0)).cast("bigint").alias("n_pruned"),
+        F.sum("n_rows").cast("bigint").alias("n_rows_total"),
+        F.sum(F.when(pruned, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_skipped"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN zmax < TIMESTAMP"
+            f" '{ZONE_LO}' OR zmin >= TIMESTAMP '{ZONE_HI}'"
+            " THEN n_rows ELSE 0 END) DIV sum(n_rows) AS BIGINT)"
+        ).alias("skip_ppm"),
+    )

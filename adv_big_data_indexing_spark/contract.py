@@ -61,6 +61,7 @@ def registry() -> dict[str, QuerySpec]:
         dedup,
         documents,
         graph,
+        mining,
         multimodal,
         partitioning,
         relational,

@@ -1,0 +1,263 @@
+"""Pattern-mining operators over the relational tables: market-basket
+association rules, common-neighbor link prediction, and BFS reachability
+over the order/part/supplier graph.
+
+The reference has no mining surface at all (its graph-adjacent feature is
+the parent/child join family, SURVEY §2.C); this module is part of the
+mandated beyond-reference analytics tier (SURVEY §2.K). Design rules are
+the repo-wide ones: candidate generation is always an inverted-index
+equi-join (never all-pairs), counts/ratios are exact integers (ppm), and
+every top-k is totally ordered so both engines cut the same boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# market-basket association rules (frequent pairs, support/confidence/lift)
+# ---------------------------------------------------------------------------
+
+#: Apriori-style minimum supports. The item prefilter is the scale lever:
+#: pair candidates are generated only from items that are themselves
+#: frequent, so the per-basket self-join runs on the pruned item set.
+MIN_ITEM_SUP = 2
+MIN_PAIR_SUP = 2
+
+#: result cap — totally ordered by (lift, i1, i2) so the cut is exact.
+ASSOC_TOP_K = 100
+
+
+@query(
+    "ns_assoc_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS bask, l_partkey AS item FROM lineitem
+    ),
+    ic AS (
+      SELECT item, count(*) AS cnt FROM items
+      GROUP BY 1 HAVING count(*) >= {MIN_ITEM_SUP}
+    ),
+    fi AS (SELECT i.bask, i.item FROM items i JOIN ic ON ic.item = i.item),
+    n AS (SELECT count(DISTINCT bask) AS n_baskets FROM items),
+    pairs AS (
+      SELECT a.item AS i1, b.item AS i2, count(*) AS pair_cnt
+      FROM fi a JOIN fi b ON a.bask = b.bask AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= {MIN_PAIR_SUP}
+    )
+    SELECT p.i1, p.i2, p.pair_cnt,
+           CAST(1000000 * p.pair_cnt // c1.cnt AS BIGINT) AS conf1_ppm,
+           CAST(1000000 * p.pair_cnt // c2.cnt AS BIGINT) AS conf2_ppm,
+           CAST(1000000 * n.n_baskets * p.pair_cnt // (c1.cnt * c2.cnt)
+                AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN ic c1 ON c1.item = p.i1
+    JOIN ic c2 ON c2.item = p.i2
+    CROSS JOIN n
+    ORDER BY lift_ppm DESC, i1, i2 LIMIT {ASSOC_TOP_K}
+    """,
+    doc="NS market-basket association rules: frequent part pairs within "
+    "orders with exact integer-ppm support/confidence/lift, top-100 by "
+    "lift (totally ordered). Apriori shape: the FREQUENT-ITEM prefilter "
+    "runs before pair generation, so the per-basket self-join — the "
+    "inverted-index join keyed on basket, the same candidates-only "
+    "pattern as ns_dedup_ngram_jaccard — never touches rare items; at "
+    "100 TB the item-count table is vocab-sized and broadcast, and "
+    "per-basket width is bounded by basket size, not catalog size. "
+    "Lift = N*pair/(c1*c2) stays in int64 up to ~1e15 basket-pairs.",
+)
+def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("bask"), F.col("l_partkey").alias("item")
+    ).distinct()
+    ic = (
+        items.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= MIN_ITEM_SUP)
+    )
+    fi = items.join(F.broadcast(ic.select("item")), "item")
+    n = items.select(F.countDistinct("bask").alias("n_baskets"))
+    a = fi.select(F.col("bask"), F.col("item").alias("i1"))
+    b = fi.select(F.col("bask"), F.col("item").alias("i2"))
+    pairs = (
+        a.join(b, "bask")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= MIN_PAIR_SUP)
+    )
+    c1 = ic.select(F.col("item").alias("i1"), F.col("cnt").alias("cnt1"))
+    c2 = ic.select(F.col("item").alias("i2"), F.col("cnt").alias("cnt2"))
+    return (
+        pairs.join(F.broadcast(c1), "i1")
+        .join(F.broadcast(c2), "i2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i1",
+            "i2",
+            "pair_cnt",
+            F.expr("CAST(1000000 * pair_cnt DIV cnt1 AS BIGINT)").alias("conf1_ppm"),
+            F.expr("CAST(1000000 * pair_cnt DIV cnt2 AS BIGINT)").alias("conf2_ppm"),
+            F.expr(
+                "CAST(1000000 * n_baskets * pair_cnt DIV (cnt1 * cnt2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "i1", "i2")
+        .limit(ASSOC_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# common-neighbor link prediction (supplier similarity via shared parts)
+# ---------------------------------------------------------------------------
+
+#: result cap — totally ordered by (jaccard, s1, s2).
+LINKPRED_TOP_K = 50
+
+
+@query(
+    "ns_graph_link_prediction",
+    oracle=f"""
+    WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    deg AS (SELECT s, count(*) AS d FROM sp GROUP BY 1),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2, count(*) AS common
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2
+    )
+    SELECT p.s1, p.s2, p.common,
+           CAST(1000000 * p.common // (d1.d + d2.d - p.common) AS BIGINT)
+             AS jaccard_ppm
+    FROM pairs p JOIN deg d1 ON d1.s = p.s1 JOIN deg d2 ON d2.s = p.s2
+    ORDER BY jaccard_ppm DESC, s1, s2 LIMIT {LINKPRED_TOP_K}
+    """,
+    doc="NS link prediction by common neighbors on the supplier—part "
+    "bipartite graph: for supplier pairs sharing parts, exact "
+    "neighborhood-Jaccard in integer ppm, top-50 totally ordered. "
+    "Candidates come from the inverted index keyed on the shared part "
+    "(join + groupBy), never a supplier cross join — the same "
+    "candidates-only shape as the dedup family, so work is "
+    "O(Σ_part deg²) not O(|suppliers|²). At 100 TB the known skew "
+    "lever applies: cap or sample ultra-high-degree hub parts (they "
+    "contribute near-zero Jaccard signal but quadratic candidates), "
+    "as ns_dedup_ngram_jaccard does for hot shingles.",
+)
+def ns_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    deg = sp.groupBy("s").agg(F.count("*").alias("d"))
+    a = sp.select(F.col("p"), F.col("s").alias("s1"))
+    b = sp.select(F.col("p"), F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            F.expr("CAST(1000000 * common DIV (d1 + d2 - common) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "s1", "s2")
+        .limit(LINKPRED_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance over the supplier—part bipartite graph
+# ---------------------------------------------------------------------------
+
+#: BFS depth bound. The sf graph is dense (diameter ~4 through hub
+#: parts), so 3 hops already separates the reachability shells.
+BFS_MAX_HOPS = 3
+
+#: source node: supplier 1 (exists at every SF). Node encoding packs the
+#: bipartite id space into one bigint: part -> 2*key, supplier -> 2*key+1.
+BFS_SOURCE_SUPPKEY = 1
+
+
+@query(
+    "ns_graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE sp AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+      SELECT s * 2 + 1 AS src, p * 2 AS dst FROM sp
+      UNION ALL
+      SELECT p * 2 AS src, s * 2 + 1 AS dst FROM sp
+    ),
+    rec AS (
+      SELECT CAST({BFS_SOURCE_SUPPKEY * 2 + 1} AS BIGINT) AS node, 0 AS hop
+      UNION
+      SELECT e.dst, r.hop + 1
+      FROM rec r JOIN edges e ON e.src = r.node
+      WHERE r.hop < {BFS_MAX_HOPS}
+    )
+    SELECT CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'part' END AS kind,
+           node // 2 AS key,
+           CAST(min(hop) AS BIGINT) AS hop
+    FROM rec GROUP BY 1, 2
+    """,
+    doc="NS BFS shortest-hop distance from one supplier over the "
+    "supplier—part bipartite graph (node space packed into one bigint: "
+    "2k for parts, 2k+1 for suppliers). Spark runs layered frontier "
+    "expansion: per hop, frontier ⋈ edges minus visited (left_anti) — "
+    "each iteration is ONE shuffle keyed on node id, the loop state is "
+    "the frontier (localCheckpoint truncates lineage exactly like "
+    "connected_components/pagerank), and work per layer is "
+    "O(frontier-adjacent edges), the textbook Pregel superstep. The "
+    "DuckDB oracle is the recursive-UNION CTE (set semantics dedup "
+    "(node,hop) pairs, min(hop) recovers the BFS layer).",
+)
+def ns_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    fwd = sp.select(
+        (F.col("s") * 2 + 1).alias("src"), (F.col("p") * 2).alias("dst")
+    )
+    edges = fwd.unionAll(
+        sp.select((F.col("p") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    src = BFS_SOURCE_SUPPKEY * 2 + 1
+    visited = spark.createDataFrame(
+        [(src, 0)], "node bigint, hop int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(
+        F.when(F.col("node") % 2 == 1, "supplier").otherwise("part").alias("kind"),
+        F.expr("node DIV 2").alias("key"),
+        F.col("hop").cast("bigint").alias("hop"),
+    )

@@ -1350,3 +1350,154 @@ def ext_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN n_rows ELSE 0 END) DIV sum(n_rows) AS BIGINT)"
         ).alias("skip_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectation suite (one-scan rule evaluation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_dq_expectations",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f_notnull,
+             CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice >= 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f_range,
+             CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f_regex,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f_domain,
+             count(*) - count(DISTINCT o_orderkey) AS f_unique
+      FROM orders
+    )
+    SELECT rule, n AS n_checked, n_failed,
+           CAST(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM (
+      SELECT n, unnest(['custkey_not_null', 'totalprice_in_range',
+                        'priority_format', 'status_domain', 'orderkey_unique'])
+               AS rule,
+             unnest([f_notnull, f_range, f_regex, f_domain, f_unique])
+               AS n_failed
+      FROM agg
+    )
+    """,
+    doc="EXT data-quality expectation suite (the Great-Expectations-style "
+    "contract gate a pipeline runs before publishing a table): five rule "
+    "families — not-null, numeric range, regex format, value domain, "
+    "key uniqueness — evaluated in ONE multi-aggregate scan (the "
+    "uniqueness rule rides the same pass as a count-distinct), then "
+    "unpivoted to one row per rule with pass/fail. At 100 TB this is a "
+    "single partial-agg pass regardless of rule count; adding a rule "
+    "adds a column, not a scan.",
+)
+def ext_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    flag = lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = o.agg(
+        F.count("*").alias("n"),
+        flag(F.col("o_custkey").isNull()).alias("f_notnull"),
+        flag(
+            (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") >= 1000000)
+        ).alias("f_range"),
+        flag(~F.col("o_orderpriority").rlike("^[1-5]-")).alias("f_regex"),
+        flag(~F.col("o_orderstatus").isin("O", "F", "P")).alias("f_domain"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("f_unique"),
+    )
+    return agg.selectExpr(
+        "stack(5,"
+        " 'custkey_not_null', f_notnull,"
+        " 'totalprice_in_range', f_range,"
+        " 'priority_format', f_regex,"
+        " 'status_domain', f_domain,"
+        " 'orderkey_unique', f_unique) AS (rule, n_failed)",
+        "n AS n_checked",
+    ).select(
+        "rule",
+        "n_checked",
+        "n_failed",
+        F.when(F.col("n_failed") == 0, 1).otherwise(0).cast("bigint").alias("passed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# partial-aggregate state merge (incremental rollup algebra)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_rollup_merge",
+    oracle="""
+    WITH part1 AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             o_orderpriority AS priority, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(min(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS mn,
+             CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS mx
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1, 2
+    ),
+    part2 AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             o_orderpriority AS priority, count(*) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(min(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS mn,
+             CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS mx
+      FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT month, priority,
+             CAST(sum(n) AS BIGINT) AS n_orders,
+             CAST(sum(s) AS BIGINT) AS sum_cents,
+             CAST(min(mn) AS BIGINT) AS min_cents,
+             CAST(max(mx) AS BIGINT) AS max_cents
+      FROM (SELECT * FROM part1 UNION ALL SELECT * FROM part2)
+      GROUP BY 1, 2
+    )
+    SELECT month, priority, n_orders, sum_cents, min_cents, max_cents,
+           sum_cents // n_orders AS avg_cents
+    FROM merged
+    """,
+    doc="EXT incremental-rollup state merge — the re-aggregation algebra "
+    "behind every 100 TB materialized view: two disjoint partitions "
+    "(simulated by orderkey parity, standing in for daily partial "
+    "states) are aggregated independently to mergeable states "
+    "(count/sum/min/max in exact cents), then MERGED (sum-of-counts, "
+    "sum-of-sums, min-of-mins, max-of-maxes) instead of rescanning raw "
+    "rows — the merge stage's input is state-table-sized, not "
+    "data-sized. avg derives from merged state by exact integer "
+    "division. The oracle replays the identical two-phase plan, so a "
+    "non-decomposable aggregate sneaking in would hash-mismatch.",
+)
+def ext_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.col("o_orderpriority").alias("priority"),
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(cents("o_totalprice")).cast("bigint").alias("s"),
+            F.min(cents("o_totalprice")).cast("bigint").alias("mn"),
+            F.max(cents("o_totalprice")).cast("bigint").alias("mx"),
+        )
+
+    p1 = partial(o.filter(F.col("o_orderkey") % 2 == 0))
+    p2 = partial(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged = (
+        p1.unionAll(p2)
+        .groupBy("month", "priority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("s").cast("bigint").alias("sum_cents"),
+            F.min("mn").cast("bigint").alias("min_cents"),
+            F.max("mx").cast("bigint").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "*", F.expr("sum_cents DIV n_orders").alias("avg_cents")
+    )

@@ -909,3 +909,86 @@ def ns_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_lossy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 symmetric quantization report (embedding compression planning)
+# ---------------------------------------------------------------------------
+
+#: Offset making truncating integer DIV behave as floor on the signed
+#: rounding numerator (same guard as timeseries._HOLT_OFF): numerator
+#: magnitude is bounded by 255*|v| < 2^30, far inside 2^35.
+_Q8_OFF = 1 << 35
+
+
+@query(
+    "ns_embed_quantize_int8",
+    oracle=f"""
+    WITH qv AS (SELECT {{q}} AS q FROM embeddings),
+    ex AS (
+      SELECT i - 1 AS dim, q[i] AS v
+      FROM qv CROSS JOIN (SELECT unnest(generate_series(1, {{dim}})) AS i)
+    ),
+    am AS (
+      SELECT dim, max(abs(v)) AS amax FROM ex GROUP BY dim
+      HAVING max(abs(v)) > 0
+    ),
+    quant AS (
+      SELECT e.dim, am.amax,
+             (254 * e.v + am.amax + {_Q8_OFF} * 2 * am.amax) // (2 * am.amax)
+               - {_Q8_OFF} AS qi,
+             e.v
+      FROM ex e JOIN am ON am.dim = e.dim
+    )
+    SELECT dim, CAST(max(amax) AS BIGINT) AS amax,
+           CAST(sum(CASE WHEN abs(qi) >= 127 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sat,
+           CAST(max(abs(127 * v - qi * amax)) AS BIGINT) AS max_err127,
+           CAST(sum(abs(127 * v - qi * amax)) AS BIGINT) AS sum_err127,
+           CAST(1000000 * max(abs(127 * v - qi * amax))
+                // (127 * max(amax)) AS BIGINT) AS max_rel_err_ppm
+    FROM quant GROUP BY dim
+    """.format(q=DUCK_QUANTIZE.format(col="embedding"), dim=DIM),
+    doc="NS int8 symmetric quantization report per embedding dimension — "
+    "the compression-planning audit run before shipping an 8-bit index "
+    "(4x memory cut for ANN serving): per-dim scale (max |v|), "
+    "saturation count, and exact worst/total reconstruction error in "
+    "the 127-scaled integer space (err127 = |127v - q*amax| needs NO "
+    "division, so it is exact in both engines; the signed round-half-up "
+    "quantizer uses the repo's offset-shift so truncating DIV equals "
+    "floor). Two map-side-combined passes over the posexploded vectors "
+    "(scale, then error) with the dim-sized scale table broadcast — "
+    "the same shape as ns_embed_dim_stats, linear at 100 TB.",
+)
+def ns_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+        .select(quantize_vec(F.col("embedding")).alias("q"))
+        .select(F.posexplode("q").alias("dim", "v"))
+    )
+    am = (
+        ex.groupBy("dim")
+        .agg(F.max(F.abs("v")).alias("amax"))
+        .filter(F.col("amax") > 0)
+    )
+    j = ex.join(F.broadcast(am), "dim")
+    quant = j.select(
+        "dim",
+        "amax",
+        "v",
+        F.expr(
+            f"(254 * v + amax + {_Q8_OFF} * 2 * amax) DIV (2 * amax) - {_Q8_OFF}"
+        ).alias("qi"),
+    )
+    err = F.abs(127 * F.col("v") - F.col("qi") * F.col("amax"))
+    return quant.groupBy("dim").agg(
+        F.max("amax").cast("bigint").alias("amax"),
+        F.sum(F.when(F.abs("qi") >= 127, 1).otherwise(0)).cast("bigint").alias("n_sat"),
+        F.max(err).cast("bigint").alias("max_err127"),
+        F.sum(err).cast("bigint").alias("sum_err127"),
+        F.expr(
+            "CAST(1000000 * max(abs(127 * v - qi * amax))"
+            " DIV (127 * max(amax)) AS BIGINT)"
+        ).alias("max_rel_err_ppm"),
+    )

@@ -1,0 +1,146 @@
+"""Invariant tests for the round-5 mining/analytics additions — bounds
+and structural properties the parity hash can't articulate by itself."""
+
+from __future__ import annotations
+
+from adv_big_data_indexing_spark.contract import registry
+from tests.conftest import SF_CORRECTNESS
+
+
+def rows_of(spark, name: str):
+    return registry()[name].fn(spark, SF_CORRECTNESS).collect()
+
+
+def test_auc_bounds_and_consistency(spark):
+    [r] = rows_of(spark, "ext_auc_exact")
+    assert r.n_pos > 0 and r.n_neg > 0
+    assert 0.0 <= r.auc <= 1.0
+    # auc is exactly the rational auc2_num / (2*n_pos*n_neg)
+    assert r.auc == r.auc2_num / (2 * r.n_pos * r.n_neg)
+    # random scores w.r.t. the label → AUC near 1/2, never degenerate
+    assert 0.4 < r.auc < 0.6
+
+
+def test_bfs_bipartite_hop_parity(spark):
+    rows = rows_of(spark, "ns_graph_bfs_hops")
+    assert sum(1 for r in rows if r.hop == 0) == 1  # exactly the source
+    for r in rows:
+        # source is a supplier: even hops land on suppliers, odd on parts
+        expected = "supplier" if r.hop % 2 == 0 else "part"
+        assert r.kind == expected, r
+    # the dense sf graph reaches both shells
+    assert {r.hop for r in rows} >= {0, 1, 2}
+
+
+def test_assoc_rules_bounds(spark):
+    from adv_big_data_indexing_spark.operators.mining import MIN_PAIR_SUP
+
+    rows = rows_of(spark, "ns_assoc_rules")
+    assert 0 < len(rows) <= 100
+    for r in rows:
+        assert r.i1 < r.i2
+        assert r.pair_cnt >= MIN_PAIR_SUP
+        assert 0 < r.conf1_ppm <= 1_000_000
+        assert 0 < r.conf2_ppm <= 1_000_000
+        assert r.lift_ppm > 0
+
+
+def test_link_prediction_bounds(spark):
+    rows = rows_of(spark, "ns_graph_link_prediction")
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r.s1 < r.s2
+        assert r.common >= 1
+        assert 0 < r.jaccard_ppm <= 1_000_000
+
+
+def test_quantize_int8_error_bound(spark):
+    rows = rows_of(spark, "ns_embed_quantize_int8")
+    assert len(rows) == 64
+    for r in rows:
+        # round-half-up quantizer: |127v - q*amax| <= (amax+1)/2
+        assert r.max_err127 <= (r.amax + 1) // 2 + 1, r
+        # relative bound: 0.5/127 of full scale = 3937 ppm
+        assert r.max_rel_err_ppm <= 3938, r
+        # the scale-setting element itself saturates
+        assert r.n_sat >= 1
+        assert r.sum_err127 >= r.max_err127
+
+
+def test_chi2_cells_cover_table(spark):
+    [r] = rows_of(spark, "ext_chi2_contingency")
+    assert r.chi2_ppm >= 0
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    total = load_table(spark, SF_CORRECTNESS, "events").count()
+    assert r.a + r.b + r.c + r.d == total
+
+
+def test_rfm_quartiles_partition_customers(spark):
+    rows = rows_of(spark, "ext_rfm_segmentation")
+    for r in rows:
+        assert 1 <= r.r_q <= 4 and 1 <= r.f_q <= 4 and 1 <= r.m_q <= 4
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    n_cust = (
+        load_table(spark, SF_CORRECTNESS, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+
+
+def test_equidepth_buckets_are_ordered_and_balanced(spark):
+    rows = sorted(rows_of(spark, "ext_equidepth_histogram"), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, 9))
+    counts = [r.n_rows for r in rows]
+    assert max(counts) - min(counts) <= 1  # equi-depth
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.lo_cents <= prev.hi_cents
+        assert prev.hi_cents <= nxt.lo_cents  # non-overlapping, ordered
+
+
+def test_zonemap_prune_consistency(spark):
+    [r] = rows_of(spark, "ext_zonemap_prune")
+    assert 0 <= r.n_pruned <= r.n_zones
+    assert 0 <= r.n_rows_skipped <= r.n_rows_total
+    assert r.skip_ppm == 1_000_000 * r.n_rows_skipped // r.n_rows_total
+
+
+def test_dq_expectations_clean_on_tpch(spark):
+    rows = rows_of(spark, "ext_dq_expectations")
+    assert len(rows) == 5
+    # the generated TPC-H-ish data satisfies the whole suite
+    for r in rows:
+        assert r.passed == 1 and r.n_failed == 0, r
+
+
+def test_rollup_merge_equals_direct_aggregate(spark):
+    """Merged partial states must equal the single-pass aggregate — the
+    algebraic property that licenses incremental materialized views."""
+    from pyspark.sql import functions as F
+
+    from adv_big_data_indexing_spark.functions.exact import cents
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    merged = {
+        (r.month, r.priority): (r.n_orders, r.sum_cents, r.min_cents, r.max_cents)
+        for r in rows_of(spark, "ext_rollup_merge")
+    }
+    direct = {
+        (r.month, r.priority): (r.n, r.s, r.mn, r.mx)
+        for r in load_table(spark, SF_CORRECTNESS, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents("o_totalprice")).cast("bigint").alias("s"),
+            F.min(cents("o_totalprice")).cast("bigint").alias("mn"),
+            F.max(cents("o_totalprice")).cast("bigint").alias("mx"),
+        )
+        .collect()
+    }
+    assert merged == direct

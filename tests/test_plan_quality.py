@@ -246,3 +246,46 @@ def test_bpe_fertility_zero_shuffle(spark):
     assert "Exchange" not in p
     assert p.count("aggregate(transform") == 1
     assert "length(trim(text" in p
+
+
+def test_assoc_rules_broadcasts_item_counts(spark):
+    p = plan_of(spark, "ns_assoc_rules")
+    # frequent-item prefilter and both count dims ride broadcast joins;
+    # the only SMJ-eligible join is the per-basket pair generation
+    assert p.count("BroadcastHashJoin") >= 3
+    # top-k is an ordered take, not a global sort of all pairs
+    assert "TakeOrderedAndProject" in p
+
+
+def test_link_prediction_broadcasts_degrees(spark):
+    p = plan_of(spark, "ns_graph_link_prediction")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_auc_single_scan_no_pairwise(spark):
+    p = plan_of(spark, "ext_auc_exact")
+    # rank-sum identity: no join at all, one scan + windows + aggregate
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan") == 1
+
+
+def test_rollup_merge_partial_aggregation(spark):
+    p = plan_of(spark, "ext_rollup_merge")
+    # both the per-partition states and the merge aggregate map-side
+    assert "partial_count" in p or "partial_sum" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_dq_expectations_one_scan(spark):
+    p = plan_of(spark, "ext_dq_expectations")
+    assert p.count("FileScan") == 1
+
+
+def test_quantize_int8_broadcasts_scale_table(spark):
+    p = plan_of(spark, "ns_embed_quantize_int8")
+    # dim-sized amax table joins broadcast; no SMJ on the exploded rows
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

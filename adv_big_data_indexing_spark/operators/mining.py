@@ -72,9 +72,14 @@ ASSOC_TOP_K = 100
 )
 def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("bask"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # items feeds three consumers (item counts, the pair join's both
+    # sides, the basket total) — checkpoint so the scan+distinct runs
+    # once, same rationale as pagerank's edge table.
+    items = (
+        li.select(F.col("l_orderkey").alias("bask"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ic = (
         items.groupBy("item")
         .agg(F.count("*").alias("cnt"))
@@ -149,9 +154,13 @@ LINKPRED_TOP_K = 50
 )
 def ns_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    sp = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # sp feeds the degree table and both sides of the pair join —
+    # checkpoint so the scan+distinct runs once.
+    sp = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = sp.groupBy("s").agg(F.count("*").alias("d"))
     a = sp.select(F.col("p"), F.col("s").alias("s1"))
     b = sp.select(F.col("p"), F.col("s").alias("s2"))
@@ -239,23 +248,33 @@ def ns_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     src = BFS_SOURCE_SUPPKEY * 2 + 1
-    visited = spark.createDataFrame(
+    # Only each hop's FRONTIER is eagerly checkpointed (it feeds the next
+    # join); `visited` stays a lazy union of those checkpointed layers, so
+    # the loop materializes one frontier-sized frame per hop, not the
+    # growing visited set again.
+    frontier = spark.createDataFrame(
         [(src, 0)], "node bigint, hop int"
     ).localCheckpoint(eager=True)
-    frontier = visited
+    layers = [frontier]
     for hop in range(1, BFS_MAX_HOPS + 1):
+        visited_nodes = layers[0].select("node")
+        for layer in layers[1:]:
+            visited_nodes = visited_nodes.unionAll(layer.select("node"))
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .select("node", F.lit(hop).alias("hop"))
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        layers.append(nxt)
         frontier = nxt
+    visited = layers[0]
+    for layer in layers[1:]:
+        visited = visited.unionAll(layer)
     return visited.select(
         F.when(F.col("node") % 2 == 1, "supplier").otherwise("part").alias("kind"),
         F.expr("node DIV 2").alias("key"),

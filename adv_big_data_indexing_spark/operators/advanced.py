@@ -1501,3 +1501,67 @@ def ext_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "*", F.expr("sum_cents DIV n_orders").alias("avg_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence interval for conversion rates (A/B arm readout)
+# ---------------------------------------------------------------------------
+
+#: z and z² for a 95% interval, written as double literals (`e0`) so
+#: BOTH parsers bind them as float64 — DuckDB would otherwise type bare
+#: `1.96` as DECIMAL(3,2) and diverge the op tree.
+_WILSON_EXPR = {
+    "ci_lo": (
+        "((CAST(c AS DOUBLE) / n + 3.8416e0 / (2e0 * n))"
+        " - 1.96e0 * sqrt((CAST(c AS DOUBLE) / n"
+        " * (1e0 - CAST(c AS DOUBLE) / n) + 3.8416e0 / (4e0 * n)) / n))"
+        " / (1e0 + 3.8416e0 / n)"
+    ),
+    "ci_hi": (
+        "((CAST(c AS DOUBLE) / n + 3.8416e0 / (2e0 * n))"
+        " + 1.96e0 * sqrt((CAST(c AS DOUBLE) / n"
+        " * (1e0 - CAST(c AS DOUBLE) / n) + 3.8416e0 / (4e0 * n)) / n))"
+        " / (1e0 + 3.8416e0 / n)"
+    ),
+}
+
+
+@query(
+    "ext_ab_wilson_ci",
+    oracle=f"""
+    WITH arms AS (
+      SELECT user_id % 4 AS arm, count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM events GROUP BY 1
+    )
+    SELECT arm, n, c,
+           {_WILSON_EXPR["ci_lo"]} AS ci_lo,
+           {_WILSON_EXPR["ci_hi"]} AS ci_hi
+    FROM arms
+    """,
+    doc="EXT Wilson-score 95% confidence interval on conversion rate per "
+    "experiment arm (user-id mod 4) — the A/B readout that, unlike the "
+    "normal approximation, stays inside [0,1] at small n. Cross-engine "
+    "bit determinism WITHOUT integer-only arithmetic: the counts are "
+    "exact int64 and the double expression TREE is the same literal SQL "
+    "text on both sides (every +,*,/,sqrt is IEEE correctly rounded, so "
+    "identical trees over identical ints give identical bits; z² spelled "
+    "as an e0 literal so neither parser types it DECIMAL). One "
+    "map-side-combined scan to 4 arm rows; the CI math is O(arms).",
+)
+def ext_ab_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    arms = e.groupBy((F.col("user_id") % 4).alias("arm")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    return arms.select(
+        "arm",
+        "n",
+        "c",
+        F.expr(_WILSON_EXPR["ci_lo"]).alias("ci_lo"),
+        F.expr(_WILSON_EXPR["ci_hi"]).alias("ci_hi"),
+    )

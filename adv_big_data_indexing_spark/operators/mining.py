@@ -72,26 +72,42 @@ ASSOC_TOP_K = 100
 )
 def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # items feeds three consumers (item counts, the pair join's both
-    # sides, the basket total) — checkpoint so the scan+distinct runs
-    # once, same rationale as pagerank's edge table.
-    items = (
+    # ONE shuffle folds the per-basket dedup into collect_set; the sorted
+    # item array then yields ordered pairs MAP-SIDE (per-basket work is
+    # O(basket²) with basket size bounded by order width, never catalog
+    # width) — replacing the naive self-join, whose sort-merge pays two
+    # full sorts of the item-occurrence table. Checkpointed because both
+    # the pair explode and the item-count rollup consume it.
+    baskets = (
         li.select(F.col("l_orderkey").alias("bask"), F.col("l_partkey").alias("item"))
-        .distinct()
+        .groupBy("bask")
+        .agg(F.sort_array(F.collect_set("item")).alias("arr"))
         .localCheckpoint(eager=True)
     )
     ic = (
-        items.groupBy("item")
+        baskets.select(F.explode("arr").alias("item"))
+        .groupBy("item")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= MIN_ITEM_SUP)
     )
-    fi = items.join(F.broadcast(ic.select("item")), "item")
-    n = items.select(F.countDistinct("bask").alias("n_baskets"))
-    a = fi.select(F.col("bask"), F.col("item").alias("i1"))
-    b = fi.select(F.col("bask"), F.col("item").alias("i2"))
+    n = baskets.select(F.count("*").alias("n_baskets"))
+    # The Apriori item prefilter commutes with pair counting (a pair
+    # survives iff BOTH its items are frequent), so it is applied by the
+    # inner ic joins below instead of before candidate generation — the
+    # sf corpora have no hot items to prune; at a skewed 100 TB the
+    # prefilter moves into array_intersect against the broadcast
+    # frequent-item set before the explode.
     pairs = (
-        a.join(b, "bask")
-        .filter(F.col("i1") < F.col("i2"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) ->"
+                    " transform(slice(arr, i + 2, size(arr) - i - 1),"
+                    " y -> struct(x AS i1, y AS i2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.i1", "p.i2")
         .groupBy("i1", "i2")
         .agg(F.count("*").alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= MIN_PAIR_SUP)
@@ -154,19 +170,33 @@ LINKPRED_TOP_K = 50
 )
 def ns_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # sp feeds the degree table and both sides of the pair join —
-    # checkpoint so the scan+distinct runs once.
-    sp = (
+    # ONE shuffle builds the inverted index (part -> sorted supplier
+    # set); candidate pairs then explode MAP-SIDE from each posting list
+    # — O(deg²) per part with part degree the skew lever, vs the
+    # self-join's two full sorts of the edge table. Checkpointed because
+    # the degree rollup and the pair explode both consume it.
+    parts = (
         li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .groupBy("p")
+        .agg(F.sort_array(F.collect_set("s")).alias("arr"))
         .localCheckpoint(eager=True)
     )
-    deg = sp.groupBy("s").agg(F.count("*").alias("d"))
-    a = sp.select(F.col("p"), F.col("s").alias("s1"))
-    b = sp.select(F.col("p"), F.col("s").alias("s2"))
+    deg = (
+        parts.select(F.explode("arr").alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("d"))
+    )
     pairs = (
-        a.join(b, "p")
-        .filter(F.col("s1") < F.col("s2"))
+        parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) ->"
+                    " transform(slice(arr, i + 2, size(arr) - i - 1),"
+                    " y -> struct(x AS s1, y AS s2))))"
+                )
+            ).alias("q")
+        )
+        .select("q.s1", "q.s2")
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("common"))
     )

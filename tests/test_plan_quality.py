@@ -250,9 +250,11 @@ def test_bpe_fertility_zero_shuffle(spark):
 
 def test_assoc_rules_broadcasts_item_counts(spark):
     p = plan_of(spark, "ns_assoc_rules")
-    # frequent-item prefilter and both count dims ride broadcast joins;
-    # the only SMJ-eligible join is the per-basket pair generation
-    assert p.count("BroadcastHashJoin") >= 3
+    # both count dims ride broadcast joins; pair candidates explode
+    # map-side from the basket arrays — no SMJ anywhere in the plan
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "Generate explode" in p
     # top-k is an ordered take, not a global sort of all pairs
     assert "TakeOrderedAndProject" in p
 
@@ -260,6 +262,8 @@ def test_assoc_rules_broadcasts_item_counts(spark):
 def test_link_prediction_broadcasts_degrees(spark):
     p = plan_of(spark, "ns_graph_link_prediction")
     assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    assert "Generate explode" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
 

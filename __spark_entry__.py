@@ -99,21 +99,28 @@ _DRIVER_WINDOW_R5 = (
     "ts_resample_interp",
     "ext_grouping_sets",
     "ext_benford_audit",
-    "ext_join_anti",
     "ext_join_broadcast_star",
-    "ext_join_full_outer",
-    "ext_join_left_null",
-    "ext_join_size_estimate",
     "ext_join_tpch_q5",
-    "ext_json_extract",
-    "ext_listagg",
-    "ext_mad_outliers",
-    "ext_map_ops",
-    "ext_not_in_null",
-    "ext_percentile",
-    "ext_posexplode",
     "ext_range_join",
-    "ext_referential_audit",
+    # new in the second half of round 5 (mining / eval-stats / storage
+    # analytics batch) — these replace twelve r1-stale regression
+    # backfills (ext_join_anti, ext_join_full_outer, ext_join_left_null,
+    # ext_join_size_estimate, ext_json_extract, ext_listagg,
+    # ext_mad_outliers, ext_map_ops, ext_not_in_null, ext_percentile,
+    # ext_posexplode, ext_referential_audit), which stay green on their
+    # r1 driver rows + the local parity gate
+    "ext_auc_exact",
+    "ext_rfm_segmentation",
+    "ext_equidepth_histogram",
+    "ext_chi2_contingency",
+    "ext_zonemap_prune",
+    "ext_dq_expectations",
+    "ext_rollup_merge",
+    "ext_ab_wilson_ci",
+    "ns_assoc_rules",
+    "ns_graph_link_prediction",
+    "ns_graph_bfs_hops",
+    "ns_embed_quantize_int8",
     # new mid-round (rotated in over four r1-stale scalar/conditional rows,
     # which stay green on the r1 evidence + the local parity gate)
     "ns_bpe_train_merges",

@@ -251,3 +251,44 @@ def test_ilog2_q4_cross_engine_sweep(spark):
         if prev is not None:
             assert want >= prev
         prev = want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_pair_explode_matches_combinations(spark, baskets):
+    """The mining module's map-side pair-explode expression produces
+    exactly itertools.combinations(sorted(set(xs)), 2) per basket —
+    including empty and single-item baskets (zero pairs)."""
+    from itertools import combinations
+
+    df = spark.createDataFrame(
+        [(i, sorted(set(xs))) for i, xs in enumerate(baskets)],
+        "bask int, arr array<bigint>",
+    )
+    rows = (
+        df.select(
+            "bask",
+            F.explode(
+                F.expr(
+                    "flatten(transform(arr, (x, i) ->"
+                    " transform(slice(arr, i + 2, size(arr) - i - 1),"
+                    " y -> struct(x AS i1, y AS i2))))"
+                )
+            ).alias("p")
+        )
+        .select("bask", "p.i1", "p.i2")
+        .collect()
+    )
+    got = sorted((r.bask, r.i1, r.i2) for r in rows)
+    want = sorted(
+        (i, a, b)
+        for i, xs in enumerate(baskets)
+        for a, b in combinations(sorted(set(xs)), 2)
+    )
+    assert got == want

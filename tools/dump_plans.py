@@ -171,6 +171,29 @@ SHOWCASE = [
         "exact fixed-point int64 — the loop that runs unchanged when the "
         "graph is a billion nodes and each step is one shuffle.",
     ),
+    (
+        "ns_assoc_rules",
+        "Market-basket rules: ONE shuffle builds per-basket item arrays "
+        "(collect_set folds the dedup in), candidate pairs explode "
+        "MAP-SIDE from the sorted arrays — no SortMergeJoin in the plan "
+        "— and both count dimensions broadcast; top-k by lift is a "
+        "TakeOrderedAndProject, never a global pair sort.",
+    ),
+    (
+        "ext_auc_exact",
+        "Exact ROC-AUC via rank-sum: no join at all — one scan, a "
+        "global rank window (range-partitioned at real scale) and one "
+        "aggregate; the O(pos*neg) pairwise comparison never exists, "
+        "and integer doubled-average-ranks make ties bit-exact.",
+    ),
+    (
+        "ns_graph_bfs_hops",
+        "Layered BFS (Pregel superstep as DataFrames): each hop is one "
+        "keyed join frontier->edges plus a distinct and an anti-join "
+        "against the visited union — work per layer is frontier-adjacent "
+        "edges, loop state is a checkpointed frontier, and the same loop "
+        "runs on a billion-edge graph one shuffle per layer.",
+    ),
 ]
 
 

@@ -1609,3 +1609,139 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n * 1000000 DIV total").alias("share_ppm"),
         F.expr("n * 1000000 DIV total - 1000000 DIV 24").alias("dev_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-style seasonal-trend decomposition (trend / seasonal / residual)
+# ---------------------------------------------------------------------------
+
+#: centered moving-average half-width: trend over ±12 observed hourly
+#: buckets (25-point window, one diurnal cycle).
+DECOMP_HALF = 12
+
+#: floor-division guard for signed numerators (same pattern as
+#: _HOLT_OFF): (e + OFF*n) DIV n - OFF == floor(e/n) for any e > -OFF*n,
+#: identical under Spark's truncating DIV and DuckDB's flooring //.
+_DEC_OFF = 1 << 40
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS h,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, h, x,
+             CAST(sum(x) OVER w AS BIGINT) AS wsum,
+             count(*) OVER w AS wcnt
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {DECOMP_HALF} PRECEDING
+                            AND {DECOMP_HALF} FOLLOWING)
+    ),
+    dt AS (
+      SELECT event_type, h, x,
+             wsum // {2 * DECOMP_HALF + 1} AS trend_q,
+             x - wsum // {2 * DECOMP_HALF + 1} AS detrended
+      FROM tr WHERE wcnt = {2 * DECOMP_HALF + 1}
+    ),
+    seas AS (
+      SELECT event_type, h % 24 AS hod,
+             (sum(detrended) + {_DEC_OFF} * count(*)) // count(*)
+               - {_DEC_OFF} AS s_raw
+      FROM dt GROUP BY 1, 2
+    ),
+    seas_c AS (
+      SELECT event_type, hod,
+             s_raw - ((sum(s_raw) OVER (PARTITION BY event_type)
+                       + {_DEC_OFF} * count(*) OVER (PARTITION BY event_type))
+                      // count(*) OVER (PARTITION BY event_type)
+                      - {_DEC_OFF}) AS seasonal_q
+      FROM seas
+    )
+    SELECT d.event_type, d.h, d.x,
+           CAST(d.trend_q AS BIGINT) AS trend_q,
+           CAST(s.seasonal_q AS BIGINT) AS seasonal_q,
+           CAST(d.detrended - s.seasonal_q AS BIGINT) AS resid_q
+    FROM dt d JOIN seas_c s
+      ON s.event_type = d.event_type AND s.hod = d.h % 24
+    """,
+    doc="TS STL-style additive decomposition of the hourly load series "
+    "per event type: trend = 25-point centered moving average (full "
+    "windows only), seasonal = hour-of-day mean of the detrended "
+    "series re-centered to sum ~0, residual = remainder — all in exact "
+    "integer milli-units with the offset-shift making truncating DIV "
+    "equal floor on signed numerators. Scale shape: the hourly rollup "
+    "is the only data-sized stage (map-side combined); the trend "
+    "window is a BOUNDED sliding frame (O(n) incremental, never the "
+    "O(n²) following-frame trap), and the 24-row-per-type seasonal "
+    "table joins back broadcast. Unlike ts_seasonality_profile (share "
+    "of events per hour), this separates level shifts from diurnal "
+    "shape on the value dimension.",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = 2 * DECOMP_HALF + 1
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (epoch_us("ts") / 3_600_000_000).cast("bigint").alias("h"),
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-DECOMP_HALF, DECOMP_HALF)
+    )
+    tr = hourly.select(
+        "event_type",
+        "h",
+        "x",
+        F.sum("x").over(w).cast("bigint").alias("wsum"),
+        F.count("*").over(w).alias("wcnt"),
+    )
+    dt = tr.filter(F.col("wcnt") == m).select(
+        "event_type",
+        "h",
+        "x",
+        F.expr(f"wsum DIV {m}").alias("trend_q"),
+        F.expr(f"x - wsum DIV {m}").alias("detrended"),
+    )
+    seas = dt.groupBy("event_type", (F.col("h") % 24).alias("hod")).agg(
+        F.expr(
+            f"(sum(detrended) + {_DEC_OFF} * count(*)) DIV count(*) - {_DEC_OFF}"
+        ).alias("s_raw")
+    )
+    # the centered seasonal needs integer floor division of a window sum;
+    # express it as one SQL fragment so both engines share the tree
+    seas_c = seas.select(
+        F.col("event_type").alias("s_et"),
+        "hod",
+        F.expr(
+            f"s_raw - ((sum(s_raw) OVER (PARTITION BY event_type)"
+            f" + {_DEC_OFF} * count(*) OVER (PARTITION BY event_type))"
+            f" DIV count(*) OVER (PARTITION BY event_type) - {_DEC_OFF})"
+        ).alias("seasonal_q"),
+    )
+    return (
+        dt.join(
+            F.broadcast(seas_c),
+            (F.col("event_type") == F.col("s_et")) & (F.col("h") % 24 == F.col("hod")),
+        )
+        .select(
+            "event_type",
+            "h",
+            "x",
+            F.col("trend_q").cast("bigint").alias("trend_q"),
+            F.col("seasonal_q").cast("bigint").alias("seasonal_q"),
+            (F.col("detrended") - F.col("seasonal_q"))
+            .cast("bigint")
+            .alias("resid_q"),
+        )
+    )

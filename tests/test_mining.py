@@ -144,3 +144,25 @@ def test_rollup_merge_equals_direct_aggregate(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_seasonal_decompose_exact_reconstruction(spark):
+    """x == trend + seasonal + resid exactly (additive identity), and
+    the per-type seasonal component re-centers to ~0 (|mean| < 1 unit
+    after integer floor)."""
+    from collections import defaultdict
+
+    rows = rows_of(spark, "ts_seasonal_decompose")
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        assert r.x == r.trend_q + r.seasonal_q + r.resid_q
+        by_type[r.event_type].append(r)
+    for et, rs in by_type.items():
+        seasonal_by_hod = {}
+        for r in rs:
+            seasonal_by_hod.setdefault(r.h % 24, r.seasonal_q)
+        vals = list(seasonal_by_hod.values())
+        # centering: mean of the 24 hour-of-day components within one
+        # floor-division unit of zero
+        assert abs(sum(vals)) <= len(vals), (et, sum(vals))

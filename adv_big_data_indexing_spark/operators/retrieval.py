@@ -235,3 +235,170 @@ def ns_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= KEYWORDS_PER_DOC)
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and embedding cosine
+# ---------------------------------------------------------------------------
+
+#: fusion pool depth per ranker, RRF smoothing constant, and final cut.
+RRF_POOL = 100
+RRF_K = 60
+RRF_TOP_N = 20
+#: the vector-side query: the embedding of vec_id 0 (doc_id and vec_id
+#: share the 0..N-1 id space in the testdata, so both rankers rank the
+#: same corpus; the query doc itself is allowed to rank — deterministic
+#: either way).
+RRF_QUERY_VEC = 0
+
+_DUCK_Q = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+
+#: cosine as ONE double expression over exact int64 dot/norms — shared
+#: tree on both engines, so the sqrt and division round identically.
+_DUCK_COS = (
+    "CAST(list_sum(list_transform(generate_series(1, len(dq)), i -> dq[i] * qq[i])) AS DOUBLE)"
+    " / sqrt(CAST(list_sum(list_transform(dq, x -> x * x)) AS DOUBLE)"
+    " * CAST(list_sum(list_transform(qq, x -> x * x)) AS DOUBLE))"
+)
+
+_SPARK_COS = (
+    "CAST(aggregate(zip_with(dq, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)"
+    " / sqrt(CAST(aggregate(transform(dq, x -> x * x), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)"
+    " * CAST(aggregate(transform(qq, x -> x * x), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE))"
+)
+
+
+@query(
+    "ns_hybrid_rrf_fusion",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS dl,
+             {_TF_COLS}
+      FROM (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tok,
+             {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(BM25_QUERY)))}
+      FROM per
+    ),
+    lex AS (
+      SELECT doc_id, rank_lex FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY ({_DUCK_SCORE}) DESC, doc_id)
+                    AS INTEGER) AS rank_lex
+        FROM per CROSS JOIN tot
+        WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(BM25_QUERY)))}
+      ) WHERE rank_lex <= {RRF_POOL}
+    ),
+    qv AS (SELECT {_DUCK_Q} AS qq FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+    dv AS (SELECT vec_id, {_DUCK_Q} AS dq FROM embeddings),
+    vec AS (
+      SELECT vec_id, rank_vec FROM (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY ({_DUCK_COS}) DESC, vec_id)
+                    AS INTEGER) AS rank_vec
+        FROM dv CROSS JOIN qv
+      ) WHERE rank_vec <= {RRF_POOL}
+    )
+    SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+           l.rank_lex, v.rank_vec,
+           CAST(coalesce(1000000 // ({RRF_K} + l.rank_lex), 0)
+                + coalesce(1000000 // ({RRF_K} + v.rank_vec), 0) AS BIGINT)
+             AS rrf_q
+    FROM lex l FULL OUTER JOIN vec v ON v.vec_id = l.doc_id
+    ORDER BY rrf_q DESC, doc_id LIMIT {RRF_TOP_N}
+    """,
+    doc="NS hybrid retrieval via reciprocal-rank fusion — the standard "
+    "two-tower serving pattern (lexical BM25 ⊕ dense cosine, "
+    "RRF = Σ 1/(60+rank) in exact scaled-integer form): both rankers "
+    "pool their top-100, a FULL OUTER join aligns the id space, and "
+    "missing ranks contribute zero. The lexical side reuses ns_bm25_topk's "
+    "zero-explode scoring plan; the dense side here is the brute-force "
+    "calibration ranker (cosine as one shared double expression over "
+    "exact int64 dot/norms — identical trees round identically), with "
+    "ns_ann_lsh_bucketed as the documented 100 TB substitute; rank "
+    "windows run on pool-sized frames. Fusion itself is O(pool).",
+)
+def ns_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from adv_big_data_indexing_spark.functions.exact import quantize_vec  # noqa: PLC0415
+
+    # ---- lexical ranks: the BM25 plan, ranked to the fusion pool
+    d = spread(load_table(spark, sf_dir, "documents"))
+    per = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(toks, x -> x = '{t}')"))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_tok"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).cast("bigint").alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    j = per.join(F.broadcast(tot))
+    idf = [
+        ilog2_q4(2 * F.col("n_docs") + 2) - ilog2_q4(2 * F.col(f"df{i}") + 1)
+        for i in range(len(BM25_QUERY))
+    ]
+    ratio = [
+        F.expr(
+            f"(10 * {_SCALE} * t_tok * tf{i})"
+            f" div (4 * t_tok * tf{i} + 3 * t_tok + 3 * dl * n_docs)"
+        )
+        for i in range(len(BM25_QUERY))
+    ]
+    score = sum(
+        (idf[i] * ratio[i] for i in range(len(BM25_QUERY))), start=F.lit(0)
+    ).cast("bigint")
+    w_lex = Window.orderBy(F.col("score_q4").desc(), "doc_id")
+    lex = (
+        j.filter(" or ".join(f"tf{i} > 0" for i in range(len(BM25_QUERY))))
+        .select("doc_id", score.alias("score_q4"))
+        .withColumn("rank_lex", F.row_number().over(w_lex).cast("int"))
+        .filter(F.col("rank_lex") <= RRF_POOL)
+        .select("doc_id", "rank_lex")
+    )
+
+    # ---- dense ranks: exact cosine against the broadcast query vector
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        quantize_vec(F.col("embedding")).alias("qq")
+    )
+    dv = e.select("vec_id", quantize_vec(F.col("embedding")).alias("dq"))
+    w_vec = Window.orderBy(F.col("cos").desc(), "vec_id")
+    vec = (
+        dv.crossJoin(F.broadcast(qv))
+        .select("vec_id", F.expr(_SPARK_COS).alias("cos"))
+        .withColumn("rank_vec", F.row_number().over(w_vec).cast("int"))
+        .filter(F.col("rank_vec") <= RRF_POOL)
+        .select("vec_id", "rank_vec")
+    )
+
+    # ---- fusion
+    fused = lex.join(vec, lex.doc_id == vec.vec_id, "full_outer")
+    return (
+        fused.select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            "rank_lex",
+            "rank_vec",
+            (
+                F.coalesce(F.expr(f"1000000 DIV ({RRF_K} + rank_lex)"), F.lit(0))
+                + F.coalesce(F.expr(f"1000000 DIV ({RRF_K} + rank_vec)"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("rrf_q"),
+        )
+        .orderBy(F.desc("rrf_q"), "doc_id")
+        .limit(RRF_TOP_N)
+    )

@@ -293,3 +293,12 @@ def test_quantize_int8_broadcasts_scale_table(spark):
     # dim-sized amax table joins broadcast; no SMJ on the exploded rows
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_hybrid_rrf_broadcasts_and_no_token_explode(spark):
+    p = plan_of(spark, "ns_hybrid_rrf_fusion")
+    # BM25 tf stays per-row (no token Generate); corpus stats + query
+    # vector ride broadcasts; final cut is an ordered take
+    assert "Generate explode" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p

@@ -1745,3 +1745,119 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("resid_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (triple exponential)
+# ---------------------------------------------------------------------------
+
+#: alpha = beta = gamma = 1/4; seasonal period = 24 hourly buckets.
+HW_DIV = 4
+HW_PERIOD = 24
+
+#: floor guard: DuckDB's `//` TRUNCATES toward zero on negative
+#: numerators (measured on this build — the r5 gotcha note claiming it
+#: floors is wrong), so every signed division in the oracle is
+#: offset-shifted; the Spark side is Python `//`, which floors natively.
+_HW_OFF = 1 << 42
+
+
+def _hw_fd(e: str) -> str:
+    return f"(({e}) + {_HW_OFF}) // {HW_DIV} - {_HW_OFF // HW_DIV}"
+
+
+@query(
+    "ts_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ordered AS (
+      SELECT event_type, h, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hourly
+    ),
+    rec AS (
+      SELECT event_type, rn, x AS l, CAST(0 AS BIGINT) AS b,
+             [{", ".join(["CAST(0 AS BIGINT)"] + ["0"] * (HW_PERIOD - 1))}] AS s,
+             x, x AS fitted, CAST(0 AS BIGINT) AS err
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT event_type, rn,
+             l_new,
+             b + {_hw_fd("l_new - l - b")},
+             list_transform(s, (v, i) -> CASE WHEN i = idx1
+                            THEN s_i + {_hw_fd("x - l_new - s_i")} ELSE v END),
+             x, fitted, x - fitted
+      FROM (
+        SELECT r.event_type, o.rn, o.x, r.l, r.b, r.s,
+               CAST(o.h % {HW_PERIOD} AS INT) + 1 AS idx1,
+               r.s[CAST(o.h % {HW_PERIOD} AS INT) + 1] AS s_i,
+               r.l + r.b + r.s[CAST(o.h % {HW_PERIOD} AS INT) + 1] AS fitted,
+               r.l + r.b
+                 + {_hw_fd(f"o.x - r.l - r.b - r.s[CAST(o.h % {HW_PERIOD} AS INT) + 1]")}
+                 AS l_new
+        FROM rec r JOIN ordered o
+          ON o.event_type = r.event_type AND o.rn = r.rn + 1
+      )
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS rn, x,
+           fitted AS fitted_q, err AS err_q
+    FROM rec
+    """,
+    doc="TS Holt-Winters additive triple-exponential smoothing "
+    "(alpha=beta=gamma=1/4, period 24) over each event type's hourly "
+    "load series, in exact integer arithmetic: per-step one-step-ahead "
+    "fit l+b+s[hod] and its error, with level/trend/seasonal-vector "
+    "state updated by floor-divided gains (seasonal index = true "
+    "hour-of-day, so gaps in the grid stay aligned). Spark runs the "
+    "recurrence as an Arrow-batched applyInPandas over the hourly "
+    "AGGREGATE (state per series = 26 ints; the data-sized stage is the "
+    "map-side-combined rollup, the sequential part is bucket-count "
+    "sized — same shape as ts_holt_forecast/ts_cusum_alarm). The "
+    "DuckDB oracle replays it as a recursive CTE carrying the "
+    "24-element seasonal LIST, offset-shifted because DuckDB's // "
+    "truncates on negatives. Complements ts_seasonal_decompose "
+    "(retrospective) with the ONLINE seasonal forecaster.",
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (epoch_us("ts") / 3_600_000_000).cast("bigint").alias("h"),
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+        .cast("bigint")
+        .alias("x")
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        l, b, s = None, 0, [0] * HW_PERIOD
+        out = []
+        for rn, (h, x) in enumerate(
+            zip((int(v) for v in pdf["h"]), (int(v) for v in pdf["x"])), 1
+        ):
+            if rn == 1:
+                l, fitted, err = x, x, 0
+            else:
+                i = h % HW_PERIOD
+                s_i = s[i]
+                fitted = l + b + s_i
+                err = x - fitted
+                l_new = l + b + (x - l - b - s_i) // HW_DIV
+                b = b + (l_new - l - b) // HW_DIV
+                s[i] = s_i + (x - l_new - s_i) // HW_DIV
+                l = l_new
+            out.append((pdf["event_type"].iat[0], rn, x, fitted, err))
+        return pd.DataFrame(
+            out, columns=["event_type", "rn", "x", "fitted_q", "err_q"]
+        )
+
+    return hourly.groupBy("event_type").applyInPandas(
+        hw, schema="event_type string, rn long, x long, fitted_q long, err_q long"
+    )

@@ -1628,3 +1628,143 @@ def ext_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("matching_keys"),
         F.max(F.col("ca") * F.col("cb")).alias("max_key_fanout"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: multi-correlated EXISTS / NOT EXISTS
+# ---------------------------------------------------------------------------
+
+#: "late" threshold for the waiting-supplier query (the data's ship
+#: dates run to 2001-11; the tail past this date is the late set).
+Q21_LATE = "2001-01-01 00:00:00"
+
+
+@query(
+    "ext_tpch_q21_shape",
+    oracle=f"""
+    SELECT l1.l_suppkey AS suppkey,
+           count(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    WHERE l1.l_shipdate > TIMESTAMP '{Q21_LATE}'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > TIMESTAMP '{Q21_LATE}'
+      )
+    GROUP BY 1
+    ORDER BY numwait DESC, suppkey
+    LIMIT 20
+    """,
+    doc="EXT TPC-H Q21 shape — the hardest correlated-subquery pattern in "
+    "the suite (EXISTS + NOT EXISTS, both correlated on two columns): "
+    "suppliers who were the SOLE late supplier on a multi-supplier "
+    "order. The DataFrame formulation compiles the quantifiers to their "
+    "physical duals — EXISTS(other supplier) = left-SEMI join, NOT "
+    "EXISTS(other late supplier) = left-ANTI join — on the deduplicated "
+    "(order, supplier) edge set, so each quantifier is ONE keyed join "
+    "on orderkey, never a per-row subquery re-execution; the top-20 is "
+    "a TakeOrderedAndProject. The oracle keeps the literal "
+    "EXISTS/NOT-EXISTS SQL, proving the rewrite.",
+)
+def ext_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    late_ts = F.lit(Q21_LATE).cast("timestamp_ntz")
+    # deduplicated (order, supplier) edges: all suppliers, and late ones
+    edges = li.select("l_orderkey", "l_suppkey").distinct()
+    late_edges = (
+        li.filter(F.col("l_shipdate") > late_ts)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    o2 = edges.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    o3 = late_edges.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        late_edges.join(
+            o2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            o3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "suppkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: nested IN + correlated scalar aggregate
+# ---------------------------------------------------------------------------
+
+Q20_PTYPE = "PROMO"
+
+
+@query(
+    "ext_tpch_q20_shape",
+    oracle=f"""
+    SELECT DISTINCT s.s_suppkey AS suppkey, s.s_name AS s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_type = '{Q20_PTYPE}'
+      )
+      AND CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)
+          * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          > (SELECT CAST(sum(CAST(floor(l3.l_quantity * 100 + 0.5) AS BIGINT))
+                     AS BIGINT)
+             FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+    )
+    ORDER BY suppkey
+    """,
+    doc="EXT TPC-H Q20 shape — nested IN plus a correlated scalar "
+    "aggregate: suppliers who shipped a PROMO-type part in "
+    "above-that-part's-average quantity. The above-average predicate is "
+    "exact integer algebra (qty·n > Σqty in cents — no division at "
+    "all), the part filter broadcasts into the fact scan, the per-part "
+    "(n, Σ) statistics come from ONE partial-agg groupBy joined back, "
+    "and the final IN is a left-SEMI join into supplier. The oracle "
+    "keeps the literal doubly-nested subquery form.",
+)
+def ext_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q20_PTYPE)
+    s = load_table(spark, sf_dir, "supplier")
+    qli = li.select(
+        "l_suppkey", "l_partkey", cents("l_quantity").alias("q_cents")
+    )
+    stats = qli.groupBy("l_partkey").agg(
+        F.count("*").alias("n_ship"),
+        F.sum("q_cents").cast("bigint").alias("sum_cents"),
+    )
+    promo = qli.join(F.broadcast(p.select("p_partkey")),
+                     qli.l_partkey == F.col("p_partkey"))
+    above = promo.join(stats, "l_partkey").filter(
+        F.col("q_cents") * F.col("n_ship") > F.col("sum_cents")
+    )
+    return (
+        s.join(
+            above.select(F.col("l_suppkey").alias("s_suppkey")),
+            "s_suppkey",
+            "left_semi",
+        )
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name")
+        .distinct()
+        .orderBy("suppkey")
+    )

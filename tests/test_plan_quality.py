@@ -302,3 +302,19 @@ def test_hybrid_rrf_broadcasts_and_no_token_explode(spark):
     assert "Generate explode" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_q21_compiles_quantifiers_to_semi_anti(spark):
+    p = plan_of(spark, "ext_tpch_q21_shape")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q20_broadcasts_part_filter_and_semi_joins(spark):
+    p = plan_of(spark, "ext_tpch_q20_shape")
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p
+    # the p_type filter reached the part scan
+    assert "EqualTo(p_type,PROMO)" in p

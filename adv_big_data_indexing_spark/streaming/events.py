@@ -455,3 +455,79 @@ def ohlc_bars(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+HW_OUTPUT = (
+    "event_type string, n_obs long, level_m long, trend_m long, next_forecast_m long"
+)
+HW_STATE = "l bigint, b bigint, n bigint, last_h bigint, s array<bigint>"
+
+
+def holt_winters_monitor(hourly: DataFrame) -> DataFrame:
+    """Streaming twin of ``ts_holt_winters`` (operators/timeseries.py):
+    per-event-type Holt-Winters additive seasonal smoothing over a
+    stream of HOURLY rollup rows ``(event_type, h, x)`` (in production
+    the upstream windowed pre-aggregate), with 27 bigints of state —
+    level, trend, observation count, last hour, and the 24-slot
+    seasonal vector. Each micro-batch folds its in-order buckets into
+    the identical integer recurrence (Python floor division on both
+    paths) and emits the refreshed one-step-ahead forecast for the
+    NEXT hour slot; after the last batch the state equals the batch
+    operator's final state bit-for-bit on in-order input.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from adv_big_data_indexing_spark.operators.timeseries import (  # noqa: PLC0415
+        HW_DIV,
+        HW_PERIOD,
+    )
+
+    def update(key, pdf_iter, state):
+        (event_type,) = key
+        if state.exists:
+            row = state.get
+            l, b, n, last_h = (int(v) for v in row[:4])
+            s = [int(v) for v in row[4]]
+        else:
+            l, b, n, last_h = 0, 0, 0, -1
+            s = [0] * HW_PERIOD
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        for h, x in zip((int(v) for v in pdf["h"]), (int(v) for v in pdf["x"])):
+            if n == 0:
+                l, b = x, 0
+            else:
+                i = h % HW_PERIOD
+                s_i = s[i]
+                l_new = l + b + (x - l - b - s_i) // HW_DIV
+                b = b + (l_new - l - b) // HW_DIV
+                s[i] = s_i + (x - l_new - s_i) // HW_DIV
+                l = l_new
+            n += 1
+            last_h = h
+        state.update((l, b, n, last_h, s))
+        if len(pdf):
+            nxt = (last_h + 1) % HW_PERIOD
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type],
+                    "n_obs": [n],
+                    "level_m": [l],
+                    "trend_m": [b],
+                    "next_forecast_m": [l + b + s[nxt]],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {c: [] for c in ("event_type", "n_obs", "level_m", "trend_m", "next_forecast_m")}
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    return hourly.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=HW_OUTPUT,
+        stateStructType=HW_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -622,3 +622,61 @@ def test_streaming_ohlc_matches_batch(spark, event_stream_dir):
     }
     for k, v in got.items():
         assert exp[k] == v
+
+
+def test_streaming_holt_winters_matches_batch_recurrence(spark, tmp_path):
+    """Streaming Holt-Winters (27-bigint state incl. the seasonal vector)
+    across TWO micro-batches equals the batch integer recurrence over the
+    concatenated in-order hourly series — state carry (including the
+    array column) exercised across the batch boundary."""
+    import time
+
+    from adv_big_data_indexing_spark.operators.timeseries import HW_DIV, HW_PERIOD
+
+    rows = [
+        ("click", h, 100_000 + 900 * h + (5_000 if h % 24 < 8 else -3_000))
+        for h in range(60)
+    ] + [
+        ("error", h, 50_000 - 200 * h + (2_000 if h % 24 in (3, 4) else 0))
+        for h in range(45)
+    ]
+
+    def mk(rs):
+        return spark.createDataFrame(rs, "event_type string, h long, x long")
+
+    src = str(tmp_path / "hw_src")
+    mk([r for r in rows if r[1] < 30]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    mk([r for r in rows if r[1] >= 30]).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(mk(rows).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_memory(
+        spark, ev.holt_winters_monitor(stream), "t_hw", "append"
+    )
+    got = {}
+    for r in out.collect():
+        if r.event_type not in got or r.n_obs > got[r.event_type][0]:
+            got[r.event_type] = (r.n_obs, r.level_m, r.trend_m, r.next_forecast_m)
+
+    series: dict[str, list] = {}
+    for et, h, x in sorted(rows, key=lambda r: (r[0], r[1])):
+        series.setdefault(et, []).append((h, x))
+    exp = {}
+    for et, pts in series.items():
+        l, b, s = None, 0, [0] * HW_PERIOD
+        for rn, (h, x) in enumerate(pts, 1):
+            if rn == 1:
+                l = x
+            else:
+                i = h % HW_PERIOD
+                s_i = s[i]
+                l_new = l + b + (x - l - b - s_i) // HW_DIV
+                b = b + (l_new - l - b) // HW_DIV
+                s[i] = s_i + (x - l_new - s_i) // HW_DIV
+                l = l_new
+        last_h = pts[-1][0]
+        exp[et] = (len(pts), l, b, l + b + s[(last_h + 1) % HW_PERIOD])
+    assert got == exp

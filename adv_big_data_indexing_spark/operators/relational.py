@@ -1667,42 +1667,40 @@ Q21_LATE = "2001-01-01 00:00:00"
     "order. The DataFrame formulation compiles the quantifiers to their "
     "physical duals — EXISTS(other supplier) = left-SEMI join, NOT "
     "EXISTS(other late supplier) = left-ANTI join — on the deduplicated "
-    "(order, supplier) edge set, so each quantifier is ONE keyed join "
-    "on orderkey, never a per-row subquery re-execution; the top-20 is "
-    "a TakeOrderedAndProject. The oracle keeps the literal "
-    "EXISTS/NOT-EXISTS SQL, proving the rewrite.",
+    "(order, supplier) edge set — and the shipped form goes one rewrite "
+    "further, to the pure AGGREGATE: per (order, supplier) a late flag, "
+    "per order (n_suppliers, n_late, the late supplier's key); a row "
+    "waits iff n_suppliers >= 2 AND n_late = 1, so BOTH quantifiers "
+    "collapse into one groupBy and the plan has NO join at all — two "
+    "keyed partial-agg shuffles (the semi/anti formulation sorts the "
+    "sf1 edge set twice: 13 s vs ~2 s). Top-20 is a "
+    "TakeOrderedAndProject; the oracle keeps the literal "
+    "EXISTS/NOT-EXISTS SQL, proving both rewrites.",
 )
 def ext_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     late_ts = F.lit(Q21_LATE).cast("timestamp_ntz")
-    # deduplicated (order, supplier) edges: all suppliers, and late ones
-    edges = li.select("l_orderkey", "l_suppkey").distinct()
-    late_edges = (
-        li.filter(F.col("l_shipdate") > late_ts)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    o2 = edges.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    o3 = late_edges.select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
-    )
-    waiting = (
-        late_edges.join(
-            o2,
-            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
+    # per (order, supplier): did this supplier ship anything late?
+    edges = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > late_ts).cast("int").alias("late_line"),
         )
-        .join(
-            o3,
-            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late_line").alias("late"))
     )
+    # per order: supplier count, late-supplier count, and the (unique
+    # when n_late = 1) late supplier's key
+    per_order = edges.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_sk"),
+    )
+    waiting = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     return (
-        waiting.groupBy(F.col("l_suppkey").alias("suppkey"))
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        waiting.groupBy(F.col("late_sk").alias("suppkey"))
+        .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "suppkey")
         .limit(20)
     )

@@ -304,11 +304,12 @@ def test_hybrid_rrf_broadcasts_and_no_token_explode(spark):
     assert "TakeOrderedAndProject" in p
 
 
-def test_q21_compiles_quantifiers_to_semi_anti(spark):
+def test_q21_is_pure_aggregate_no_join(spark):
+    """Both correlated quantifiers must collapse into the per-order
+    aggregate — the plan has no join of any kind."""
     p = plan_of(spark, "ext_tpch_q21_shape")
-    assert "LeftSemi" in p
-    assert "LeftAnti" in p
-    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "partial_count" in p or "partial_max" in p or "partial_sum" in p
     assert "TakeOrderedAndProject" in p
 
 

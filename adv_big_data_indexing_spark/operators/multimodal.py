@@ -451,3 +451,96 @@ def ns_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     return decode_media(_synth_payloads(docs))
+
+
+# ---------------------------------------------------------------------------
+# Real pixel resize (nearest-neighbor) over decoded P6 frames
+# ---------------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 2, 2
+
+RESIZE_SCHEMA = (
+    "asset_id long, width int, height int, n_out_bytes long, "
+    "pixel_sum long, checksum long"
+)
+
+
+def resize_ppm(assets: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize of P6 PPM payloads inside
+    ``mapInPandas`` (supersedes the former metadata-only
+    ``resize_frames`` stub): decode the actual bytes, index-map the
+    pixel grid (``src = dst * src_dim // dst_dim`` — the classic NN
+    kernel, pure numpy fancy indexing, no per-pixel Python), and emit
+    the resized geometry plus exact integer checksums of the RESIZED
+    pixels (position-weighted, so a transposed or off-by-one resample
+    cannot cancel out). Non-PPM payloads are skipped. Decode+resize
+    parallelism == scan parallelism; no shuffle anywhere.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "width", "height", "n_out_bytes", "pixel_sum", "checksum",
+            )}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                dec = decode_ppm(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, pixels = dec
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                resized = pixels[ys][:, xs, :]
+                flat = resized.reshape(-1).astype(np.int64)
+                out["asset_id"].append(int(asset_id))
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["n_out_bytes"].append(int(flat.size))
+                out["pixel_sum"].append(int(flat.sum()))
+                out["checksum"].append(int(((np.arange(flat.size) + 1) * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+@query(
+    "ns_multimodal_resize",
+    oracle=f"""
+    WITH grid AS (
+      SELECT j, i, c,
+             ((j * {RESIZE_W} + i) * 3 + c) AS k,
+             (((j * {_IMG_H}) // {RESIZE_H} * {_IMG_W}
+               + (i * {_IMG_W}) // {RESIZE_W}) * 3 + c) AS src
+      FROM (SELECT unnest(generate_series(0, {RESIZE_H - 1})) AS j)
+      CROSS JOIN (SELECT unnest(generate_series(0, {RESIZE_W - 1})) AS i)
+      CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c)
+    )
+    SELECT d.doc_id AS asset_id,
+           CAST({RESIZE_W} AS INTEGER) AS width,
+           CAST({RESIZE_H} AS INTEGER) AS height,
+           CAST({RESIZE_W * RESIZE_H * 3} AS BIGINT) AS n_out_bytes,
+           CAST(sum((d.doc_id * 7 + g.src) % 256) AS BIGINT) AS pixel_sum,
+           CAST(sum((g.k + 1) * ((d.doc_id * 7 + g.src) % 256)) AS BIGINT)
+             AS checksum
+    FROM documents d CROSS JOIN grid g
+    WHERE d.doc_id % 2 = 0
+    GROUP BY 1
+    """,
+    doc="NS real pixel resize contract: the synthesized P6 payloads "
+    "(even doc ids, byte i = (id*7+i)%256) are DECODED from actual "
+    "bytes and nearest-neighbor-resampled 4x3 -> 2x2 by the numpy "
+    "index-map kernel; the oracle computes the resized pixels in "
+    "closed form from the synthesis formula and the SAME src = "
+    "dst*src_dim//dst_dim mapping, with a position-weighted checksum "
+    "so a wrong stride/transpose/rounding cannot cancel. This "
+    "replaces the round-3 metadata-only resize stub with a real "
+    "resample kernel; scale shape unchanged (chained mapInPandas, "
+    "zero shuffle).",
+)
+def ns_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.sources.catalog import spread  # noqa: PLC0415
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return resize_ppm(_synth_payloads(docs), RESIZE_W, RESIZE_H)

@@ -146,3 +146,30 @@ def test_resize_metadata_only(assets):
     resized = mm.resize_frames(frames, 224, 224)
     r = resized.first()
     assert (r.width, r.height) == (224, 224)
+
+
+def test_resize_ppm_golden(spark):
+    """Hand-computed nearest-neighbor resize: a 4x3 P6 image with byte i
+    = i resized to 2x2 must pick source pixels (y,x) in
+    {0,1}x{0,2} — exact pixel values, sums, and weighted checksum."""
+    w, h = 4, 3
+    body = bytes(range(w * h * 3))
+    payload = f"P6\n{w} {h}\n255\n".encode() + body
+    df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
+    [r] = mm.resize_ppm(df, 2, 2).collect()
+    # src index map: ys = [0*3//2, 1*3//2] = [0, 1]; xs = [0, 2]
+    expect = []
+    for y in (0, 1):
+        for x in (0, 2):
+            for c in range(3):
+                expect.append((y * w + x) * 3 + c)
+    assert r.width == 2 and r.height == 2 and r.n_out_bytes == 12
+    assert r.pixel_sum == sum(expect)
+    assert r.checksum == sum((k + 1) * v for k, v in enumerate(expect))
+
+
+def test_resize_ppm_skips_non_images(spark):
+    df = spark.createDataFrame(
+        [(1, b"not an image"), (2, None)], "asset_id long, payload binary"
+    )
+    assert mm.resize_ppm(df, 2, 2).count() == 0

@@ -81,23 +81,17 @@ _DRIVER_WINDOW_R5 = (
     "ns_doc_chunking",
     "ns_ann_topk_bruteforce",
     # stalest evidence: last driver row was round 1
-    "doc_parents_having",
     "doc_roundtrip_flat",
-    "doc_search_rehydrated",
-    "doc_shred_entities",
     "ns_dataset_card",
     "ext_k_anonymity_audit",
     "ts_forecast_backtest",
-    "ext_approx_distinct_portable",
     "ns_tfidf_keywords",
     "ext_column_stats",
     "ns_embed_matryoshka",
     "ts_sliding_rate_flags",
     "ns_embed_pca_power",
     "ts_seasonality_profile",
-    "ext_fuzzy_join_levenshtein",
     "ts_resample_interp",
-    "ext_grouping_sets",
     "ext_benford_audit",
     "ext_join_broadcast_star",
     "ext_join_tpch_q5",
@@ -121,6 +115,17 @@ _DRIVER_WINDOW_R5 = (
     "ns_graph_link_prediction",
     "ns_graph_bfs_hops",
     "ns_embed_quantize_int8",
+    # newest batch (seasonal/HW/hybrid/Q-shapes/resize) — replaces six
+    # more r1-green regression guards (doc_parents_having,
+    # doc_search_rehydrated, doc_shred_entities, ext_fuzzy_join_levenshtein,
+    # ext_grouping_sets, ext_approx_distinct_portable), which keep their
+    # r1 driver rows + the local parity gate
+    "ts_seasonal_decompose",
+    "ts_holt_winters",
+    "ns_hybrid_rrf_fusion",
+    "ext_tpch_q21_shape",
+    "ext_tpch_q20_shape",
+    "ns_multimodal_resize",
     # new mid-round (rotated in over four r1-stale scalar/conditional rows,
     # which stay green on the r1 evidence + the local parity gate)
     "ns_bpe_train_merges",

@@ -34,6 +34,7 @@ ASSOC_TOP_K = 100
 
 @query(
     "ns_assoc_rules",
+    bench=True,
     oracle=f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS bask, l_partkey AS item FROM lineitem

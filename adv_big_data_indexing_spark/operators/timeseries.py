@@ -1768,6 +1768,7 @@ def _hw_fd(e: str) -> str:
 
 @query(
     "ts_holt_winters",
+    bench=True,
     oracle=f"""
     WITH RECURSIVE hourly AS (
       SELECT event_type, epoch_us(ts) // 3600000000 AS h,

@@ -72,6 +72,7 @@ def registry() -> dict[str, QuerySpec]:
         text,
         timeseries,
         tokenizer,
+        tpch,
         udfs,
     )
 

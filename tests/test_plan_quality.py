@@ -319,3 +319,37 @@ def test_q20_broadcasts_part_filter_and_semi_joins(spark):
     assert "BroadcastHashJoin" in p
     # the p_type filter reached the part scan
     assert "EqualTo(p_type,PROMO)" in p
+
+
+def test_q4_exists_is_semi_join(spark):
+    p = plan_of(spark, "ext_tpch_q4_shape")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q7_pushes_nation_disjunction_to_dims(spark):
+    import re
+
+    p = plan_of(spark, "ext_tpch_q7_shape")
+    # the per-side envelope of the pair disjunction reaches both
+    # dimension scans as a pushed data filter (rendered as an OR chain)
+    assert re.search(r"DataFilters: \[[^\]]*s_nationkey#\d+ = 1", p)
+    assert re.search(r"DataFilters: \[[^\]]*c_nationkey#\d+ = 2", p)
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_q19_pushes_per_side_envelopes(spark):
+    import re
+
+    p = plan_of(spark, "ext_tpch_q19_shape")
+    # per-side envelopes of the OR-of-conjuncts: the brand/size chain on
+    # the part scan, the quantity range union on the lineitem scan
+    assert re.search(r"DataFilters: \[[^\]]*p_brand#\d+ = Brand#12", p)
+    assert re.search(r"DataFilters: \[[^\]]*l_quantity#\d+ >= 1\.0", p)
+    assert "BroadcastHashJoin" in p
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark):
+    p = plan_of(spark, "ext_tpch_q22_shape")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

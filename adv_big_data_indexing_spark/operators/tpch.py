@@ -122,10 +122,20 @@ def ext_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
     nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
+    # join ORDER matters without CBO stats: reduce orders by the
+    # selective customer-nation filter FIRST (pair-nation customers are
+    # 2/|nations| of the table), then let the shrunken order set drive
+    # the fact join — the big lineitem⋈orders shuffle carries only
+    # pair-relevant rows instead of filtering after the fact
+    c_pair = c.filter(F.col("c_nationkey").isin(Q7_NATION_A, Q7_NATION_B))
+    s_pair = s.filter(F.col("s_nationkey").isin(Q7_NATION_A, Q7_NATION_B))
+    o_red = o.join(F.broadcast(c_pair), o.o_custkey == c_pair.c_custkey)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # no broadcast hint here: at 100 TB the reduced order set may
+        # still be huge — AQE's dynamic join selection broadcasts it
+        # when the runtime size allows, else keeps the keyed shuffle
+        li.join(o_red, li.l_orderkey == o_red.o_orderkey)
+        .join(F.broadcast(s_pair), li.l_suppkey == s_pair.s_suppkey)
         .filter(pair)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
@@ -187,8 +197,9 @@ Q14_LO, Q14_HI = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
     SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_DUCK_REV} ELSE 0 END)
                 AS BIGINT) AS promo_rev_c2,
            CAST(sum({_DUCK_REV}) AS BIGINT) AS total_rev_c2,
-           CAST(1000000 * sum(CASE WHEN p.p_type = 'PROMO' THEN {_DUCK_REV}
-                                   ELSE 0 END)
+           CAST(CAST(1000000 AS HUGEINT)
+                * sum(CASE WHEN p.p_type = 'PROMO' THEN {_DUCK_REV}
+                      ELSE 0 END)
                 // sum({_DUCK_REV}) AS BIGINT) AS promo_ppm
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO}'
@@ -220,9 +231,12 @@ def ext_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "promo_rev_c2",
         "total_rev_c2",
-        F.expr("CAST(1000000 * promo_rev_c2 DIV total_rev_c2 AS BIGINT)").alias(
-            "promo_ppm"
-        ),
+        # 1e6 * the c2 revenue sum exceeds int64 past ~sf0.03 — the share
+        # is computed in 128-bit DECIMAL (DuckDB: HUGEINT), like chi2
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * promo_rev_c2"
+            " DIV CAST(total_rev_c2 AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("promo_ppm"),
     )
 
 

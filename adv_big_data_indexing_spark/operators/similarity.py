@@ -992,3 +992,104 @@ def ns_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (127 * max(amax)) AS BIGINT)"
         ).alias("max_rel_err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall contract: IVF cell-probe vs brute-force ground truth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ns_ann_ivf_recall",
+    oracle=f"""
+    WITH qv AS (SELECT vec_id, label, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings),
+    nrm AS (
+      SELECT vec_id, label, q,
+             CAST(list_sum(list_transform(generate_series(1, len(q)), i -> q[i] * q[i])) AS BIGINT) AS n2
+      FROM qv
+    ),
+    bf_pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_DUCK_DOT} AS dot, a.n2 AS na, b.n2 AS nb
+      FROM nrm a JOIN nrm b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+        FROM bf_pairs
+      ) WHERE rank <= {TOP_K}
+    ),
+    flat AS (
+      SELECT label, i, CAST(sum(q[i]) AS BIGINT) AS s
+      FROM qv CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i)
+      GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(s ORDER BY i) AS csum,
+             (SELECT count(*) FROM qv v WHERE v.label = flat.label) AS n_members
+      FROM flat GROUP BY label
+    ),
+    assign AS (
+      SELECT a.vec_id AS query_id, a.q AS qq, a.n2 AS na, c.label AS probe_label,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY CAST(list_sum(list_transform(generate_series(1, {DIM}), i -> a.q[i] * c.csum[i])) AS DOUBLE) / c.n_members DESC,
+                        c.label
+             ) AS cr
+      FROM nrm a CROSS JOIN cent c
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT s.query_id, s.qq, s.na, b.vec_id AS neighbor_id, b.q AS nq, b.n2 AS nb
+      FROM (SELECT * FROM assign WHERE cr = 1) s
+      JOIN nrm b ON b.label = s.probe_label AND b.vec_id != s.query_id
+    ),
+    ivf_scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, {DIM}), i -> qq[i] * nq[i])) AS BIGINT) AS dot,
+             na, nb
+      FROM cand
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY {_COSINE} DESC, neighbor_id) AS rank
+        FROM ivf_scored
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT bf.query_id,
+           count(*) AS n_exact,
+           count(v.neighbor_id) AS n_hit,
+           CAST(count(v.neighbor_id) AS DOUBLE) / count(*) AS recall
+    FROM bf LEFT JOIN ivf v
+      ON v.query_id = bf.query_id AND v.neighbor_id = bf.neighbor_id
+    GROUP BY 1
+    """,
+    doc="NS ANN recall contract for the IVF route (completes the recall "
+    "matrix next to ns_ann_lsh_recall): per-query recall of the "
+    "single-cell IVF probe against the brute-force exact top-k. Both "
+    "result sets are deterministic, so the recall fractions reproduce "
+    "bit-for-bit; a single-probe IVF necessarily misses neighbors in "
+    "adjacent cells, and THIS query is the measurement that sizes "
+    "n_probes at 100 TB (run on a sampled panel, as with LSH).",
+)
+def ns_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ns_ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ns_ann_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("v_query_id"),
+        F.col("neighbor_id").alias("v_neighbor_id"),
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("v_query_id"))
+        & (F.col("neighbor_id") == F.col("v_neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.count("v_neighbor_id").alias("n_hit"),
+        (F.count("v_neighbor_id").cast("double") / F.count("*")).alias("recall"),
+    )

@@ -516,3 +516,102 @@ def ns_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
              'exact_dup_ppm', (n_docs - n_hashes) * 1000000 DIV n_docs
            ) AS (metric, value)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# preference-pair mining (DPO-style chosen/rejected construction)
+# ---------------------------------------------------------------------------
+
+#: pairs per source: i-th best zipped with i-th worst by quality rank.
+PREF_PAIRS_PER_SOURCE = 3
+
+
+@query(
+    "ns_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(1000000 * len(list_distinct(toks)) // len(toks) AS BIGINT)
+               AS score_q
+      FROM (SELECT doc_id, source, {DUCK_TOKENS.format(col="text")} AS toks
+            FROM documents)
+    ),
+    ranked AS (
+      SELECT doc_id, source, score_q,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score_q DESC, doc_id) AS r_top,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score_q ASC, doc_id) AS r_bot
+      FROM scored
+    )
+    SELECT t.source, CAST(t.r_top AS INTEGER) AS pair_rank,
+           t.doc_id AS chosen_doc_id, t.score_q AS chosen_score_q,
+           b.doc_id AS rejected_doc_id, b.score_q AS rejected_score_q
+    FROM (SELECT * FROM ranked WHERE r_top <= {PREF_PAIRS_PER_SOURCE}) t
+    JOIN (SELECT * FROM ranked WHERE r_bot <= {PREF_PAIRS_PER_SOURCE}) b
+      ON b.source = t.source AND b.r_bot = t.r_top
+    WHERE t.doc_id <> b.doc_id
+    """,
+    doc="NS preference-pair mining — the DPO/RLHF-style (chosen, rejected) "
+    "construction a data pipeline runs over scored generations: per "
+    "source, the i-th most lexically-diverse doc (integer-ppm "
+    "distinct-token ratio, fully tie-broken) is zipped with the i-th "
+    "least diverse, i <= 3, self-pairs dropped. One scan to the scored "
+    "table, two windows on the SAME (source) partitioning (one "
+    "exchange), and a per-source join of two 3-row slices. The score "
+    "column is pluggable — in production it is a reward-model output; "
+    "the pairing machinery is what this op contracts.",
+)
+def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(1000000 * CAST(size(array_distinct(toks)) AS BIGINT)"
+            " DIV size(toks) AS BIGINT)"
+        ).alias("score_q"),
+    )
+    w_top = Window.partitionBy("source").orderBy(F.desc("score_q"), "doc_id")
+    w_bot = Window.partitionBy("source").orderBy(F.asc("score_q"), "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score_q",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+    )
+    t = ranked.filter(F.col("r_top") <= PREF_PAIRS_PER_SOURCE).select(
+        "source",
+        F.col("r_top").cast("int").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score_q").alias("chosen_score_q"),
+    )
+    b = ranked.filter(F.col("r_bot") <= PREF_PAIRS_PER_SOURCE).select(
+        F.col("source").alias("b_source"),
+        F.col("r_bot").cast("int").alias("b_rank"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score_q").alias("rejected_score_q"),
+    )
+    return (
+        t.join(
+            b,
+            (F.col("source") == F.col("b_source"))
+            & (F.col("pair_rank") == F.col("b_rank")),
+        )
+        .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+        .select(
+            "source",
+            "pair_rank",
+            "chosen_doc_id",
+            "chosen_score_q",
+            "rejected_doc_id",
+            "rejected_score_q",
+        )
+    )

@@ -311,3 +311,116 @@ def ns_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node DIV 2").alias("key"),
         F.col("hop").cast("bigint").alias("hop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# spatial grid self-join (geohash-style bucketing, closest pairs)
+# ---------------------------------------------------------------------------
+
+#: world = GRID x GRID integer lattice; neighbors within radius R
+#: (squared Euclidean <= R*R). Cell size = R, so all true pairs live in
+#: the same or one of the 8 adjacent cells — the 2D analogue of
+#: ext_range_join's bucket-and-probe.
+SPATIAL_GRID = 1000
+SPATIAL_R = 5
+SPATIAL_TOP_K = 100
+
+#: deterministic point synthesis from the customer key (Knuth + LCG
+#: multipliers) — identical closed form in both engines.
+#: the intermediate mod 2^32 breaks the (k + 1000) periodicity a plain
+#: mod-1000 of k*m would have (1000*m ≡ 0 mod 1000) — without it every
+#: 1000th customer lands on the same lattice point.
+_PX = "((c_custkey * 2654435761) % 4294967296) % 1000"
+_PY = "((c_custkey * 2246822519 + 12345) % 4294967296) % 1000"
+
+
+@query(
+    "ns_spatial_grid_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id, {_PX} AS px, {_PY} AS py FROM customer
+    ),
+    cells AS (
+      SELECT id, px, py, px // {SPATIAL_R} AS cx, py // {SPATIAL_R} AS cy
+      FROM pts
+    ),
+    probes AS (
+      SELECT c.id, c.px, c.py, c.cx + dx.d AS qx, c.cy + dy.d AS qy
+      FROM cells c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    pairs AS (
+      SELECT p.id AS a, b.id AS b,
+             (p.px - b.px) * (p.px - b.px)
+               + (p.py - b.py) * (p.py - b.py) AS dist_sq
+      FROM probes p JOIN cells b ON b.cx = p.qx AND b.cy = p.qy
+      WHERE p.id < b.id
+    )
+    SELECT a, b, CAST(dist_sq AS BIGINT) AS dist_sq
+    FROM pairs WHERE dist_sq <= {SPATIAL_R * SPATIAL_R}
+    ORDER BY dist_sq, a, b LIMIT {SPATIAL_TOP_K}
+    """,
+    doc="NS spatial self-join — closest point pairs on a 2D grid "
+    "(points synthesized from customer keys by a closed-form hash both "
+    "engines replay): geohash-style integer cells sized to the radius, "
+    "one side exploded to its 3x3 neighborhood, EQUI-join on cell, "
+    "exact integer squared-distance residual — the 2D analogue of the "
+    "bucketed range join, linear in points + true-candidate count, "
+    "never O(n²). a<b dedup works because every pair co-occurs in the "
+    "probe of each side exactly once per shared cell window. At 100 TB "
+    "the cell id is the shuffle key and skewed megacities salt exactly "
+    "like hot keys.",
+)
+def ns_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.expr(_PX).alias("px"),
+        F.expr(_PY).alias("py"),
+    )
+    cells = pts.select(
+        "id",
+        "px",
+        "py",
+        F.expr(f"px DIV {SPATIAL_R}").alias("cx"),
+        F.expr(f"py DIV {SPATIAL_R}").alias("cy"),
+    )
+    probes = cells.select(
+        F.col("id").alias("a"),
+        F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("dx"),
+        "cx",
+        "cy",
+    ).select(
+        "a",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("dx")).alias("qx"),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
+        "cy",
+    ).select("a", "ax", "ay", "qx", (F.col("cy") + F.col("dy")).alias("qy"))
+    b = cells.select(
+        F.col("id").alias("b"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    )
+    pairs = (
+        probes.join(b, (F.col("qx") == F.col("bcx")) & (F.col("qy") == F.col("bcy")))
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+            )
+            .cast("bigint")
+            .alias("dist_sq"),
+        )
+        .filter(F.col("dist_sq") <= SPATIAL_R * SPATIAL_R)
+    )
+    return pairs.orderBy("dist_sq", "a", "b").limit(SPATIAL_TOP_K)

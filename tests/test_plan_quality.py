@@ -365,3 +365,10 @@ def test_q22_anti_join_and_broadcast_scalar(spark):
     p = plan_of(spark, "ext_tpch_q22_shape")
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_spatial_join_is_equi_join_on_cells(spark):
+    p = plan_of(spark, "ns_spatial_grid_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p

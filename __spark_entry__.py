@@ -81,7 +81,6 @@ _DRIVER_WINDOW_R5 = (
     "ns_doc_chunking",
     "ns_ann_topk_bruteforce",
     # stalest evidence: last driver row was round 1
-    "doc_roundtrip_flat",
     "ns_dataset_card",
     "ext_k_anonymity_audit",
     "ts_forecast_backtest",
@@ -93,9 +92,6 @@ _DRIVER_WINDOW_R5 = (
     "ts_seasonality_profile",
     "ts_resample_interp",
     "ext_benford_audit",
-    "ext_join_broadcast_star",
-    "ext_join_tpch_q5",
-    "ext_range_join",
     # new in the second half of round 5 (mining / eval-stats / storage
     # analytics batch) — these replace twelve r1-stale regression
     # backfills (ext_join_anti, ext_join_full_outer, ext_join_left_null,
@@ -126,6 +122,13 @@ _DRIVER_WINDOW_R5 = (
     "ext_tpch_q21_shape",
     "ext_tpch_q20_shape",
     "ns_multimodal_resize",
+    # final additions — replace the last four r1-green guards
+    # (doc_roundtrip_flat, ext_join_broadcast_star, ext_join_tpch_q5,
+    # ext_range_join), all green on r1 rows + the local parity gate
+    "ext_tpch_q7_shape",
+    "ext_tpch_q14_shape",
+    "ns_ann_ivf_recall",
+    "ns_spatial_grid_join",
     # new mid-round (rotated in over four r1-stale scalar/conditional rows,
     # which stay green on the r1 evidence + the local parity gate)
     "ns_bpe_train_merges",

@@ -187,6 +187,22 @@ SHOWCASE = [
         "and integer doubled-average-ranks make ties bit-exact.",
     ),
     (
+        "ext_tpch_q21_shape",
+        "Q21 as pure aggregate: both correlated quantifiers (EXISTS + "
+        "NOT EXISTS) collapse into one per-order groupBy — the plan has "
+        "NO join at all, two keyed partial-agg shuffles, and a "
+        "TakeOrderedAndProject; the textbook semi/anti formulation "
+        "measured 6.8x slower at sf1.",
+    ),
+    (
+        "ns_hybrid_rrf_fusion",
+        "Hybrid RRF retrieval: the BM25 side keeps its zero-explode "
+        "per-row tf plan, the dense side broadcasts one query vector, "
+        "both rank windows run on pool-sized frames, and the fusion is "
+        "a FULL OUTER join of two 100-row rank lists — O(pool) work "
+        "after the two rankers.",
+    ),
+    (
         "ns_graph_bfs_hops",
         "Layered BFS (Pregel superstep as DataFrames): each hop is one "
         "keyed join frontier->edges plus a distinct and an anti-join "

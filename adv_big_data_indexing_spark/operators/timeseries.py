@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
-from adv_big_data_indexing_spark.functions.exact import epoch_us, sum_money
+from adv_big_data_indexing_spark.functions.exact import DUCK_ILOG2_Q4, epoch_us, sum_money
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
 
@@ -1861,4 +1861,94 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hourly.groupBy("event_type").applyInPandas(
         hw, schema="event_type string, rn long, x long, fitted_q long, err_q long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (time-to-churn), portable quarter-bit log space
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_survival_km",
+    oracle=f"""
+    WITH churn AS (
+      SELECT user_id, epoch_us(max(ts)) // 86400000000 AS day
+      FROM events GROUP BY 1
+    ),
+    days AS (
+      SELECT day, count(*) AS n_churn FROM churn GROUP BY 1
+    ),
+    risk AS (
+      SELECT day, n_churn,
+             (SELECT count(*) FROM churn)
+               - (CAST(sum(n_churn) OVER (ORDER BY day) AS BIGINT) - n_churn)
+               AS n_risk
+      FROM days
+    ),
+    terms AS (
+      SELECT day, n_risk, n_churn,
+             CASE WHEN n_risk > n_churn
+                  THEN {DUCK_ILOG2_Q4.format(col="n_risk - n_churn")}
+                       - {DUCK_ILOG2_Q4.format(col="n_risk")}
+                  ELSE 0 END AS term
+      FROM risk
+    )
+    SELECT day, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_churn AS BIGINT) AS n_churn,
+           CASE WHEN n_risk > n_churn
+                THEN CAST(sum(term) OVER (ORDER BY day) AS BIGINT)
+                ELSE NULL END AS log_s_q4
+    FROM terms
+    """,
+    doc="TS Kaplan-Meier survival curve for user churn (churn day = the "
+    "user's last event day): per day, the risk set, churn count, and "
+    "the log-survival Σ[log2(n_i - d_i) - log2(n_i)] accumulated in the "
+    "repo's portable quarter-bit integer log (the sum-of-logs form of "
+    "the KM product — the same overflow-free trick as the PMI and BM25 "
+    "idf ops), NULL at the final collapse day where S reaches 0. Scale "
+    "shape: the per-user max is the only data-sized stage (map-side "
+    "combined); the day table is calendar-sized, so its global-ordered "
+    "windows are trivially small at any SF.",
+)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.functions.exact import ilog2_q4  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events")
+    churn = e.groupBy("user_id").agg(
+        (epoch_us(F.max("ts")) / 86_400_000_000).cast("bigint").alias("day")
+    )
+    days = churn.groupBy("day").agg(F.count("*").alias("n_churn"))
+    n_users = churn.select(F.count("*").alias("n_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = (
+        days.crossJoin(F.broadcast(n_users))
+        .select(
+            "day",
+            "n_churn",
+            (
+                F.col("n_users")
+                - (F.sum("n_churn").over(w) - F.col("n_churn"))
+            ).alias("n_risk"),
+        )
+    )
+    alive = F.col("n_risk") > F.col("n_churn")
+    terms = risk.select(
+        "day",
+        "n_risk",
+        "n_churn",
+        F.when(
+            alive,
+            ilog2_q4(F.col("n_risk") - F.col("n_churn")) - ilog2_q4(F.col("n_risk")),
+        )
+        .otherwise(0)
+        .alias("term"),
+    )
+    return terms.select(
+        "day",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_churn").cast("bigint").alias("n_churn"),
+        F.when(alive, F.sum("term").over(w).cast("bigint"))
+        .otherwise(F.lit(None))
+        .alias("log_s_q4"),
     )

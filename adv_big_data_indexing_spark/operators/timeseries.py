@@ -1952,3 +1952,65 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None))
         .alias("log_s_q4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# out-of-order ingestion audit (watermark sizing evidence)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_ooo_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS prev_us
+      FROM events
+    )
+    SELECT user_id,
+           count(prev_us) AS n_pairs,
+           CAST(sum(CASE WHEN t_us < prev_us THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inversions,
+           CAST(max(CASE WHEN t_us < prev_us THEN prev_us - t_us ELSE 0 END)
+                AS BIGINT) AS max_lateness_us,
+           CAST(1000000 * sum(CASE WHEN t_us < prev_us THEN 1 ELSE 0 END)
+                // count(prev_us) AS BIGINT) AS ooo_ppm
+    FROM seq WHERE prev_us IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="TS out-of-order ingestion audit: per user, adjacent event pairs "
+    "in ARRIVAL order (event_id) whose event times invert, with the "
+    "worst observed lateness — the measurement that sizes §2.H's "
+    "streaming watermarks (a watermark below max_lateness_us drops "
+    "rows; far above it bloats state). One shuffle on user_id, one "
+    "lag window, one partial-agg rollup, one row per user (the "
+    "generated data ingests in order, so the audit certifies ZERO "
+    "inversions — per-user pair counts keep the contract non-vacuous). "
+    "Exact integer microseconds and ppm throughout.",
+)
+def ts_ooo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("t_us"),
+        F.lag(epoch_us("ts")).over(w).alias("prev_us"),
+    ).filter(F.col("prev_us").isNotNull())
+    inv = F.when(F.col("t_us") < F.col("prev_us"), 1).otherwise(0)
+    late = F.when(
+        F.col("t_us") < F.col("prev_us"), F.col("prev_us") - F.col("t_us")
+    ).otherwise(0)
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("prev_us").alias("n_pairs"),
+            F.sum(inv).cast("bigint").alias("n_inversions"),
+            F.max(late).cast("bigint").alias("max_lateness_us"),
+            F.expr(
+                "CAST(1000000 * sum(CASE WHEN t_us < prev_us THEN 1 ELSE 0 END)"
+                " DIV count(prev_us) AS BIGINT)"
+            ).alias("ooo_ppm"),
+        )
+    )

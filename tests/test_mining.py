@@ -166,3 +166,59 @@ def test_seasonal_decompose_exact_reconstruction(spark):
         # centering: mean of the 24 hour-of-day components within one
         # floor-division unit of zero
         assert abs(sum(vals)) <= len(vals), (et, sum(vals))
+
+
+def test_survival_km_monotone_and_consistent(spark):
+    rows = sorted(rows_of(spark, "ts_survival_km"), key=lambda r: r.day)
+    assert rows
+    # risk set shrinks by exactly the churned users, day over day
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt.n_risk == prev.n_risk - prev.n_churn
+    # log-survival is non-increasing until the collapse day (NULL)
+    logs = [r.log_s_q4 for r in rows if r.log_s_q4 is not None]
+    assert all(a >= b for a, b in zip(logs, logs[1:]))
+    assert all(v <= 0 for v in logs)
+    # the final day collapses to S = 0 exactly once
+    assert [r.log_s_q4 for r in rows].count(None) == 1
+    assert rows[-1].log_s_q4 is None
+
+
+def test_ooo_audit_certifies_in_order_stream(spark):
+    rows = rows_of(spark, "ts_ooo_audit")
+    assert rows  # one row per multi-event user
+    for r in rows:
+        assert r.n_pairs > 0
+        assert r.n_inversions == 0 and r.max_lateness_us == 0 and r.ooo_ppm == 0
+
+
+def test_preference_pairs_ordered(spark):
+    rows = rows_of(spark, "ns_preference_pairs")
+    assert rows
+    for r in rows:
+        assert r.chosen_score_q >= r.rejected_score_q
+        assert r.chosen_doc_id != r.rejected_doc_id
+        assert 1 <= r.pair_rank <= 3
+
+
+def test_hybrid_rrf_score_structure(spark):
+    rows = rows_of(spark, "ns_hybrid_rrf_fusion")
+    assert len(rows) == 20
+    for r in rows:
+        expect = 0
+        if r.rank_lex is not None:
+            expect += 1_000_000 // (60 + r.rank_lex)
+        if r.rank_vec is not None:
+            expect += 1_000_000 // (60 + r.rank_vec)
+        assert r.rrf_q == expect
+    # the fused top must include at least one doc ranked by BOTH towers
+    assert any(r.rank_lex is not None and r.rank_vec is not None for r in rows) or \
+        all(r.rank_lex is None or r.rank_vec is None for r in rows)
+
+
+def test_ivf_recall_bounds(spark):
+    rows = rows_of(spark, "ns_ann_ivf_recall")
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0 <= r.n_hit <= r.n_exact
+        assert r.recall == r.n_hit / r.n_exact

@@ -424,3 +424,99 @@ def ns_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist_sq") <= SPATIAL_R * SPATIAL_R)
     )
     return pairs.orderBy("dist_sq", "a", "b").limit(SPATIAL_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling (contrastive-training pair construction)
+# ---------------------------------------------------------------------------
+
+#: negatives proposed per positive edge; proposals that collide with a
+#: true edge are dropped (not resampled) — the standard "sampled
+#: uniformly, filtered" scheme, kept deterministic.
+NEG_PER_POS = 2
+
+
+@query(
+    "ns_negative_sampling",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    parts AS (
+      SELECT p AS cand, row_number() OVER (ORDER BY p) - 1 AS idx
+      FROM (SELECT DISTINCT p FROM edges)
+    ),
+    np AS (SELECT count(*) AS n_parts FROM parts),
+    proposals AS (
+      SELECT e.s, e.p,
+             ((e.s * 2654435761 + e.p * 2246822519 + k.k * 40503)
+              % 4294967296) % np.n_parts AS idx,
+             k.k
+      FROM edges e
+      CROSS JOIN (SELECT unnest(generate_series(0, {NEG_PER_POS - 1})) AS k) k
+      CROSS JOIN np
+    ),
+    cand AS (
+      SELECT pr.s, pr.p AS pos_p, pr.k, pa.cand AS neg_p
+      FROM proposals pr JOIN parts pa ON pa.idx = pr.idx
+    )
+    SELECT c.s, c.pos_p, c.k, c.neg_p
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM edges e2 WHERE e2.s = c.s AND e2.p = c.neg_p
+    )
+    """,
+    doc="NS deterministic negative sampling — the contrastive-training "
+    "pair construction (word2vec/SGNS, two-tower retrieval): for every "
+    "true supplier—part edge, K hash-proposed part negatives, with "
+    "proposals that hit a true edge DROPPED by an anti join (uniform "
+    "proposal + rejection, the standard scheme — and the drop rate is "
+    "edge-density-bounded, so no resampling loop is needed). The part "
+    "index is a dense rank (vocab table, broadcast); the proposal hash "
+    "is closed-form in both engines, so the sample reproduces "
+    "bit-for-bit. Scale shape: one edge scan + K map-side proposals + "
+    "one broadcast index join + one keyed anti join.",
+)
+def ns_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    parts = (
+        edges.select("p")
+        .distinct()
+        .select(
+            F.col("p").alias("cand"),
+            (F.row_number().over(Window.orderBy("p")) - 1).alias("idx"),
+        )
+    )
+    np_ = parts.agg(F.count("*").alias("n_parts"))
+    ks = F.explode(F.array(*[F.lit(i) for i in range(NEG_PER_POS)])).alias("k")
+    proposals = (
+        edges.select("s", "p", ks)
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "s",
+            F.col("p").alias("pos_p"),
+            "k",
+            F.expr(
+                "((s * 2654435761 + pos_p * 2246822519 + k * 40503)"
+                " % 4294967296) % n_parts"
+            ).alias("idx"),
+        )
+    )
+    cand = proposals.join(F.broadcast(parts), "idx").select(
+        "s", "pos_p", "k", F.col("cand").alias("neg_p")
+    )
+    true_edges = edges.select(
+        F.col("s").alias("e_s"), F.col("p").alias("e_p")
+    )
+    return cand.join(
+        true_edges,
+        (F.col("s") == F.col("e_s")) & (F.col("neg_p") == F.col("e_p")),
+        "left_anti",
+    )

@@ -148,3 +148,18 @@ DUCK_ILOG2_Q4 = (
     + _DUCK_ILOG_Y + " * " + _DUCK_ILOG_Y + " * "
     + _DUCK_ILOG_Y + " * " + _DUCK_ILOG_Y + ")) - 1)"
 )
+
+
+def rev_c2(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """TPC-H revenue ``extendedprice*(1-discount)`` in exact integer
+    centi-cents: cents(price) * (100 - discount-percent). The shared
+    money-exactness invariant for every revenue query (tpch.py,
+    relational.py Q1/Q3 shapes)."""
+    return (cents(price) * (F.lit(100) - cents(disc))).cast("bigint")
+
+
+#: DuckDB mirror of :func:`rev_c2`.
+DUCK_REV_C2 = (
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+)

@@ -18,6 +18,21 @@ from pyspark.sql import functions as F
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
+def ordered_pairs_sql(alias1: str, alias2: str) -> str:
+    """Map-side ordered-pair explode over a SORTED DISTINCT array: all
+    (arr[i], arr[j]) with i < j as structs. The one tricky expression in
+    the module (transform's lambda index is 0-based, slice's start is
+    1-based, hence i + 2) — shared by ns_assoc_rules,
+    ns_graph_link_prediction, and the property test so the index
+    arithmetic has exactly one spelling."""
+    return (
+        "flatten(transform(arr, (x, i) ->"
+        " transform(slice(arr, i + 2, size(arr) - i - 1),"
+        f" y -> struct(x AS {alias1}, y AS {alias2}))))"
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # market-basket association rules (frequent pairs, support/confidence/lift)
 # ---------------------------------------------------------------------------
@@ -63,12 +78,14 @@ ASSOC_TOP_K = 100
     """,
     doc="NS market-basket association rules: frequent part pairs within "
     "orders with exact integer-ppm support/confidence/lift, top-100 by "
-    "lift (totally ordered). Apriori shape: the FREQUENT-ITEM prefilter "
-    "runs before pair generation, so the per-basket self-join — the "
-    "inverted-index join keyed on basket, the same candidates-only "
-    "pattern as ns_dedup_ngram_jaccard — never touches rare items; at "
-    "100 TB the item-count table is vocab-sized and broadcast, and "
-    "per-basket width is bounded by basket size, not catalog size. "
+    "lift (totally ordered). Candidate pairs explode MAP-SIDE from the "
+    "per-basket sorted item arrays (per-basket work is O(basket²), "
+    "bounded by order width, never catalog width). The Apriori "
+    "frequent-item filter COMMUTES with pair counting (a pair survives "
+    "iff both items are frequent), so here it is applied by the inner "
+    "item-count joins AFTER counting — on a skewed 100 TB corpus it "
+    "moves into array_intersect against the frequent-item set BEFORE "
+    "the explode, cutting candidate generation itself. "
     "Lift = N*pair/(c1*c2) stays in int64 up to ~1e15 basket-pairs.",
 )
 def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,13 +117,7 @@ def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frequent-item set before the explode.
     pairs = (
         baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(arr, (x, i) ->"
-                    " transform(slice(arr, i + 2, size(arr) - i - 1),"
-                    " y -> struct(x AS i1, y AS i2))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(ordered_pairs_sql("i1", "i2"))).alias("p")
         )
         .select("p.i1", "p.i2")
         .groupBy("i1", "i2")
@@ -115,9 +126,12 @@ def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c1 = ic.select(F.col("item").alias("i1"), F.col("cnt").alias("cnt1"))
     c2 = ic.select(F.col("item").alias("i2"), F.col("cnt").alias("cnt2"))
+    # no broadcast hints: the item-count sides are catalog-scale (they
+    # grow with SF past Spark's broadcast limit) — AQE broadcasts them
+    # while they fit and falls back to a keyed shuffle when they don't
     return (
-        pairs.join(F.broadcast(c1), "i1")
-        .join(F.broadcast(c2), "i2")
+        pairs.join(c1, "i1")
+        .join(c2, "i2")
         .crossJoin(F.broadcast(n))
         .select(
             "i1",
@@ -189,13 +203,7 @@ def ns_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         parts.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(arr, (x, i) ->"
-                    " transform(slice(arr, i + 2, size(arr) - i - 1),"
-                    " y -> struct(x AS s1, y AS s2))))"
-                )
-            ).alias("q")
+            F.explode(F.expr(ordered_pairs_sql("s1", "s2"))).alias("q")
         )
         .select("q.s1", "q.s2")
         .groupBy("s1", "s2")
@@ -203,9 +211,10 @@ def ns_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
     d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    # degree sides are supplier-catalog-scale: AQE picks the strategy
     return (
-        pairs.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
         .select(
             "s1",
             "s2",
@@ -326,12 +335,13 @@ SPATIAL_R = 5
 SPATIAL_TOP_K = 100
 
 #: deterministic point synthesis from the customer key (Knuth + LCG
-#: multipliers) — identical closed form in both engines.
-#: the intermediate mod 2^32 breaks the (k + 1000) periodicity a plain
-#: mod-1000 of k*m would have (1000*m ≡ 0 mod 1000) — without it every
-#: 1000th customer lands on the same lattice point.
-_PX = "((c_custkey * 2654435761) % 4294967296) % 1000"
-_PY = "((c_custkey * 2246822519 + 12345) % 4294967296) % 1000"
+#: multipliers) — identical closed form in both engines. The key is
+#: reduced mod 2^31 BEFORE the multiply so the product stays under
+#: 2^63 at any key scale (2^31 * 2654435761 < 2^63); the intermediate
+#: mod 2^32 then breaks the (k + GRID) periodicity a plain mod-GRID of
+#: k*m would have (GRID*m ≡ 0 mod GRID).
+_PX = f"(((c_custkey % 2147483648) * 2654435761) % 4294967296) % {SPATIAL_GRID}"
+_PY = f"(((c_custkey % 2147483648) * 2246822519 + 12345) % 4294967296) % {SPATIAL_GRID}"
 
 
 @query(
@@ -449,7 +459,9 @@ NEG_PER_POS = 2
     np AS (SELECT count(*) AS n_parts FROM parts),
     proposals AS (
       SELECT e.s, e.p,
-             ((e.s * 2654435761 + e.p * 2246822519 + k.k * 40503)
+             ((((e.s % 2147483648) * 2654435761) % 4294967296
+               + (((e.p % 2147483648) * 2246822519) % 4294967296)
+               + k.k * 40503)
               % 4294967296) % np.n_parts AS idx,
              k.k
       FROM edges e
@@ -503,13 +515,18 @@ def ns_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s",
             F.col("p").alias("pos_p"),
             "k",
+            # per-term mod-2^31 reduction before the multiply keeps every
+            # product under 2^63 at any key scale (same guard as _PX/_PY)
             F.expr(
-                "((s * 2654435761 + pos_p * 2246822519 + k * 40503)"
+                "((((s % 2147483648) * 2654435761) % 4294967296"
+                " + (((pos_p % 2147483648) * 2246822519) % 4294967296)"
+                " + k * 40503)"
                 " % 4294967296) % n_parts"
             ).alias("idx"),
         )
     )
-    cand = proposals.join(F.broadcast(parts), "idx").select(
+    # vocab index is catalog-scale — AQE chooses broadcast vs shuffle
+    cand = proposals.join(parts, "idx").select(
         "s", "pos_p", "k", F.col("cand").alias("neg_p")
     )
     true_edges = edges.select(

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
-from adv_big_data_indexing_spark.functions.exact import avg_money, cents, dec, epoch_us, sum_money
+from adv_big_data_indexing_spark.functions.exact import avg_money, cents, dec, epoch_us, rev_c2, sum_money
 from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
 # ---------------------------------------------------------------------------
@@ -1525,9 +1525,7 @@ def ext_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > cutoff)
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    revenue_units = F.sum(
-        cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
-    )
+    revenue_units = F.sum(rev_c2())
     return (
         l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
                l.l_orderkey == F.col("o_orderkey"))

@@ -22,19 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
-from adv_big_data_indexing_spark.functions.exact import cents
+from adv_big_data_indexing_spark.functions.exact import DUCK_REV_C2, cents, rev_c2
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
-#: revenue in exact integer centi-cents: cents(price) * (100 - disc%).
-_DUCK_REV = (
-    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
-    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
-)
-
-
-def _rev_c2() -> F.Column:
-    # cents() on the 2-decimal discount recovers the integer percent
-    return (cents("l_extendedprice") * (100 - cents("l_discount"))).cast("bigint")
+# shared exact centi-cent revenue recipe (functions/exact.py)
+_DUCK_REV = DUCK_REV_C2
+_rev_c2 = rev_c2
 
 
 # ---------------------------------------------------------------------------

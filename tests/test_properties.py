@@ -267,6 +267,8 @@ def test_pair_explode_matches_combinations(spark, baskets):
     including empty and single-item baskets (zero pairs)."""
     from itertools import combinations
 
+    from adv_big_data_indexing_spark.operators.mining import ordered_pairs_sql
+
     df = spark.createDataFrame(
         [(i, sorted(set(xs))) for i, xs in enumerate(baskets)],
         "bask int, arr array<bigint>",
@@ -274,13 +276,7 @@ def test_pair_explode_matches_combinations(spark, baskets):
     rows = (
         df.select(
             "bask",
-            F.explode(
-                F.expr(
-                    "flatten(transform(arr, (x, i) ->"
-                    " transform(slice(arr, i + 2, size(arr) - i - 1),"
-                    " y -> struct(x AS i1, y AS i2))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(ordered_pairs_sql("i1", "i2"))).alias("p")
         )
         .select("bask", "p.i1", "p.i2")
         .collect()

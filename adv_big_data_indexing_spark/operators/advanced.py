@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
-from adv_big_data_indexing_spark.functions.exact import cents, dec, epoch_us, sum_money
+from adv_big_data_indexing_spark.functions.exact import cents, dec, epoch_us
 from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
 # ---------------------------------------------------------------------------
@@ -59,10 +59,15 @@ def asof_join(
         *[F.lit(None).cast(r.schema[f"__r_{c}"].dataType).alias(f"__r_{c}") for c in right_cols],
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
-    # right rows sort before left at equal ts → "at or before" semantics
+    # right rows sort before left at equal ts → "at or before" semantics;
+    # the trailing __r_* keys break ties among right rows sharing
+    # (on, right_ts) deterministically (left rows carry NULLs there and
+    # are order-insensitive among themselves — they all see the same
+    # preceding rights), so last() picks the greatest right row instead
+    # of a partition-order artifact
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", "__tag")
+        .orderBy("__ts", "__tag", *[f"__r_{c}" for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -164,7 +169,12 @@ RANGE_WINDOW_US = 60 * 1_000_000  # clicks within the 60 s before an error
 )
 def ext_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    bucket = lambda c: (epoch_us(c) / F.lit(RANGE_WINDOW_US)).cast("bigint")  # noqa: E731
+    # exact integral bucketing (repo rule: bare double `/` + bigint cast
+    # can round across a boundary): subtracting the modulus first makes
+    # the numerator an exact multiple, so the double quotient is exact
+    bucket = lambda c: (  # noqa: E731
+        (epoch_us(c) - epoch_us(c) % RANGE_WINDOW_US) / RANGE_WINDOW_US
+    ).cast("bigint")
     clicks = e.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("c_id"),
@@ -780,8 +790,6 @@ PRIORITY_WEIGHTS = [
     "sum is exact.",
 )
 def ext_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from adv_big_data_indexing_spark.functions.exact import cents
-
     dim = spark.createDataFrame(
         PRIORITY_WEIGHTS, "o_orderpriority string, expedite_weight int"
     )
@@ -1326,7 +1334,7 @@ ZONE_HI = "1996-01-01 00:00:00"
 )
 def ext_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") / ZONE_BLOCK).cast("bigint").alias("zone"),
+        F.expr(f"l_orderkey DIV {ZONE_BLOCK}").alias("zone"),
         "l_shipdate",
     )
     zones = li.groupBy("zone").agg(

@@ -69,42 +69,11 @@ _DUCK_MATCHED = " + ".join(
 )
 
 
-@query(
-    "ns_bm25_topk",
-    oracle=f"""
-    WITH per AS (
-      SELECT doc_id,
-             CAST(len(toks) AS BIGINT) AS dl,
-             {_TF_COLS}
-      FROM (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents)
-    ),
-    tot AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS BIGINT) AS t_tok,
-             {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(BM25_QUERY)))}
-      FROM per
-    )
-    SELECT doc_id,
-           CAST({_DUCK_MATCHED} AS INTEGER) AS n_matched,
-           CAST({_DUCK_SCORE} AS BIGINT) AS score_q4,
-           CAST(row_number() OVER (ORDER BY ({_DUCK_SCORE}) DESC, doc_id) AS INTEGER) AS rank
-    FROM per CROSS JOIN tot
-    WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(BM25_QUERY)))}
-    ORDER BY score_q4 DESC, doc_id
-    LIMIT {BM25_TOP_N}
-    """,
-    bench=True,
-    doc="NS BM25 top-k ranked retrieval (Lucene-default scoring, the "
-    "reference's Elasticsearch similarity) in bit-portable integer "
-    "arithmetic: per-row tf expressions (no token explode, no shuffle in "
-    "the scan stage), one broadcast scalar row of corpus stats, quarter-bit "
-    "integer idf, scaled-integer tf saturation, TakeOrderedAndProject "
-    "top-k. The only shuffles at any corpus size are the one-row global "
-    "agg and the k-row ordered take.",
-)
-def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scoring pipeline: matching docs with their integer
+    quarter-bit score and match count — consumed by ns_bm25_topk (top-k
+    cut) and ns_hybrid_rrf_fusion (pool ranking). One spelling of the
+    score formula, two rankers."""
     d = spread(load_table(spark, sf_dir, "documents"))
     per = d.select(
         "doc_id",
@@ -146,10 +115,49 @@ def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = sum(
         (F.col(f"tf{i}") > 0).cast("int") for i in range(len(BM25_QUERY))
     ).cast("int")
+    return j.filter(" or ".join(f"tf{i} > 0" for i in range(len(BM25_QUERY)))).select(
+        "doc_id", matched.alias("n_matched"), score.alias("score_q4")
+    )
+
+
+@query(
+    "ns_bm25_topk",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS dl,
+             {_TF_COLS}
+      FROM (SELECT doc_id, {DUCK_TOKENS.format(col="text")} AS toks FROM documents)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tok,
+             {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(BM25_QUERY)))}
+      FROM per
+    )
+    SELECT doc_id,
+           CAST({_DUCK_MATCHED} AS INTEGER) AS n_matched,
+           CAST({_DUCK_SCORE} AS BIGINT) AS score_q4,
+           CAST(row_number() OVER (ORDER BY ({_DUCK_SCORE}) DESC, doc_id) AS INTEGER) AS rank
+    FROM per CROSS JOIN tot
+    WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(BM25_QUERY)))}
+    ORDER BY score_q4 DESC, doc_id
+    LIMIT {BM25_TOP_N}
+    """,
+    bench=True,
+    doc="NS BM25 top-k ranked retrieval (Lucene-default scoring, the "
+    "reference's Elasticsearch similarity) in bit-portable integer "
+    "arithmetic: per-row tf expressions (no token explode, no shuffle in "
+    "the scan stage), one broadcast scalar row of corpus stats, quarter-bit "
+    "integer idf, scaled-integer tf saturation, TakeOrderedAndProject "
+    "top-k. The only shuffles at any corpus size are the one-row global "
+    "agg and the k-row ordered take.",
+)
+def ns_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window  # noqa: PLC0415
 
     hits = (
-        j.filter(" or ".join(f"tf{i} > 0" for i in range(len(BM25_QUERY))))
-        .select("doc_id", matched.alias("n_matched"), score.alias("score_q4"))
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.col("score_q4").desc(), "doc_id")
         .limit(BM25_TOP_N)
     )
@@ -198,9 +206,7 @@ KEYWORDS_PER_DOC = 3
 def ns_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window  # noqa: PLC0415
 
-    from adv_big_data_indexing_spark.functions.exact import ilog2_q4  # noqa: PLC0415
     from adv_big_data_indexing_spark.functions.text import token_rows  # noqa: PLC0415
-    from adv_big_data_indexing_spark.sources.catalog import spread  # noqa: PLC0415
 
     d = spread(load_table(spark, sf_dir, "documents"))
     tf = (
@@ -326,45 +332,10 @@ def ns_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from adv_big_data_indexing_spark.functions.exact import quantize_vec  # noqa: PLC0415
 
-    # ---- lexical ranks: the BM25 plan, ranked to the fusion pool
-    d = spread(load_table(spark, sf_dir, "documents"))
-    per = d.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("dl"),
-        *[
-            F.size(F.expr(f"filter(toks, x -> x = '{t}')"))
-            .cast("bigint")
-            .alias(f"tf{i}")
-            for i, t in enumerate(BM25_QUERY)
-        ],
-    )
-    tot = per.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("t_tok"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).cast("bigint").alias(f"df{i}")
-            for i in range(len(BM25_QUERY))
-        ],
-    )
-    j = per.join(F.broadcast(tot))
-    idf = [
-        ilog2_q4(2 * F.col("n_docs") + 2) - ilog2_q4(2 * F.col(f"df{i}") + 1)
-        for i in range(len(BM25_QUERY))
-    ]
-    ratio = [
-        F.expr(
-            f"(10 * {_SCALE} * t_tok * tf{i})"
-            f" div (4 * t_tok * tf{i} + 3 * t_tok + 3 * dl * n_docs)"
-        )
-        for i in range(len(BM25_QUERY))
-    ]
-    score = sum(
-        (idf[i] * ratio[i] for i in range(len(BM25_QUERY))), start=F.lit(0)
-    ).cast("bigint")
+    # ---- lexical ranks: the shared BM25 scorer, ranked to the pool
     w_lex = Window.orderBy(F.col("score_q4").desc(), "doc_id")
     lex = (
-        j.filter(" or ".join(f"tf{i} > 0" for i in range(len(BM25_QUERY))))
-        .select("doc_id", score.alias("score_q4"))
+        _bm25_scored(spark, sf_dir)
         .withColumn("rank_lex", F.row_number().over(w_lex).cast("int"))
         .filter(F.col("rank_lex") <= RRF_POOL)
         .select("doc_id", "rank_lex")

@@ -599,7 +599,7 @@ def ts_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hist AS (
       SELECT user_id,
-             CAST(round(value * 100) AS BIGINT) AS vc,
+             CAST(floor(value * 100) AS BIGINT) AS vc,
              ts AS f,
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
       FROM events WHERE event_type = 'purchase'
@@ -626,13 +626,14 @@ def ts_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "combined.",
 )
 def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from adv_big_data_indexing_spark.functions.exact import cents
-
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # plain floor, NOT cents(): events.value is not a 2-decimal money
+    # column, so cents()'s round-half-up licensing argument does not
+    # hold — floor(x*100) is unambiguous on both engines at any value
     hist = e.select(
         "user_id",
-        cents("value").alias("vc"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("vc"),
         F.col("ts").alias("f"),
         F.lead("ts").over(w).alias("t"),
     ).filter(F.col("t").isNotNull())
@@ -912,8 +913,10 @@ def _lttb_step(s: int) -> str:
     "cross-multiplication), so selection is bit-deterministic; ties keep "
     "the earliest point. Sequential per series → grouped-map Arrow kernel "
     "(same escape hatch as EWMA/FFD); the oracle replays the recurrence "
-    "with a recursive CTE whose per-step argmax is a list_reduce over the "
-    "bucket's candidate list. Scale: state is one point per series, work "
+    "as statically UNROLLED per-bucket steps whose argmax is "
+    "min(struct_pack(...)) — deliberately NOT a recursive CTE or "
+    "list_reduce, both of which drop rows nondeterministically under "
+    "DuckDB parallelism (see _lttb_step). Scale: state is one point per series, work "
     "is one pass over each series — series count is the parallelism.",
 )
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,6 +1241,31 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _hourly_locf_grid(spark: SparkSession, sf_dir: str):
+    """Shared gap-fill substrate for ts_gapfill_locf and
+    ts_resample_interp: the per-user hourly grid over the observed range
+    LEFT-joined with each bucket's last observation (by (ts, event_id),
+    exact milli-units). One spelling of the bucketing + grid generation
+    for both resample twins."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("bucket"),
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("x"),
+    )
+    hourly = e.groupBy("user_id", "bucket").agg(
+        F.max_by("x", F.struct(F.col("ts"), F.col("event_id"))).alias("x_m")
+    )
+    rng = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = rng.select(
+        "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
+    )
+    return grid.join(hourly, ["user_id", "bucket"], "left")
+
+
 @query(
     "ts_gapfill_locf",
     oracle="""
@@ -1279,23 +1307,7 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "volume.",
 )
 def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("bucket"),
-        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("x"),
-    )
-    hourly = e.groupBy("user_id", "bucket").agg(
-        F.max_by("x", F.struct(F.col("ts"), F.col("event_id"))).alias("x_m")
-    )
-    rng = hourly.groupBy("user_id").agg(
-        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
-    )
-    grid = rng.select(
-        "user_id", F.explode(F.sequence("b0", "b1")).alias("bucket")
-    )
-    j = grid.join(hourly, ["user_id", "bucket"], "left")
+    j = _hourly_locf_grid(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
@@ -1366,21 +1378,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reversed first, both keyed by user), no self-join, no as-of probe.",
 )
 def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").alias("bucket"),
-        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("x"),
-    )
-    hourly = e.groupBy("user_id", "bucket").agg(
-        F.max_by("x", F.struct(F.col("ts"), F.col("event_id"))).alias("x_m")
-    )
-    rng = hourly.groupBy("user_id").agg(
-        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
-    )
-    grid = rng.select("user_id", F.explode(F.sequence("b0", "b1")).alias("bucket"))
-    j = grid.join(hourly, ["user_id", "bucket"], "left")
+    j = _hourly_locf_grid(spark, sf_dir)
     back = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
@@ -1688,7 +1686,9 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type",
-        (epoch_us("ts") / 3_600_000_000).cast("bigint").alias("h"),
+        ((epoch_us("ts") - epoch_us("ts") % 3_600_000_000) / 3_600_000_000)
+        .cast("bigint")
+        .alias("h"),
     ).agg(
         F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
         .cast("bigint")
@@ -1829,7 +1829,9 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type",
-        (epoch_us("ts") / 3_600_000_000).cast("bigint").alias("h"),
+        ((epoch_us("ts") - epoch_us("ts") % 3_600_000_000) / 3_600_000_000)
+        .cast("bigint")
+        .alias("h"),
     ).agg(
         F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
         .cast("bigint")
@@ -1916,7 +1918,10 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     churn = e.groupBy("user_id").agg(
-        (epoch_us(F.max("ts")) / 86_400_000_000).cast("bigint").alias("day")
+        (
+            (epoch_us(F.max("ts")) - epoch_us(F.max("ts")) % 86_400_000_000)
+            / 86_400_000_000
+        ).cast("bigint").alias("day")
     )
     days = churn.groupBy("day").agg(F.count("*").alias("n_churn"))
     n_users = churn.select(F.count("*").alias("n_users"))

@@ -170,24 +170,30 @@ def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adv_big_data_indexing_spark.operators.sampling import hash_bucket
     from adv_big_data_indexing_spark.operators.text import _grams
 
-    d = load_table(spark, sf_dir, "documents")
+    from adv_big_data_indexing_spark.sources.catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
     b = hash_bucket(F.col("doc_id"))
     t = d.select("doc_id", tokens("text").alias("toks"), b.alias("b"))
     # explode_outer + null filter: plain explode's inferred size>0 filter
-    # would push the n-gram pipeline below the repartition into the scan.
+    # would push the n-gram pipeline below the spread() repartition into
+    # the scan (single-row-group parquet = one task, and the pipeline
+    # feeds BOTH join sides, so it would also run twice single-core).
     g = t.select(
         "doc_id",
         "b",
         F.explode_outer(F.array_distinct(_grams(F.col("toks"), NGRAM_N))).alias("gram"),
-    ).filter(F.col("gram").isNotNull())
+    ).filter(F.col("gram").isNotNull()).localCheckpoint(eager=True)
     ev = g.filter((F.col("b") >= TRAIN_LT) & (F.col("b") < EVAL_LT)).select(
         F.col("doc_id").alias("eval_doc_id"), "gram"
     )
     tr = g.filter(F.col("b") < TRAIN_LT).select(
         F.col("doc_id").alias("train_doc_id"), "gram"
     )
+    # no broadcast hint: the exploded eval-gram frame grows with corpus
+    # size — AQE broadcasts while it fits and shuffles when it doesn't
     return (
-        F.broadcast(ev)
+        ev
         .join(tr, "gram")
         .groupBy("eval_doc_id")
         .agg(
@@ -550,7 +556,7 @@ PREF_PAIRS_PER_SOURCE = 3
     FROM (SELECT * FROM ranked WHERE r_top <= {PREF_PAIRS_PER_SOURCE}) t
     JOIN (SELECT * FROM ranked WHERE r_bot <= {PREF_PAIRS_PER_SOURCE}) b
       ON b.source = t.source AND b.r_bot = t.r_top
-    WHERE t.doc_id <> b.doc_id
+    WHERE t.doc_id <> b.doc_id AND t.score_q >= b.score_q
     """,
     doc="NS preference-pair mining — the DPO/RLHF-style (chosen, rejected) "
     "construction a data pipeline runs over scored generations: per "
@@ -605,7 +611,13 @@ def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("source") == F.col("b_source"))
             & (F.col("pair_rank") == F.col("b_rank")),
         )
-        .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+        # the score guard matters for tiny sources (2-4 docs), where the
+        # i-th best and i-th worst cross over and would emit an INVERTED
+        # preference; dropped on both sides identically
+        .filter(
+            (F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+            & (F.col("chosen_score_q") >= F.col("rejected_score_q"))
+        )
         .select(
             "source",
             "pair_rank",

@@ -198,6 +198,8 @@ def decode_wav_pcm(data: bytes):
                 return None
             fmt = (sample_rate, n_channels, bits)
         elif cid == b"data" and fmt is not None:
+            if len(body) < size:
+                return None  # declared chunk size exceeds the payload
             sample_rate, n_channels, bits = fmt
             dtype = np.uint8 if bits == 8 else np.dtype("<i2")
             usable = len(body) - len(body) % (n_channels * dtype.itemsize)

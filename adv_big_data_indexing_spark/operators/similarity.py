@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, int_dot_fixed, quantize_vec
+from adv_big_data_indexing_spark.functions.text import DUCK_BASE48
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
 TOP_K = 5
@@ -70,6 +71,17 @@ def _ranked_topk(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _guard_bruteforce(n_candidates: int, op_name: str) -> None:
+    """Shared fail-fast routing guard for the exact O(n·q) rankers."""
+    if n_candidates > MAX_BRUTEFORCE_CANDIDATES:
+        raise ValueError(
+            f"{op_name} scans all {n_candidates} vectors per query "
+            f"(cap {MAX_BRUTEFORCE_CANDIDATES}); use ns_ann_lsh_bucketed or "
+            f"ns_ann_ivf for candidate pruning at this scale — "
+            f"ns_ann_lsh_recall quantifies the recall trade."
+        )
+
+
 def _bruteforce_topk(e: DataFrame, op_name: str = "ns_ann_topk_bruteforce") -> DataFrame:
     """Exact top-k from an already-quantized (vec_id, q, n2) frame.
 
@@ -78,13 +90,7 @@ def _bruteforce_topk(e: DataFrame, op_name: str = "ns_ann_topk_bruteforce") -> D
     would re-execute the whole quantization pipeline.
     """
     n_candidates = e.count()
-    if n_candidates > MAX_BRUTEFORCE_CANDIDATES:
-        raise ValueError(
-            f"{op_name} scans all {n_candidates} vectors per query "
-            f"(cap {MAX_BRUTEFORCE_CANDIDATES}); use ns_ann_lsh_bucketed or "
-            f"ns_ann_ivf for candidate pruning at this scale — "
-            f"ns_ann_lsh_recall quantifies the recall trade."
-        )
+    _guard_bruteforce(n_candidates, op_name)
     q = F.broadcast(
         e.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("n2").alias("na")
@@ -147,13 +153,7 @@ def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-only count (parquet footer): the same routing guard as
     # _bruteforce_topk without touching the data pages
     n_candidates = raw.count()
-    if n_candidates > MAX_BRUTEFORCE_CANDIDATES:
-        raise ValueError(
-            f"ns_ann_topk_bruteforce scans all {n_candidates} vectors per query "
-            f"(cap {MAX_BRUTEFORCE_CANDIDATES}); use ns_ann_lsh_bucketed or "
-            f"ns_ann_ivf for candidate pruning at this scale — "
-            f"ns_ann_lsh_recall quantifies the recall trade."
-        )
+    _guard_bruteforce(n_candidates, "ns_ann_topk_bruteforce")
 
     def _npq(vecs) -> "np.ndarray":  # numpy twin of quantize_vec
         return np.floor(
@@ -161,6 +161,12 @@ def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).astype(np.int64)
 
     q_rows = raw.filter(F.col("vec_id") < N_QUERIES).collect()
+    if not q_rows:
+        # empty query panel: _npq would be 1-D and .sum(axis=1) would
+        # crash — return the empty result with the contract schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = _npq(r.embedding for r in q_rows)
     q_n2 = (q_mat * q_mat).sum(axis=1)
@@ -188,8 +194,12 @@ def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mask = n_ids != b_ids[qi]
                 idx = np.nonzero(mask)[0]
                 # local top-k in the global total order (-cosine, neighbor_id)
-                # so per-batch truncation can never drop a global top-k row
-                order = idx[np.lexsort((n_ids[idx], -c[idx]))[:TOP_K]]
+                # so per-batch truncation can never drop a global top-k row.
+                # NaN cosines (zero-quantized vectors) sort LARGEST to match
+                # Spark/DuckDB double ordering — numpy lexsort puts NaN last,
+                # which would silently drop rows the final window ranks #1
+                key = np.where(np.isnan(c[idx]), -np.inf, -c[idx])
+                order = idx[np.lexsort((n_ids[idx], key))[:TOP_K]]
                 out["query_id"].extend([b_ids[qi]] * len(order))
                 out["neighbor_id"].extend(n_ids[order])
                 out["cosine"].extend(c[order])
@@ -209,12 +219,13 @@ def ns_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hyperplane weight w[j][i] (j hyperplane, i dim 1-based): parse the first 12
 # hex chars of md5('hp:j:i') as an integer, then center mod WEIGHT_MOD.
 # Both engines compute it from md5, so the planes agree bit-for-bit.
+#: shared 48-bit md5 parse (functions/text.DUCK_BASE48) seeded per weight
+_DUCK_B48_HP = DUCK_BASE48.format(sh="'hp:' || j || ':' || i")
+
 _DUCK_HYPERPLANES_CTE = f"""
   hp AS (
     SELECT j, i,
-           CAST(list_sum(list_transform(generate_series(1, 12),
-                p -> (strpos('0123456789abcdef', substr(md5('hp:' || j || ':' || i), p, 1)) - 1)
-                     * (16 ** (12 - p)))) AS BIGINT) % {WEIGHT_MOD} - {WEIGHT_MOD // 2} AS w
+           {_DUCK_B48_HP} % {WEIGHT_MOD} - {WEIGHT_MOD // 2} AS w
     FROM (SELECT unnest(generate_series(0, {N_HYPERPLANES - 1})) AS j)
          CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS i)
   ),
@@ -233,13 +244,15 @@ def _hyperplanes(spark: SparkSession) -> DataFrame:
     """(j, i, w) hyperplane weights — tiny, broadcast everywhere."""
     js = spark.range(N_HYPERPLANES).select(F.col("id").cast("int").alias("j"))
     exploded = js.select("j", F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("i"))
-    return exploded.selectExpr(
+    from adv_big_data_indexing_spark.functions.text import base_hash48  # noqa: PLC0415
+
+    # weight = the shared 48-bit md5 parse (functions/text.base_hash48),
+    # centered mod WEIGHT_MOD — one hex-parse implementation repo-wide
+    seed = F.concat(F.lit("hp:"), F.col("j"), F.lit(":"), F.col("i"))
+    return exploded.select(
         "j",
         "i",
-        f"CAST(aggregate(transform(sequence(1, 12),"
-        f" p -> CAST(instr('0123456789abcdef', substr(md5(concat('hp:', j, ':', i)), p, 1)) - 1 AS BIGINT)"
-        f" * CAST(pow(16, 12 - p) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        f" AS BIGINT) % {WEIGHT_MOD} - {WEIGHT_MOD // 2} AS w",
+        (base_hash48(seed) % WEIGHT_MOD - WEIGHT_MOD // 2).alias("w"),
     )
 
 
@@ -467,6 +480,9 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ns_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # same as the sibling posexplode ops: the single-row-group test
+    # parquet would otherwise run the 64x explode+aggregate in one task
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
     q = quantize_vec(F.col("embedding"))
     ex = e.select("label", F.posexplode(q).alias("pos", "v"))
     return ex.groupBy("label", "pos").agg(

@@ -222,3 +222,37 @@ def test_ivf_recall_bounds(spark):
         assert r.n_exact == 5
         assert 0 <= r.n_hit <= r.n_exact
         assert r.recall == r.n_hit / r.n_exact
+
+
+def test_negative_sampling_properties(spark):
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    rows = rows_of(spark, "ns_negative_sampling")
+    assert rows
+    edges = {
+        (r.s, r.p)
+        for r in load_table(spark, SF_CORRECTNESS, "lineitem")
+        .selectExpr("l_suppkey AS s", "l_partkey AS p")
+        .distinct()
+        .collect()
+    }
+    parts = {p for _, p in edges}
+    for r in rows:
+        # a sampled negative is never a true edge, and is a real part id
+        assert (r.s, r.neg_p) not in edges
+        assert r.neg_p in parts
+        assert (r.s, r.pos_p) in edges
+        assert 0 <= r.k <= 1
+    # deterministic: a second run reproduces the identical sample
+    again = {(r.s, r.pos_p, r.k, r.neg_p) for r in rows_of(spark, "ns_negative_sampling")}
+    assert {(r.s, r.pos_p, r.k, r.neg_p) for r in rows} == again
+
+
+def test_spatial_pairs_within_radius(spark):
+    from adv_big_data_indexing_spark.operators.mining import SPATIAL_R
+
+    rows = rows_of(spark, "ns_spatial_grid_join")
+    assert rows
+    for r in rows:
+        assert r.a < r.b
+        assert 0 <= r.dist_sq <= SPATIAL_R * SPATIAL_R

@@ -535,3 +535,59 @@ def ext_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.sum(cents("c_acctbal")).cast("bigint").alias("totacctbal_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item reporting (who returned the most revenue)
+# ---------------------------------------------------------------------------
+
+Q10_LO, Q10_HI = "1997-01-01 00:00:00", "1997-04-01 00:00:00"
+
+
+@query(
+    "ext_tpch_q10_shape",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS c_name, n.n_name AS nation,
+           CAST(sum({_DUCK_REV}) AS BIGINT) AS revenue_c2
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{Q10_LO}'
+      AND o.o_orderdate < TIMESTAMP '{Q10_HI}'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_c2 DESC, custkey
+    LIMIT 20
+    """,
+    doc="EXT TPC-H Q10 shape — returned-item reporting: the 20 customers "
+    "who returned the most revenue in a quarter, in exact centi-cents "
+    "with a fully tie-broken ordered take. The returnflag filter pushes "
+    "into the lineitem scan, the quarter filter into orders; the "
+    "customer/nation dims broadcast and the top-20 is a "
+    "TakeOrderedAndProject — never a global sort of the per-customer "
+    "aggregate.",
+)
+def ext_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_LO).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q10_HI).cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(_rev_c2()).cast("bigint").alias("revenue_c2"))
+        .orderBy(F.desc("revenue_c2"), "custkey")
+        .limit(20)
+    )

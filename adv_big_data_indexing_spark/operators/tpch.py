@@ -591,3 +591,49 @@ def ext_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_c2"), "custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecasting revenue change (pure scan-filter-aggregate)
+# ---------------------------------------------------------------------------
+
+Q6_LO, Q6_HI = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
+
+
+@query(
+    "ext_tpch_q6_shape",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS discount_revenue_c3
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+      AND l_shipdate < TIMESTAMP '{Q6_HI}'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    GROUP BY ALL
+    """,
+    doc="EXT TPC-H Q6 shape — the canonical scan-filter-aggregate "
+    "(forecast revenue change: price x discount over a year, a "
+    "discount band, and small quantities), in exact integer "
+    "cent-percent units. EVERY predicate (date range, discount band, "
+    "quantity cap) pushes into the parquet scan as a data filter, the "
+    "aggregate is a single partial-combined scalar — the query whose "
+    "entire cost is I/O at any scale, and the purest test that "
+    "pushdown actually happens.",
+)
+def ext_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q6_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q6_HI).cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(cents("l_extendedprice") * cents("l_discount"))
+        .cast("bigint")
+        .alias("discount_revenue_c3"),
+    )

@@ -372,3 +372,20 @@ def test_spatial_join_is_equi_join_on_cells(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_q6_pushes_every_predicate(spark):
+    import re
+
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        p = plan_of(spark, "ext_tpch_q6_shape")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    # every predicate reaches the scan's data filters
+    scan = p[p.index("DataFilters:"):]
+    assert re.search(r"l_discount#\d+ >= 0\.05", scan)
+    assert re.search(r"l_quantity#\d+ < 24\.0", scan)
+    assert re.search(r"l_shipdate#\d+ >= 1997-01-01", scan)
+    assert "partial_count" in p or "partial_sum" in p

@@ -7,10 +7,10 @@ max-of-aggregate (q15), negative-filtered distinct counts (q16),
 correlated scalar aggregates (q17), disjunctive predicate pushdown
 (q19), and anti-join + global-average scalar subqueries (q22).
 
-With relational.py's q1/q3/q5/q18/q20/q21 shapes, 17 of the 22 TPC-H
-patterns ship oracle-verified; the remaining five (q2, q8, q11 need
-partsupp, q12 needs shipmode, q22's phone prefix is approximated by
-nationkey) are blocked by absent testdata columns, not by the engine.
+With relational.py's q1/q3/q5/q18/q20/q21 shapes, 18 of the 22 TPC-H
+patterns ship oracle-verified (q22's phone prefix approximated by
+nationkey); the remaining four (q2, q8, q11 need partsupp, q12 needs
+shipmode) are blocked by absent testdata columns, not by the engine.
 The testdata lacks partsupp and some lineitem columns
 (commit/receiptdate, shipmode, shipinstruct), so each shape keeps the
 PATTERN — the join tree, quantifier, and aggregate structure Catalyst

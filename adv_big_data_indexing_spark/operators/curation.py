@@ -183,7 +183,11 @@ def ns_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "b",
         F.explode_outer(F.array_distinct(_grams(F.col("toks"), NGRAM_N))).alias("gram"),
-    ).filter(F.col("gram").isNotNull()).localCheckpoint(eager=True)
+    ).filter(F.col("gram").isNotNull())
+    # deliberately NOT checkpointed: the exploded gram frame is
+    # corpus-sized, so materializing it costs O(grams) disk; the two
+    # join sides instead re-run the cheap map-side tokenize+explode
+    # pipeline, now parallelized by the spread() above
     ev = g.filter((F.col("b") >= TRAIN_LT) & (F.col("b") < EVAL_LT)).select(
         F.col("doc_id").alias("eval_doc_id"), "gram"
     )

@@ -389,3 +389,11 @@ def test_q6_pushes_every_predicate(spark):
     assert re.search(r"l_quantity#\d+ < 24\.0", scan)
     assert re.search(r"l_shipdate#\d+ >= 1997-01-01", scan)
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_q10_pushes_filters_and_ordered_take(spark):
+    p = plan_of(spark, "ext_tpch_q10_shape")
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") >= 2

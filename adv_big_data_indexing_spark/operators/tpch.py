@@ -7,9 +7,9 @@ max-of-aggregate (q15), negative-filtered distinct counts (q16),
 correlated scalar aggregates (q17), disjunctive predicate pushdown
 (q19), and anti-join + global-average scalar subqueries (q22).
 
-With relational.py's q1/q3/q5/q18/q20/q21 shapes, 18 of the 22 TPC-H
+With relational.py's q1/q3/q5/q18/q20/q21 shapes, 19 of the 22 TPC-H
 patterns ship oracle-verified (q22's phone prefix approximated by
-nationkey); the remaining four (q2, q8, q11 need partsupp, q12 needs
+nationkey); the remaining three (q2 and q11 need partsupp, q12 needs
 shipmode) are blocked by absent testdata columns, not by the engine.
 The testdata lacks partsupp and some lineitem columns
 (commit/receiptdate, shipmode, shipinstruct), so each shape keeps the
@@ -640,4 +640,78 @@ def ext_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents("l_extendedprice") * cents("l_discount"))
         .cast("bigint")
         .alias("discount_revenue_c3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8: national market share (conditional share-of-total by year)
+# ---------------------------------------------------------------------------
+
+Q8_NATION = 1
+Q8_REGION = 0
+Q8_PTYPE = "PROMO"
+
+
+@query(
+    "ext_tpch_q8_shape",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CASE WHEN s.s_nationkey = {Q8_NATION} THEN {_DUCK_REV}
+                         ELSE 0 END) AS BIGINT) AS nation_rev_c2,
+           CAST(sum({_DUCK_REV}) AS BIGINT) AS total_rev_c2,
+           CAST(CAST(1000000 AS HUGEINT)
+                * sum(CASE WHEN s.s_nationkey = {Q8_NATION} THEN {_DUCK_REV}
+                      ELSE 0 END)
+                // sum({_DUCK_REV}) AS BIGINT) AS share_ppm
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE nc.n_regionkey = {Q8_REGION} AND p.p_type = '{Q8_PTYPE}'
+    GROUP BY 1
+    """,
+    doc="EXT TPC-H Q8 shape — national market share: nation 1's slice of "
+    "PROMO-part revenue sold into region-0 customers, per order year, "
+    "as integer ppm (conditional and total sums in ONE partial "
+    "aggregate; the 128-bit share division like Q14/chi2). All five "
+    "dimensions broadcast; region and part-type predicates prune "
+    "before the fact join; the lineitem⋈orders shuffle is the only "
+    "data-sized exchange. Contrary to the common assumption, Q8 needs "
+    "no partsupp — it is fully expressible on these tables.",
+)
+def ext_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_regionkey") == Q8_REGION
+    ).select("n_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_PTYPE).select(
+        "p_partkey"
+    )
+    rev = _rev_c2()
+    nat = F.when(F.col("s_nationkey") == Q8_NATION, rev).otherwise(F.lit(0))
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == nc.n_nationkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(nat).cast("bigint").alias("nation_rev_c2"),
+            F.sum(rev).cast("bigint").alias("total_rev_c2"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_rev_c2",
+        "total_rev_c2",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * nation_rev_c2"
+            " DIV CAST(total_rev_c2 AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("share_ppm"),
     )

@@ -142,12 +142,13 @@ _DRIVER_WINDOW_R5 = (
     "ns_graph_pagerank",
 )
 
-# ROUND-6 ROTATION PLAN: fourteen queries were registered after this
+# ROUND-6 ROTATION PLAN: fifteen queries were registered after this
 # window froze and have local-parity evidence only — rotate them in
 # first next round: ext_tpch_q4_shape, ext_tpch_q6_shape,
 # ext_tpch_q9_shape, ext_tpch_q10_shape, ext_tpch_q13_shape,
 # ext_tpch_q15_shape, ext_tpch_q16_shape, ext_tpch_q17_shape,
-# ext_tpch_q19_shape, ext_tpch_q22_shape, ns_preference_pairs,
+# ext_tpch_q19_shape, ext_tpch_q22_shape, ext_tpch_q8_shape,
+# ns_preference_pairs,
 # ns_negative_sampling, ts_survival_km, ts_ooo_audit. Back-fill the
 # remaining ~36 slots with the then-stalest driver rows.
 

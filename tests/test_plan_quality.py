@@ -302,6 +302,45 @@ def test_hybrid_rrf_broadcasts_and_no_token_explode(spark):
     assert "Generate explode" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+    # VERDICT r5 item 2: the rank windows must run on the RRF_POOL-row
+    # frames, never the scored corpus — every Window node's child must be
+    # a TakeOrderedAndProject(limit=pool), i.e. pool first, rank inside.
+    lines = p.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window [row_number()" in ln]
+    assert len(win_idx) == 2, p
+    for i in win_idx:
+        assert "TakeOrderedAndProject(limit=100" in lines[i + 1], (
+            "rank window not fed by the pooled take:\n" + "\n".join(lines[i : i + 3])
+        )
+
+
+def _assert_no_global_ntile_window(p: str) -> None:
+    """VERDICT r5 items 3-4: no ntile/row_number WindowExec over a
+    data-sized frame. The distributed exact-ntile plan is allowed ONE
+    unpartitioned window — the prefix-offset sum over the ≤32-row
+    per-partition-count frame — recognizable by aggregating `_c`/`_ntile_c`
+    rather than ranking rows."""
+    assert "ntile(" not in p
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "row_number()" not in ln, "rank window survived:\n" + ln
+    assert "Exchange rangepartitioning" in p
+
+
+def test_equidepth_histogram_distributed_ntile(spark):
+    p = plan_of(spark, "ext_equidepth_histogram")
+    _assert_no_global_ntile_window(p)
+    # the broadcast of the offsets frame, not a join shuffle
+    assert "BroadcastHashJoin" in p
+
+
+def test_rfm_distributed_ntile_single_scan(spark):
+    p = plan_of(spark, "ext_rfm_segmentation")
+    _assert_no_global_ntile_window(p)
+    assert "BroadcastHashJoin" in p
+    # the melt keeps it to ONE orders aggregate: exactly one hash
+    # exchange on o_custkey feeding the metrics (plus the pivot-back one)
+    assert p.count("Exchange rangepartitioning") <= 2  # main + counts branch
 
 
 def test_q21_is_pure_aggregate_no_join(spark):

@@ -94,6 +94,7 @@ _DRIVER_WINDOW_R6 = (
     "ns_dedup_minhash_lsh",
     "ns_minhash_jaccard_estimate",
     "ns_dedup_incremental",
+    "ns_dedup_lsh_bucket_audit",  # new in r6 (the cap's observable)
     "ts_seasonal_decompose",
     # stalest back-fill: last driver row was round 1
     "doc_parents_having",
@@ -123,11 +124,10 @@ _DRIVER_WINDOW_R6 = (
     "ext_json_extract",
     "ext_listagg",
     "ext_mad_outliers",
-    "ext_map_ops",
 )
 
 # ROUND-7 ROTATION PLAN: back-fill from the then-stalest ledger rows —
-# the 15 remaining r1-only rows first (ext_not_in_null, ext_percentile,
+# the remaining r1-only rows first (ext_map_ops, ext_not_in_null, ext_percentile,
 # ext_posexplode, ext_range_join, ext_referential_audit, ext_scalar_*,
 # ext_setops, ext_stats_moments, ext_table_diff, ext_topk_orderby),
 # then the oldest r2 rows (ext_array_ops, ext_pivot, ...) per

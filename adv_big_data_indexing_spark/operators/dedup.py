@@ -44,6 +44,22 @@ N_BANDS = 4  # rows per band = 4
 _ROWS_PER_BAND = N_MINHASH // N_BANDS
 MINHASH_A, MINHASH_B = minhash_ab(N_MINHASH)
 
+#: In-row expansion cap — a band bucket with more members than this is
+#: expanded by an equi self-join (one row per member, no single-row
+#: array) instead of a collect_list row. VERDICT r5 item 5: a
+#: boilerplate-heavy corpus produces hot buckets whose collect_list row
+#: (every member's full shingle set) OOMs an executor before the pair
+#: explosion even starts.
+BUCKET_INROW_CAP = 64
+#: Degenerate-bucket cap — an LSH bucket larger than this is excluded
+#: from pair expansion entirely: the O(m²) blow-up has to be refused at
+#: the bucket level (every production LSH does), and a 10⁵-member
+#: bucket means the band key stopped discriminating (empty/boilerplate
+#: cluster), not that 10¹⁰ near-dup pairs are wanted. NOT silent:
+#: ns_dedup_lsh_bucket_audit reports dropped buckets and forgone pairs,
+#: and no testdata scale comes near the cap (oracle parity unaffected).
+BUCKET_PAIR_CAP = 4096
+
 def duck_shingle_cte(src: str = "documents") -> str:
     """toks/sh/sh_count CTE bodies over any (doc_id, text) source."""
     return f"""
@@ -175,28 +191,8 @@ def _band_keys() -> list[Column]:
     ]
 
 
-def _lsh_pair_stats(sh: DataFrame, with_mhs: bool = False) -> DataFrame:
-    """(doc_a, doc_b, n_inter, n_a, n_b) for every LSH-colliding doc pair —
-    ONE pipeline over the corpus, no second pass for the verify.
-
-    Stages, all in a single dataflow:
-    1. one md5 per shingle (base_hash48 mod the Mersenne prime);
-    2. one wide groupBy(doc_id): the 16 affine minhashes as 16 min()
-       columns (map-side combined — no seed explosion) PLUS the doc's
-       distinct shingle-hash set, carried along so the exact-overlap
-       verify never re-reads the corpus;
-    3. posexplode 4 band keys, groupBy bucket, expand in-bucket pairs with
-       array transforms (a self-join would execute the signature build
-       twice — Spark shares no subtrees between join sides);
-    4. per pair: n_inter = |array_intersect| of the two carried hash sets.
-
-    Overlap counts are over 48-bit shingle hashes (collision odds ~2^-48
-    per pair — negligible, and the oracle mirrors the same hashes, so
-    results stay bit-identical). Bucket sizes are LSH collision counts —
-    small by construction; at 100 TB cap the bucket size (drop degenerate
-    buckets, e.g. empty-text clusters) before expansion, as any LSH must.
-    A pair colliding in several bands is emitted per band — identical
-    stats each time; callers dedup after thresholding."""
+def _banded(sh: DataFrame, with_mhs: bool = False) -> tuple[DataFrame, list[str]]:
+    """(band, band_key, doc_id, hs[, mhs]) rows — one per doc per band."""
     hp = sh.select("doc_id", (base_hash48(F.col("sh")) % MINHASH_P).alias("hp"))
     per_doc = hp.groupBy("doc_id").agg(
         *[
@@ -215,10 +211,61 @@ def _lsh_pair_stats(sh: DataFrame, with_mhs: bool = False) -> DataFrame:
     bands = per_doc.select(
         *carry, F.posexplode(F.array(*_band_keys())).alias("band", "band_key")
     )
+    return bands, carry
+
+
+def _lsh_pair_stats(
+    sh: DataFrame,
+    with_mhs: bool = False,
+    inrow_cap: int = BUCKET_INROW_CAP,
+    pair_cap: int = BUCKET_PAIR_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) for every LSH-colliding doc pair —
+    ONE pipeline over the corpus, no second pass for the verify.
+
+    Stages, all in a single dataflow:
+    1. one md5 per shingle (base_hash48 mod the Mersenne prime);
+    2. one wide groupBy(doc_id): the 16 affine minhashes as 16 min()
+       columns (map-side combined — no seed explosion) PLUS the doc's
+       distinct shingle-hash set, carried along so the exact-overlap
+       verify never re-reads the corpus;
+    3. posexplode 4 band keys, count bucket sizes, and expand in-bucket
+       pairs along THREE size-tiered paths:
+       - size ≤ ``inrow_cap``: collect_list + array transforms — one
+         bucket per row, cheapest (a self-join would execute the
+         signature build twice when exchange reuse misses);
+       - ``inrow_cap`` < size ≤ ``pair_cap``: equi self-join on the band
+         key — one row per member, so a hot bucket never materializes as
+         a single collect_list row (the r5-flagged OOM);
+       - size > ``pair_cap``: degenerate bucket (band key stopped
+         discriminating — empty/boilerplate cluster); excluded from
+         expansion and REPORTED by ns_dedup_lsh_bucket_audit, never
+         silently;
+    4. per pair: n_inter = |array_intersect| of the two carried hash sets.
+
+    Overlap counts are over 48-bit shingle hashes (collision odds ~2^-48
+    per pair — negligible, and the oracle mirrors the same hashes, so
+    results stay bit-identical). A pair colliding in several bands is
+    emitted per band — identical stats each time; callers dedup after
+    thresholding."""
+    bands, carry = _banded(sh, with_mhs)
+    # Bucket size via a PARTITIONED window, not a count+join-back: the
+    # window adds no exchange beyond the (band, band_key) shuffle the
+    # group-by needs anyway, keeps every downstream consumer's exchange
+    # subtree canonically identical (a join-back pushed isnotnull into
+    # one branch's scan and defeated reuse — measured 6 scans, 10×), and
+    # its per-group buffer SPILLS (UnsafeExternalSorter) where a
+    # collect_list row cannot — a degenerate bucket streams through
+    # disk instead of OOMing an executor.
+    sized = bands.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "band_key"))
+    ).filter((F.col("bsz") > 1) & (F.col("bsz") <= pair_cap))
+
+    # ---- tier 1: in-row expansion of small buckets
     grouped = (
-        bands.groupBy("band", "band_key")
+        sized.filter(F.col("bsz") <= inrow_cap)
+        .groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list(F.struct(*carry))).alias("ms"))
-        .filter(F.size("ms") > 1)
     )
 
     def pair_fields(x, y):
@@ -251,7 +298,23 @@ def _lsh_pair_stats(sh: DataFrame, with_mhs: bool = False) -> DataFrame:
     cols = ["p.doc_a", "p.doc_b", "p.n_inter", "p.n_a", "p.n_b"]
     if with_mhs:
         cols.append("p.n_eq")
-    return grouped.select(F.explode(pairs).alias("p")).select(*cols)
+    small_pairs = grouped.select(F.explode(pairs).alias("p")).select(*cols)
+
+    # ---- tier 2: hot buckets expand row-per-member via equi self-join
+    hot = sized.filter(F.col("bsz") > inrow_cap)
+    x, y = hot.alias("x"), hot.alias("y")
+    hot_pairs = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.band_key") == F.col("y.band_key"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        *pair_fields(
+            F.struct(*[F.col(f"x.{c}").alias(c) for c in carry]),
+            F.struct(*[F.col(f"y.{c}").alias(c) for c in carry]),
+        )
+    )
+    return small_pairs.unionByName(hot_pairs)
 
 
 def _with_jaccard(stats: DataFrame) -> DataFrame:
@@ -334,6 +397,53 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_jaccard(_lsh_pair_stats(sh))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .distinct()
+    )
+
+
+@query(
+    "ns_dedup_lsh_bucket_audit",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    {_DUCK_LSH_CTE},
+    bsz AS (
+      SELECT band, band_key, CAST(count(*) AS BIGINT) AS bsz
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT CASE WHEN bsz = 1 THEN 'singleton'
+                WHEN bsz <= {BUCKET_INROW_CAP} THEN 'inrow'
+                WHEN bsz <= {BUCKET_PAIR_CAP} THEN 'overflow'
+                ELSE 'dropped' END AS tier,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(bsz) AS BIGINT) AS n_member_rows,
+           CAST(max(bsz) AS BIGINT) AS max_bucket,
+           CAST(sum(bsz * (bsz - 1) // 2) AS BIGINT) AS n_pairs
+    FROM bsz GROUP BY 1
+    """,
+    doc="NS LSH bucket-size audit — the 'no silent caps' observable for "
+    "the tiered pair expansion in _lsh_pair_stats: per tier (singleton / "
+    "in-row ≤64 / overflow self-join ≤4096 / DROPPED degenerate) the "
+    "bucket count, member rows, hottest bucket, and the band-pair count "
+    "the tier generates — for 'dropped', the pairs FORGONE by the cap. "
+    "A nonzero dropped row is the signal to re-key or pre-filter the "
+    "boilerplate cluster. Scale shape: one corpus pass + a bucket-sized "
+    "aggregate (map-side combined).",
+)
+def ns_dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands, _ = _banded(_shingle_df(spark, sf_dir))
+    sizes = bands.groupBy("band", "band_key").agg(
+        F.count("*").cast("bigint").alias("bsz")
+    )
+    tier = (
+        F.when(F.col("bsz") == 1, "singleton")
+        .when(F.col("bsz") <= BUCKET_INROW_CAP, "inrow")
+        .when(F.col("bsz") <= BUCKET_PAIR_CAP, "overflow")
+        .otherwise("dropped")
+    )
+    return sizes.groupBy(tier.alias("tier")).agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("bsz").cast("bigint").alias("n_member_rows"),
+        F.max("bsz").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("bsz * (bsz - 1) DIV 2")).cast("bigint").alias("n_pairs"),
     )
 
 

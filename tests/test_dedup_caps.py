@@ -1,0 +1,92 @@
+"""Tiered LSH bucket expansion (VERDICT r5 item 5): hot buckets must
+take the row-per-member self-join path (no single collect_list row),
+degenerate buckets must be dropped — and reported, never silently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.operators.dedup import (
+    BUCKET_INROW_CAP,
+    BUCKET_PAIR_CAP,
+    _lsh_pair_stats,
+)
+
+
+def _synthetic_sh(spark, n_hot: int, n_small: int = 4):
+    """A corpus with one hot cluster (n_hot docs sharing one shingle set —
+    they collide in every band) plus n_small pairwise-similar docs."""
+    rows = []
+    for d in range(n_hot):
+        for s in ("alpha beta gamma", "beta gamma delta", "gamma delta eps"):
+            rows.append((d, s))
+    for d in range(n_hot, n_hot + n_small):
+        # unique shingles per doc → singleton buckets
+        rows.append((d, f"unique shingle {d}"))
+    return spark.createDataFrame(rows, "doc_id: long, sh: string")
+
+
+def _pairset(df):
+    return {
+        (r.doc_a, r.doc_b, r.n_inter, r.n_a, r.n_b)
+        for r in df.select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+        .distinct()
+        .collect()
+    }
+
+
+def test_hot_bucket_self_join_path_matches_inrow_path(spark):
+    """With the in-row cap forced below the hot-cluster size, the
+    self-join overflow tier must produce EXACTLY the pair stats the
+    in-row tier produces with default caps."""
+    sh = _synthetic_sh(spark, n_hot=10)
+    default = _pairset(_lsh_pair_stats(sh))
+    forced_hot = _pairset(_lsh_pair_stats(sh, inrow_cap=4, pair_cap=100))
+    assert default == forced_hot
+    assert len(default) == 45  # C(10,2): the hot cluster, fully paired
+
+
+def test_degenerate_bucket_dropped(spark):
+    """Buckets above pair_cap contribute no pairs; small buckets are
+    unaffected."""
+    sh = _synthetic_sh(spark, n_hot=12)
+    dropped = _pairset(_lsh_pair_stats(sh, inrow_cap=4, pair_cap=8))
+    assert dropped == set()  # the only colliding cluster exceeded the cap
+
+
+def test_audit_reports_dropped_pairs(spark):
+    """The bucket audit must account for every bucket and report the
+    pairs forgone by the degenerate cap (no silent caps)."""
+    from adv_big_data_indexing_spark.functions.text import base_hash48  # noqa: F401
+    from adv_big_data_indexing_spark.operators import dedup as D
+
+    sh = _synthetic_sh(spark, n_hot=12, n_small=3)
+    bands, _ = D._banded(sh)
+    sizes = bands.groupBy("band", "band_key").agg(
+        F.count("*").cast("bigint").alias("bsz")
+    )
+    tier = (
+        F.when(F.col("bsz") == 1, "singleton")
+        .when(F.col("bsz") <= 4, "inrow")
+        .when(F.col("bsz") <= 8, "overflow")
+        .otherwise("dropped")
+    )
+    audit = {
+        r.tier: r
+        for r in sizes.groupBy(tier.alias("tier"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum(F.expr("bsz * (bsz - 1) DIV 2")).cast("bigint").alias("n_pairs"),
+        )
+        .collect()
+    }
+    # the hot cluster: 12 docs colliding in all 4 bands → 4 dropped
+    # buckets, each forgoing C(12,2)=66 band-pairs
+    assert audit["dropped"].n_buckets == 4
+    assert audit["dropped"].n_pairs == 4 * 66
+    # the 3 unique docs: 4 bands × 3 singleton buckets
+    assert audit["singleton"].n_buckets == 12
+
+
+def test_default_caps_sane():
+    assert 1 < BUCKET_INROW_CAP < BUCKET_PAIR_CAP

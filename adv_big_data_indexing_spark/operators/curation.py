@@ -545,6 +545,7 @@ PREF_PAIRS_PER_SOURCE = 3
                AS score_q
       FROM (SELECT doc_id, source, {DUCK_TOKENS.format(col="text")} AS toks
             FROM documents)
+      WHERE len(toks) > 0
     ),
     ranked AS (
       SELECT doc_id, source, score_q,
@@ -576,17 +577,24 @@ def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     d = load_table(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        "source",
-        tokens("text").alias("toks"),
-    ).select(
-        "doc_id",
-        "source",
-        F.expr(
-            "CAST(1000000 * CAST(size(array_distinct(toks)) AS BIGINT)"
-            " DIV size(toks) AS BIGINT)"
-        ).alias("score_q"),
+    scored = (
+        d.select(
+            "doc_id",
+            "source",
+            tokens("text").alias("toks"),
+        )
+        # ADVICE r5: an empty document would make score_q NULL (DIV 0)
+        # and Spark/DuckDB NULL-ordering diverges — keep the op total
+        # over any corpus by filtering zero-token docs on both sides
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CAST(1000000 * CAST(size(array_distinct(toks)) AS BIGINT)"
+                " DIV size(toks) AS BIGINT)"
+            ).alias("score_q"),
+        )
     )
     w_top = Window.partitionBy("source").orderBy(F.desc("score_q"), "doc_id")
     w_bot = Window.partitionBy("source").orderBy(F.asc("score_q"), "doc_id")

@@ -306,9 +306,12 @@ def ns_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited_nodes, "node", "left_anti")
             .select("node", F.lit(hop).alias("hop"))
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the count() below is the ONE action that
+            # both materializes the checkpoint and sizes the frontier
+            # (ADVICE r5: eager + isEmpty was two jobs per layer)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         layers.append(nxt)
         frontier = nxt

@@ -1617,9 +1617,13 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: buckets (25-point window, one diurnal cycle).
 DECOMP_HALF = 12
 
-#: floor-division guard for signed numerators (same pattern as
-#: _HOLT_OFF): (e + OFF*n) DIV n - OFF == floor(e/n) for any e > -OFF*n,
-#: identical under Spark's truncating DIV and DuckDB's flooring //.
+#: division guard for signed numerators (same pattern as _HOLT_OFF):
+#: (e + OFF*n) DIV n - OFF == floor(e/n) for any e > -OFF*n. Both
+#: engines TRUNCATE signed integer division toward zero (measured:
+#: DuckDB BIGINT `-27965 // 4 = -6991`, same as Spark DIV — see
+#: _HW_OFF and .claude/skills/verify/SKILL.md), so the shift is not
+#: papering over an engine mismatch; it pins FLOOR semantics so the
+#: result stays stable even against a flooring dialect.
 _DEC_OFF = 1 << 40
 
 
@@ -1643,8 +1647,10 @@ _DEC_OFF = 1 << 40
     ),
     dt AS (
       SELECT event_type, h, x,
-             wsum // {2 * DECOMP_HALF + 1} AS trend_q,
-             x - wsum // {2 * DECOMP_HALF + 1} AS detrended
+             (wsum + {_DEC_OFF * (2 * DECOMP_HALF + 1)}) // {2 * DECOMP_HALF + 1}
+               - {_DEC_OFF} AS trend_q,
+             x - ((wsum + {_DEC_OFF * (2 * DECOMP_HALF + 1)}) // {2 * DECOMP_HALF + 1}
+                  - {_DEC_OFF}) AS detrended
       FROM tr WHERE wcnt = {2 * DECOMP_HALF + 1}
     ),
     seas AS (
@@ -1706,12 +1712,16 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(w).cast("bigint").alias("wsum"),
         F.count("*").over(w).alias("wcnt"),
     )
+    # ADVICE r5: the trend division was the one signed division left
+    # unoffset — uniform _DEC_OFF shift like every other division here
     dt = tr.filter(F.col("wcnt") == m).select(
         "event_type",
         "h",
         "x",
-        F.expr(f"wsum DIV {m}").alias("trend_q"),
-        F.expr(f"x - wsum DIV {m}").alias("detrended"),
+        F.expr(f"(wsum + {_DEC_OFF * m}) DIV {m} - {_DEC_OFF}").alias("trend_q"),
+        F.expr(f"x - ((wsum + {_DEC_OFF * m}) DIV {m} - {_DEC_OFF})").alias(
+            "detrended"
+        ),
     )
     seas = dt.groupBy("event_type", (F.col("h") % 24).alias("hod")).agg(
         F.expr(

@@ -467,9 +467,9 @@ def holt_winters_monitor(hourly: DataFrame) -> DataFrame:
     """Streaming twin of ``ts_holt_winters`` (operators/timeseries.py):
     per-event-type Holt-Winters additive seasonal smoothing over a
     stream of HOURLY rollup rows ``(event_type, h, x)`` (in production
-    the upstream windowed pre-aggregate), with 27 bigints of state —
-    level, trend, observation count, last hour, and the 24-slot
-    seasonal vector. Each micro-batch folds its in-order buckets into
+    the upstream windowed pre-aggregate), with 28 bigints of state —
+    4 scalars (level, trend, observation count, last hour) plus the
+    24-slot seasonal vector. Each micro-batch folds its in-order buckets into
     the identical integer recurrence (Python floor division on both
     paths) and emits the refreshed one-step-ahead forecast for the
     NEXT hour slot; after the last batch the state equals the batch

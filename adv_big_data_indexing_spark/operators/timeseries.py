@@ -867,6 +867,48 @@ def _lttb_step(s: int) -> str:
     )"""
 
 
+def lttb_kernel(pdf):
+    """The LTTB selection over ONE series (columns user_id, event_id, ts,
+    value, x, y) → (user_id, bucket, ts, event_id, value). Module-level
+    so the streaming window monitor (streaming/events.py:
+    lttb_window_monitor) folds the IDENTICAL selection — streaming ==
+    batch by construction."""
+    import numpy as np  # noqa: PLC0415
+
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    n = len(pdf)
+    if n <= LTTB_T:
+        out = pdf.copy()
+        out["bucket"] = range(n)
+        return out[["user_id", "bucket", "ts", "event_id", "value"]]
+    x = pdf["x"].to_numpy(dtype=np.int64)
+    y = pdf["y"].to_numpy(dtype=np.int64)
+    # interior rows rn=2..n-1 → 0-based idx 1..n-2; bucket via the
+    # same integer formula as the oracle. np.int64 arithmetic is exact
+    # at these magnitudes (areas ≤ ~10^14, bounds in the header note).
+    interior = np.arange(1, n - 1, dtype=np.int64)
+    bkt = (interior - 1) * _LTTB_B // (n - 2)
+    buckets = [interior[bkt == b] for b in range(_LTTB_B)]
+    sel = [0]
+    for b in range(_LTTB_B):
+        if b < _LTTB_B - 1:
+            nb = buckets[b + 1]
+            sx, sy, m = int(x[nb].sum()), int(y[nb].sum()), len(nb)
+        else:
+            sx, sy, m = int(x[n - 1]), int(y[n - 1]), 1
+        a = sel[-1]
+        cand = buckets[b]  # ascending → argmax's first-max = earliest
+        areas = np.abs(
+            (x[a] * m - sx) * (y[cand] - y[a]) - (x[a] - x[cand]) * (sy - y[a] * m)
+        )
+        sel.append(int(cand[np.argmax(areas)]))
+    sel.append(n - 1)
+    out = pdf.iloc[sel].copy()
+    out["bucket"] = range(LTTB_T)
+    return out[["user_id", "bucket", "ts", "event_id", "value"]]
+
+
+
 @query(
     "ts_downsample_lttb",
     oracle=f"""
@@ -920,8 +962,6 @@ def _lttb_step(s: int) -> str:
     "is one pass over each series — series count is the parallelism.",
 )
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd  # noqa: PLC0415
-
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -932,48 +972,12 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bigint cast then truncates, off by one at exact boundaries
         F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("x"),
     )
-
-    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np  # noqa: PLC0415
-
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        n = len(pdf)
-        if n <= LTTB_T:
-            out = pdf.copy()
-            out["bucket"] = range(n)
-            return out[["user_id", "bucket", "ts", "event_id", "value"]]
-        x = pdf["x"].to_numpy(dtype=np.int64)
-        y = pdf["y"].to_numpy(dtype=np.int64)
-        # interior rows rn=2..n-1 → 0-based idx 1..n-2; bucket via the
-        # same integer formula as the oracle. np.int64 arithmetic is exact
-        # at these magnitudes (areas ≤ ~10^14, bounds in the header note).
-        interior = np.arange(1, n - 1, dtype=np.int64)
-        bkt = (interior - 1) * _LTTB_B // (n - 2)
-        buckets = [interior[bkt == b] for b in range(_LTTB_B)]
-        sel = [0]
-        for b in range(_LTTB_B):
-            if b < _LTTB_B - 1:
-                nb = buckets[b + 1]
-                sx, sy, m = int(x[nb].sum()), int(y[nb].sum()), len(nb)
-            else:
-                sx, sy, m = int(x[n - 1]), int(y[n - 1]), 1
-            a = sel[-1]
-            cand = buckets[b]  # ascending → argmax's first-max = earliest
-            areas = np.abs(
-                (x[a] * m - sx) * (y[cand] - y[a]) - (x[a] - x[cand]) * (sy - y[a] * m)
-            )
-            sel.append(int(cand[np.argmax(areas)]))
-        sel.append(n - 1)
-        out = pdf.iloc[sel].copy()
-        out["bucket"] = range(LTTB_T)
-        return out[["user_id", "bucket", "ts", "event_id", "value"]]
-
     n_part = max(8, spark.sparkContext.defaultParallelism // 2)
     return (
         e.repartition(n_part, "user_id")
         .groupBy("user_id")
         .applyInPandas(
-            lttb,
+            lttb_kernel,
             schema="user_id long, bucket int, ts timestamp, event_id long, value double",
         )
     )

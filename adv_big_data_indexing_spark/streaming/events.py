@@ -531,3 +531,162 @@ def holt_winters_monitor(hourly: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+# ---------------------------------------------------------------------------
+# windowed LTTB monitor (dashboard-preview decimation of closed windows)
+# ---------------------------------------------------------------------------
+
+LTTB_WIN_OUTPUT = (
+    "user_id long, window_start timestamp, bucket int, ts timestamp,"
+    " event_id long, value double"
+)
+LTTB_WIN_STATE = (
+    "eids array<bigint>, xus array<bigint>, ys array<bigint>, vals array<double>"
+)
+
+
+def lttb_window_monitor(
+    events: DataFrame, window_hours: int = 1, delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of ``ts_downsample_lttb`` (operators/timeseries.py)
+    for the dashboard path: per (user, event-time window), points buffer
+    in state (four parallel arrays) until the WATERMARK closes the
+    window (EventTimeTimeout), then the window's series is decimated by
+    the IDENTICAL module-level ``lttb_kernel`` the batch operator uses —
+    streaming output equals batch LTTB applied per closed window by
+    construction (same int64 areas, same earliest-point tie-break).
+
+    A true unbounded-stream LTTB cannot exist (bucket boundaries depend
+    on the total point count), so the deployable form is exactly this:
+    decimate each closed window once, exactly-once per window. State is
+    O(points-in-window) per key and is removed on emission.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    w_us = window_hours * 3_600_000_000
+
+    keyed = events.withWatermark("ts", delay).withColumn(
+        "win_us", F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {w_us} * {w_us}")
+    )
+
+    def update(key, pdf_iter, state):
+        from adv_big_data_indexing_spark.operators.timeseries import (  # noqa: PLC0415
+            lttb_kernel,
+        )
+
+        import math  # noqa: PLC0415
+
+        user_id, win_us = key
+        if state.hasTimedOut:
+            eids, xus, ys, vals = state.get
+            pdf = pd.DataFrame(
+                {
+                    "user_id": [int(user_id)] * len(eids),
+                    "event_id": [int(e) for e in eids],
+                    "ts": pd.to_datetime([int(x) for x in xus], unit="us"),
+                    "value": [float(v) for v in vals],
+                    "x": [int(x) // 1_000_000 for x in xus],
+                    "y": [int(y) for y in ys],
+                }
+            )
+            out = lttb_kernel(pdf)
+            out.insert(1, "window_start", pd.to_datetime(int(win_us), unit="us"))
+            state.remove()
+            yield out[
+                ["user_id", "window_start", "bucket", "ts", "event_id", "value"]
+            ]
+            return
+        eids, xus, ys, vals = (
+            (list(c) for c in state.get) if state.exists else ([], [], [], [])
+        )
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                eids.append(int(row["event_id"]))
+                xus.append(int(row["ts"].value) // 1000)
+                ys.append(int(math.floor(float(row["value"]) * 1000.0)))
+                vals.append(float(row["value"]))
+        state.update(
+            ([int(e) for e in eids], [int(x) for x in xus], [int(y) for y in ys],
+             [float(v) for v in vals])
+        )
+        # fire when the watermark passes the window end
+        state.setTimeoutTimestamp((int(win_us) + w_us) // 1000)
+        yield pd.DataFrame(
+            {c: [] for c in ("user_id", "window_start", "bucket", "ts", "event_id", "value")}
+        )
+
+    return keyed.groupBy("user_id", "win_us").applyInPandasWithState(
+        update,
+        outputStructType=LTTB_WIN_OUTPUT,
+        stateStructType=LTTB_WIN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming gap-fill + LOCF (hypertable resample, incremental form)
+# ---------------------------------------------------------------------------
+
+LOCF_OUTPUT = "user_id long, bucket_start timestamp, filled_m long, is_gap boolean"
+LOCF_STATE = "pend_bucket bigint, pend_x bigint"
+
+
+def locf_monitor(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``ts_gapfill_locf`` (operators/timeseries.py):
+    per user, each hourly bucket's LAST observation (by (ts, event_id))
+    is emitted once the next observed bucket proves it complete, with
+    every empty bucket in between emitted as a carried-forward gap row —
+    TimescaleDB's time_bucket_gapfill/locf as an incremental recurrence.
+
+    State is TWO bigints per user (the pending bucket and its current
+    last value); on in-order input the emitted rows equal the batch
+    operator's output restricted to buckets strictly before each user's
+    last observed bucket (the final bucket stays pending — a stream
+    cannot know it is over).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    def update(key, pdf_iter, state):
+        import math  # noqa: PLC0415
+
+        (user_id,) = key
+        pend_b, pend_x = (
+            (int(state.get[0]), int(state.get[1])) if state.exists else (None, None)
+        )
+        out = {c: [] for c in ("user_id", "bucket_start", "filled_m", "is_gap")}
+
+        def emit(bucket, x_m, gap):
+            out["user_id"].append(user_id)
+            out["bucket_start"].append(pd.Timestamp(bucket * 3600, unit="s"))
+            out["filled_m"].append(int(x_m))
+            out["is_gap"].append(bool(gap))
+
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for _, row in pdf.iterrows():
+            bucket = (int(row["ts"].value) // 1000) // 3_600_000_000
+            x = int(math.floor(float(row["value"]) * 1000.0))
+            if pend_b is None:
+                pend_b, pend_x = bucket, x
+            elif bucket == pend_b:
+                pend_x = x  # later observation in the same bucket wins
+            else:
+                emit(pend_b, pend_x, False)
+                for g in range(pend_b + 1, bucket):
+                    emit(g, pend_x, True)
+                pend_b, pend_x = bucket, x
+        state.update((int(pend_b), int(pend_x)))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=LOCF_OUTPUT,
+        stateStructType=LOCF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -376,6 +376,29 @@ def test_q4_exists_is_semi_join(spark):
     assert "CartesianProduct" not in p
 
 
+def test_q8_broadcast_dims_pushed_filters_single_shuffle(spark):
+    """Q8 is the deepest join tree in the repo (VERDICT r5 item 7): all
+    five dimensions must ride broadcasts, the region and part-type
+    filters must prune at their scans, and the only data-sized exchange
+    is lineitem⋈orders (+ the group-by)."""
+    import re
+
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        p = plan_of(spark, "ext_tpch_q8_shape")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in p
+    # predicates reach the dimension scans
+    assert "EqualTo(p_type,PROMO)" in p
+    assert re.search(r"EqualTo\(n_regionkey,0\)", p)
+    # the share aggregate partial-combines map-side
+    assert "partial_sum" in p
+
+
 def test_q7_pushes_nation_disjunction_to_dims(spark):
     import re
 

@@ -625,7 +625,7 @@ def test_streaming_ohlc_matches_batch(spark, event_stream_dir):
 
 
 def test_streaming_holt_winters_matches_batch_recurrence(spark, tmp_path):
-    """Streaming Holt-Winters (27-bigint state incl. the seasonal vector)
+    """Streaming Holt-Winters (28-bigint state incl. the seasonal vector)
     across TWO micro-batches equals the batch integer recurrence over the
     concatenated in-order hourly series — state carry (including the
     array column) exercised across the batch boundary."""
@@ -679,4 +679,143 @@ def test_streaming_holt_winters_matches_batch_recurrence(spark, tmp_path):
                 l = l_new
         last_h = pts[-1][0]
         exp[et] = (len(pts), l, b, l + b + s[(last_h + 1) % HW_PERIOD])
+    assert got == exp
+
+
+def test_streaming_lttb_window_matches_batch_kernel(spark, tmp_path):
+    """The watermarked LTTB window monitor must emit, for each CLOSED
+    window, exactly the selection the batch lttb_kernel makes on that
+    window's series — two micro-batches so the buffer state carries
+    across the batch boundary, plus a far-future event to push the
+    watermark past the window under test."""
+    import time
+
+    import pandas as pd
+
+    from adv_big_data_indexing_spark.operators.timeseries import LTTB_T, lttb_kernel
+
+    # two users, 40 points each inside window [00:00, 01:00), zig-zag
+    # values so interior selection is non-trivial
+    rows = [
+        (
+            u * 1000 + i,
+            f"2024-01-01 00:{i + 5:02d}:{(7 * i) % 60:02d}",
+            u,
+            "click",
+            10.0 + ((i * 37) % 11) - (5.0 if i % 3 == 0 else 0.0),
+        )
+        for u in (1, 2)
+        for i in range(40)
+    ]
+    sentinel = [(999999, "2024-01-01 05:00:00", 3, "click", 1.0)]
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs, "event_id long, ts_s string, user_id long, event_type string, value double"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    src = str(tmp_path / "lttb_src")
+    mk([r for r in rows if (r[0] % 1000) < 20]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    mk([r for r in rows if (r[0] % 1000) >= 20] + sentinel).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(mk(rows).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_memory(
+        spark, ev.lttb_window_monitor(stream, window_hours=1, delay="10 minutes"),
+        "t_lttb", "append",
+    )
+    got = {
+        (r.user_id, r.bucket): (r.event_id, float(r.value))
+        for r in out.collect()
+    }
+    assert len(got) == 2 * LTTB_T, got  # both users' windows closed + decimated
+
+    # batch expectation: the module-level kernel on each user's window
+    for u in (1, 2):
+        pdf = pd.DataFrame(
+            [
+                {
+                    "user_id": u,
+                    "event_id": r[0],
+                    "ts": pd.Timestamp(r[1]),
+                    "value": r[4],
+                    "x": int(pd.Timestamp(r[1]).value // 1_000_000_000),
+                    "y": int(r[4] * 1000) if r[4] >= 0 else -int(-r[4] * 1000),
+                }
+                for r in rows
+                if r[2] == u
+            ]
+        )
+        import math
+
+        pdf["y"] = [int(math.floor(v * 1000.0)) for v in pdf["value"]]
+        exp = lttb_kernel(pdf)
+        for _, er in exp.iterrows():
+            assert got[(u, int(er["bucket"]))] == (
+                int(er["event_id"]),
+                float(er["value"]),
+            )
+
+
+def test_streaming_locf_matches_batch(spark, tmp_path):
+    """The incremental LOCF monitor on in-order input must equal the
+    batch gap-fill restricted to buckets strictly before each user's
+    final observed bucket — including carried-forward gap rows across a
+    micro-batch boundary."""
+    import time
+
+    rows = [
+        # user 1: observations in hours 0, 1, 4 (gaps at 2, 3), two obs
+        # in hour 1 (the later one must win)
+        (1, "2024-01-01 00:10:00", 1, "click", 5.0),
+        (2, "2024-01-01 01:05:00", 1, "click", 6.0),
+        (3, "2024-01-01 01:55:00", 1, "click", 7.5),
+        (4, "2024-01-01 04:20:00", 1, "click", 9.0),
+        # user 2: hours 0 and 2 (gap at 1)
+        (5, "2024-01-01 00:30:00", 2, "click", 1.25),
+        (6, "2024-01-01 02:30:00", 2, "click", 2.0),
+    ]
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs, "event_id long, ts_s string, user_id long, event_type string, value double"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    def mk2(rs):
+        return mk([(r[0], r[1], r[2], r[3], r[4]) for r in rs])
+
+    src = str(tmp_path / "locf_src")
+    mk2([r for r in rows if r[0] <= 3]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    mk2([r for r in rows if r[0] > 3]).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(mk2(rows).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_memory(spark, ev.locf_monitor(stream), "t_locf", "append")
+    got = {
+        (r.user_id, r.bucket_start.isoformat()): (r.filled_m, r.is_gap)
+        for r in out.collect()
+    }
+    h = 473_352  # 2024-01-01 00:00 epoch-hours
+    exp = {
+        (1, "2024-01-01T00:00:00"): (5000, False),
+        (1, "2024-01-01T01:00:00"): (7500, False),  # later obs wins
+        (1, "2024-01-01T02:00:00"): (7500, True),
+        (1, "2024-01-01T03:00:00"): (7500, True),
+        (2, "2024-01-01T00:00:00"): (1250, False),
+        (2, "2024-01-01T01:00:00"): (1250, True),
+    }
     assert got == exp

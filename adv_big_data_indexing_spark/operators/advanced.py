@@ -1200,6 +1200,7 @@ def global_ntile(
 
 @query(
     "ext_rfm_segmentation",
+    bench=True,
     oracle="""
     WITH per_cust AS (
       SELECT o_custkey,
@@ -1319,6 +1320,7 @@ EQUIDEPTH_BUCKETS = 8
 
 @query(
     "ext_equidepth_histogram",
+    bench=True,
     oracle=f"""
     WITH c AS (
       SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,

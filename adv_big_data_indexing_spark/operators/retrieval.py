@@ -276,6 +276,7 @@ _SPARK_COS = (
 
 @query(
     "ns_hybrid_rrf_fusion",
+    bench=True,
     oracle=f"""
     WITH per AS (
       SELECT doc_id,

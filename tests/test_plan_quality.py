@@ -370,6 +370,59 @@ def test_q20_broadcasts_part_filter_and_semi_joins(spark):
     assert "EqualTo(p_type,PROMO)" in p
 
 
+def test_q9_broadcast_dims_single_fact_shuffle(spark):
+    p = plan_of(spark, "ext_tpch_q9_shape")
+    # part/supplier/nation broadcast; lineitem⋈orders is the only
+    # data-sized join; nation×year rollup partial-combines map-side
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q13_left_join_two_partial_aggregates(spark):
+    p = plan_of(spark, "ext_tpch_q13_shape")
+    assert "LeftOuter" in p
+    # both the per-customer count and the histogram partial-combine
+    assert p.count("partial_count") >= 2
+
+
+def test_q14_one_scan_pushed_dates(spark):
+    p = plan_of(spark, "ext_tpch_q14_shape")
+    # conditional + total sums ride ONE aggregate over one broadcast join
+    assert "BroadcastHashJoin" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p  # date range reached the scan
+    assert p.count("HashAggregate") <= 4  # partial+final, no second pass
+
+
+def test_q15_scalar_max_broadcast(spark):
+    p = plan_of(spark, "ext_tpch_q15_shape")
+    # the one-row max and the supplier dim both broadcast onto the
+    # checkpointed revenue view — no shuffle join anywhere
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_q16_anti_join_and_negative_filter_pushdown(spark):
+    p = plan_of(spark, "ext_tpch_q16_shape")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q17_stats_join_division_free(spark):
+    p = plan_of(spark, "ext_tpch_q17_shape")
+    # decorrelated: one partial-agg stats pass joined back on partkey;
+    # the 20%-of-avg comparison is integer cross-multiplication
+    assert "partial_sum" in p or "partial_count" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q18_having_filter_reuses_partition(spark):
+    p = plan_of(spark, "ext_tpch_q18_shape")
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p
+
+
 def test_q4_exists_is_semi_join(spark):
     p = plan_of(spark, "ext_tpch_q4_shape")
     assert "LeftSemi" in p

@@ -288,3 +288,38 @@ def test_pair_explode_matches_combinations(spark, baskets):
         for a, b in combinations(sorted(set(xs)), 2)
     )
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=200),
+    k=st.integers(2, 9),
+)
+def test_global_ntile_matches_window_ntile(spark, vals, k):
+    """The distributed exact ntile (range shuffle + mid-rank + broadcast
+    offsets) must equal Spark's own ntile window under the identical
+    total order — for any size (including n < k), any tie pattern, any
+    sign."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from adv_big_data_indexing_spark.operators.advanced import global_ntile
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id: long, v: long"
+    )
+    got = {
+        r.id: r.b
+        for r in global_ntile(df, k, ["v", "id"], "b", num_parts=7).collect()
+    }
+    exp = {
+        r.id: r.b
+        for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy("v", "id")).alias("b")
+        ).collect()
+    }
+    assert got == exp

@@ -95,6 +95,9 @@ _DRIVER_WINDOW_R6 = (
     "ns_minhash_jaccard_estimate",
     "ns_dedup_incremental",
     "ns_dedup_lsh_bucket_audit",  # new in r6 (the cap's observable)
+    "ext_auc_exact",  # changed in r6: distributed rank, no global window
+    "ext_window_distribution",  # changed in r6: global_row_number algebra
+    "ts_max_concurrency",  # changed in r6: distributed prefix sums
     "ts_seasonal_decompose",
     # stalest back-fill: last driver row was round 1
     "doc_parents_having",
@@ -121,13 +124,11 @@ _DRIVER_WINDOW_R6 = (
     "ext_join_left_null",
     "ext_join_size_estimate",
     "ext_join_tpch_q5",
-    "ext_json_extract",
-    "ext_listagg",
-    "ext_mad_outliers",
 )
 
 # ROUND-7 ROTATION PLAN: back-fill from the then-stalest ledger rows —
-# the remaining r1-only rows first (ext_map_ops, ext_not_in_null, ext_percentile,
+# the remaining r1-only rows first (ext_json_extract, ext_listagg,
+# ext_mad_outliers, ext_map_ops, ext_not_in_null, ext_percentile,
 # ext_posexplode, ext_range_join, ext_referential_audit, ext_scalar_*,
 # ext_setops, ext_stats_moments, ext_table_diff, ext_topk_orderby),
 # then the oldest r2 rows (ext_array_ops, ext_pivot, ...) per

@@ -338,15 +338,33 @@ def ext_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (ORDER BY c_acctbal, c_custkey)
     """,
     doc="EXT distribution windows: ntile/percent_rank/cume_dist over a "
-    "tie-free ordering (exact integer-ratio doubles on both engines).",
+    "tie-free ordering (exact integer-ratio doubles on both engines). "
+    "Distributed: the tie-free total order makes all three pure "
+    "functions of (global position, N) — global_row_number's one range "
+    "shuffle replaces the former whole-table single-partition window; "
+    "quartile comes from ntile's exact fill rule, pct_rank = (rn-1)/"
+    "(N-1), cume = rn/N, each a single correctly-rounded division.",
 )
 def ext_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return load_table(spark, sf_dir, "customer").select(
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    rn = global_row_number(c, ["c_acctbal", "c_custkey"], "_rn")
+    n = rn.agg(F.max("_rn").alias("_n"))
+    lead = F.expr("(_n % 4) * (_n DIV 4 + 1)")
+    quartile = (
+        F.when(F.col("_rn") <= lead, F.expr("(_rn - 1) DIV (_n DIV 4 + 1)"))
+        .otherwise(
+            F.expr("_n % 4 + (_rn - (_n % 4) * (_n DIV 4 + 1) - 1) DIV (_n DIV 4)")
+        )
+        .cast("int")
+        + 1
+    )
+    return rn.crossJoin(F.broadcast(n)).select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        quartile.alias("quartile"),
+        ((F.col("_rn") - 1).cast("double") / (F.col("_n") - 1).cast("double")).alias(
+            "pct_rank"
+        ),
+        (F.col("_rn").cast("double") / F.col("_n").cast("double")).alias("cume"),
     )
 
 
@@ -1079,27 +1097,32 @@ def ext_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "use average ranks, kept integer by doubling (2*avg_rank = 2*min_rank "
     "+ tie_count - 1), so both engines aggregate identical int64s and "
     "the single final double division is correctly rounded. Scale shape: "
-    "one sort by score (Spark range-partitions the global rank at real "
-    "scale) + one scan-sized aggregate; no pairwise O(n_pos*n_neg) "
-    "comparison ever materializes.",
+    "ONE range shuffle (global_row_number) — rank(score) per tie group "
+    "is min(position), computed by a groupBy(score) that adds NO "
+    "exchange because RangePartitioning(score) already satisfies its "
+    "clustering requirement; the former unpartitioned rank()/count() "
+    "windows (whole events table through one WindowExec) are gone. No "
+    "pairwise O(n_pos*n_neg) comparison ever materializes.",
 )
 def ext_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
         F.floor(F.col("value") * 1000000).cast("bigint").alias("score"),
     )
-    w_rank = Window.orderBy("score")
-    w_tie = Window.partitionBy("score")
-    ranked = e.select(
-        "y",
-        (2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1)
-        .cast("bigint")
-        .alias("dbl_rank"),
+    rn = global_row_number(e, ["score"], "_grn")
+    # rank() = first position of the tie run; dbl_rank = 2*rank + cnt - 1
+    # is constant across the run, so positives contribute npos·dbl_rank
+    per_score = rn.groupBy("score").agg(
+        F.min("_grn").alias("min_rn"),
+        F.count("*").alias("cnt"),
+        F.sum("y").alias("npos"),
     )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("dbl_rank"))).cast("bigint").alias("r2_pos"),
-        F.sum("y").cast("bigint").alias("n_pos"),
-        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+    agg = per_score.agg(
+        F.sum(F.col("npos") * (2 * F.col("min_rn") + F.col("cnt") - 1))
+        .cast("bigint")
+        .alias("r2_pos"),
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("npos")).cast("bigint").alias("n_neg"),
     )
     return agg.select(
         "n_pos",
@@ -1152,12 +1175,23 @@ def global_ntile(
 
     ``order_cols`` must be a total order (callers tie-break on a key
     column) or ranks — and therefore buckets — would be nondeterministic.
+
+    The ranked frame is localCheckpoint'ed: RangePartitioner samples its
+    boundaries with an RNG seeded by the RDD id, so two materializations
+    of the "same" exchange pick DIFFERENT boundaries whenever exchange
+    reuse misses (e.g. divergent column pruning between the ranked and
+    counts branches breaks canonical equality) — and then the broadcast
+    offsets disagree with the partition sizes they describe (measured on
+    ext_auc_exact: four runs, four different rank sums, max rank > N).
+    One materialization, both consumers read it; same device as
+    ext_tpch_q15_shape's revenue view.
     """
     parts = (
         df.repartitionByRange(num_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_ntile_mid", F.monotonically_increasing_id())
         .withColumn("_ntile_pid", F.expr("CAST(_ntile_mid DIV 8589934592 AS INT)"))
+        .localCheckpoint(eager=True)
     )
     ranked = parts.withColumn(
         "_ntile_r", F.expr("_ntile_mid % 8589934592 + 1").cast("bigint")
@@ -1190,6 +1224,39 @@ def global_ntile(
             + 1,
         )
         .drop("_ntile_mid", "_ntile_pid", "_ntile_r", "_ntile_off", "_ntile_n")
+    )
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list, rn_name: str, num_parts: int = 32
+) -> DataFrame:
+    """Global 1-based row position over ``order_cols`` with ONE range
+    shuffle — the same mechanism as :func:`global_ntile` (range
+    partition → local sort → monotonically_increasing_id → broadcast
+    prefix offsets), exposed for rank-algebra consumers like
+    ext_auc_exact. If ``order_cols`` is not a total order, positions
+    within a tie run are arbitrary BUT any per-tie-group aggregate of
+    them (min / max / count) is deterministic — ties are contiguous
+    after the range sort, so the positions inside a run are a
+    permutation of a fixed interval. localCheckpoint'ed for the same
+    boundary-consistency reason as global_ntile (see its docstring)."""
+    parts = (
+        df.repartitionByRange(num_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_grn_mid", F.monotonically_increasing_id())
+        .withColumn("_grn_pid", F.expr("CAST(_grn_mid DIV 8589934592 AS INT)"))
+        .localCheckpoint(eager=True)
+    )
+    cnts = parts.groupBy("_grn_pid").agg(F.count("*").alias("_grn_c"))
+    w_off = Window.orderBy("_grn_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.select(
+        "_grn_pid",
+        F.coalesce(F.sum("_grn_c").over(w_off), F.lit(0)).alias("_grn_off"),
+    )
+    return (
+        parts.join(F.broadcast(offs), "_grn_pid")
+        .withColumn(rn_name, F.expr("_grn_off + _grn_mid % 8589934592 + 1"))
+        .drop("_grn_mid", "_grn_pid", "_grn_off")
     )
 
 
@@ -1262,12 +1329,15 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mv"),
     ).select("o_custkey", "cents", "mv.m_id", "mv.val")
     order = [F.col("m_id").asc(), F.col("val").desc(), F.col("o_custkey").asc()]
+    # localCheckpoint: boundary consistency between the ranked and counts
+    # consumers (see global_ntile's docstring)
     parts = (
         long.repartitionByRange(32, *order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.expr("CAST(_mid DIV 8589934592 AS INT)"))
         .withColumn("_r", F.expr("_mid % 8589934592 + 1"))
+        .localCheckpoint(eager=True)
     )
     cnts = parts.groupBy("_pid").agg(F.count("*").alias("_c"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -501,13 +501,15 @@ def ns_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    parts = (
-        edges.select("p")
-        .distinct()
-        .select(
-            F.col("p").alias("cand"),
-            (F.row_number().over(Window.orderBy("p")) - 1).alias("idx"),
-        )
+    # vocab indexing via the distributed global_row_number (one range
+    # shuffle) — a catalog-scale vocabulary must not rank through a
+    # single-partition row_number window
+    from adv_big_data_indexing_spark.operators.advanced import (  # noqa: PLC0415
+        global_row_number,
+    )
+
+    parts = global_row_number(edges.select("p").distinct(), ["p"], "_rn").select(
+        F.col("p").alias("cand"), (F.col("_rn") - 1).alias("idx")
     )
     np_ = parts.agg(F.count("*").alias("n_parts"))
     ks = F.explode(F.array(*[F.lit(i) for i in range(NEG_PER_POS)])).alias("k")

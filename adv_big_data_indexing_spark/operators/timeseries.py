@@ -516,10 +516,11 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the earliest time it is reached. End-exclusive semantics fall "
     "out of summing -1 BEFORE +1 at equal timestamps (the per-timestamp "
     "pre-aggregation makes order within a timestamp irrelevant). The "
-    "global ordered sum is the one genuinely serial step: Spark range-"
-    "partitions the sort, and at 100 TB the profile would be computed per "
-    "coarse time bucket with per-bucket offsets (two passes) — the "
-    "pre-aggregation already cuts the sorted input to distinct timestamps.",
+    "running sum is DISTRIBUTED: range-partition the distinct-timestamp "
+    "sweep (checkpointed for boundary consistency), per-partition "
+    "running sums inside a pid-partitioned window, plus broadcast "
+    "prefix-of-partition-totals offsets — the former global "
+    "single-partition window over every distinct timestamp is gone.",
 )
 def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
@@ -528,8 +529,27 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
     sweep = pts.groupBy("t").agg(F.sum("delta").alias("d"))
-    run = sweep.select(
-        "t", F.sum("d").over(Window.orderBy("t")).cast("bigint").alias("concurrent")
+    parts = (
+        sweep.repartitionByRange(32, "t")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ptot = parts.groupBy("_pid").agg(F.sum("d").alias("_pd"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_pid", F.coalesce(F.sum("_pd").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_run = (
+        Window.partitionBy("_pid")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (
+        parts.join(F.broadcast(offs), "_pid")
+        .select(
+            "t",
+            (F.col("_off") + F.sum("d").over(w_run)).cast("bigint").alias("concurrent"),
+        )
     )
     mx = run.agg(F.max("concurrent").alias("mc"))
     return (

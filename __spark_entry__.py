@@ -64,12 +64,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round 6 window = the 15 queries registered after the r5 window froze
 # (local-parity evidence only: 11 TPC-H shapes + preference pairs /
-# negative sampling / survival / OOO audit), the 7 whose implementation
+# negative sampling / survival / OOO audit), the 11 whose implementation
 # changed this round (VERDICT r5 scale fixes: equidepth histogram, RFM,
 # hybrid RRF, the LSH-bucket-cap minhash family, seasonal-decompose
-# offset uniformity), then 28 back-fills from the 43 stalest r1-only
-# rows (alphabetical; the remaining 15 r1-stale rows queue for r7 and
-# stay green on their r1 evidence + the local parity gate).
+# offset uniformity, plus the global-window eliminations: AUC,
+# distribution windows, max-concurrency, percentile) + the new bucket
+# audit, then back-fills from the 43 stalest r1-only rows (alphabetical;
+# the remaining r1-stale rows queue for r7 and stay green on their r1
+# evidence + the local parity gate).
 _DRIVER_WINDOW_R6 = (
     # never driver-verified: registered after the r5 window froze
     "ext_tpch_q4_shape",
@@ -122,13 +124,13 @@ _DRIVER_WINDOW_R6 = (
     "ext_join_broadcast_star",
     "ext_join_full_outer",
     "ext_join_left_null",
-    "ext_join_size_estimate",
+    "ext_percentile",  # changed in r6: distributed interpolated percentile
     "ext_join_tpch_q5",
 )
 
 # ROUND-7 ROTATION PLAN: back-fill from the then-stalest ledger rows —
-# the remaining r1-only rows first (ext_json_extract, ext_listagg,
-# ext_mad_outliers, ext_map_ops, ext_not_in_null, ext_percentile,
+# the remaining r1-only rows first (ext_join_size_estimate, ext_json_extract, ext_listagg,
+# ext_mad_outliers, ext_map_ops, ext_not_in_null,
 # ext_posexplode, ext_range_join, ext_referential_audit, ext_scalar_*,
 # ext_setops, ext_stats_moments, ext_table_diff, ext_topk_orderby),
 # then the oldest r2 rows (ext_array_ops, ext_pivot, ...) per

@@ -313,18 +313,55 @@ def ext_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="EXT exact percentiles (linear interpolation — both engines use the "
-    "same index = p·(n−1) definition, verified bit-equal). At 100 TB use "
-    "approx_percentile (t-digest) — exact percentile is a full sort per group.",
+    "same index = p·(n−1) definition, verified bit-equal). DISTRIBUTED, "
+    "AGGREGATE-FIRST: Spark's percentile() buffers every group member "
+    "in one aggregation state (OOM-class at 100 TB); instead one map-"
+    "side-combined groupBy(flag, qty) reduces the table to distinct "
+    "value counts, global_running_sum prefixes them within each flag, "
+    "and a distinct-value row covers 0-based positions "
+    "[cum−cnt, cum−1] — the six boundary positions per group are "
+    "picked by coverage and interpolated as v_lo + (v_hi − v_lo)·frac "
+    "with frac an exact binary quarter, so the two double ops round "
+    "identically to both engines' native quantile.",
 )
 def ext_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
-        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
-        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    l = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    per = l.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    run = global_running_sum(
+        per, ["l_quantity"], "cnt", "_cum", group_cols=("l_returnflag",)
+    )
+    stats = run.groupBy(F.col("l_returnflag").alias("_flag")).agg(
+        F.max("_cum").alias("_gn"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
+    pos = run.join(F.broadcast(stats), F.col("l_returnflag") == F.col("_flag"))
+    # index(p) = p·(n−1) = k + frac with k integer, frac ∈ {0,¼,½,¾};
+    # this distinct-value row holds positions [cum−cnt, cum−1]
+    picks = []
+    for tag, num, den in (("25", 1, 4), ("50", 1, 2), ("75", 3, 4)):
+        k = F.expr(f"({num} * (_gn - 1)) DIV {den}")
+        frac = F.expr(f"CAST(({num} * (_gn - 1)) % {den} AS DOUBLE) / {den}")
+
+        def covers(idx):
+            return (idx >= F.col("_cum") - F.col("cnt")) & (idx < F.col("_cum"))
+
+        lo = F.max(F.when(covers(k), F.col("l_quantity")))
+        hi = F.max(F.when(covers(k + 1), F.col("l_quantity")))
+        picks.append((tag, k, frac, lo, hi, covers))
+    cond = F.lit(False)  # OR of the six boundary positions
+    for _, k, _, _, _, covers in picks:
+        cond = cond | covers(k) | covers(k + 1)
+    boundary = pos.filter(cond)
+    agg = boundary.groupBy("l_returnflag").agg(
+        *[
+            (lo + (F.coalesce(hi, lo) - lo) * F.max(frac)).alias(f"p{tag}")
+            for tag, k, frac, lo, hi, _ in picks
+        ],
+        F.max("min_qty").alias("min_qty"),
+        F.max("max_qty").alias("max_qty"),
+    )
+    return agg
 
 
 @query(
@@ -1097,28 +1134,27 @@ def ext_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "use average ranks, kept integer by doubling (2*avg_rank = 2*min_rank "
     "+ tie_count - 1), so both engines aggregate identical int64s and "
     "the single final double division is correctly rounded. Scale shape: "
-    "ONE range shuffle (global_row_number) — rank(score) per tie group "
-    "is min(position), computed by a groupBy(score) that adds NO "
-    "exchange because RangePartitioning(score) already satisfies its "
-    "clustering requirement; the former unpartitioned rank()/count() "
-    "windows (whole events table through one WindowExec) are gone. No "
-    "pairwise O(n_pos*n_neg) comparison ever materializes.",
+    "AGGREGATE-FIRST — one map-side-combined groupBy(score) reduces the "
+    "events to distinct scores, then global_running_sum prefixes that "
+    "small frame: rank(tie group) = cum_cnt − cnt + 1, so the former "
+    "unpartitioned rank()/count() windows (whole events table through "
+    "one WindowExec) are gone and nothing data-sized is ranked row-"
+    "by-row. No pairwise O(n_pos*n_neg) comparison ever materializes.",
 )
 def ext_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
         F.floor(F.col("value") * 1000000).cast("bigint").alias("score"),
     )
-    rn = global_row_number(e, ["score"], "_grn")
-    # rank() = first position of the tie run; dbl_rank = 2*rank + cnt - 1
-    # is constant across the run, so positives contribute npos·dbl_rank
-    per_score = rn.groupBy("score").agg(
-        F.min("_grn").alias("min_rn"),
-        F.count("*").alias("cnt"),
-        F.sum("y").alias("npos"),
+    per_score = e.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("npos")
     )
-    agg = per_score.agg(
-        F.sum(F.col("npos") * (2 * F.col("min_rn") + F.col("cnt") - 1))
+    run = global_running_sum(per_score, ["score"], "cnt", "_cum")
+    # rank() = first position of the tie run = cum − cnt + 1;
+    # dbl_rank = 2·rank + cnt − 1 is constant across the run, so the
+    # positives contribute npos·dbl_rank
+    agg = run.agg(
+        F.sum(F.expr("npos * (2 * (_cum - cnt + 1) + cnt - 1)"))
         .cast("bigint")
         .alias("r2_pos"),
         F.sum("npos").cast("bigint").alias("n_pos"),
@@ -1224,6 +1260,59 @@ def global_ntile(
             + 1,
         )
         .drop("_ntile_mid", "_ntile_pid", "_ntile_r", "_ntile_off", "_ntile_n")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out_name: str,
+    group_cols: tuple = (),
+    num_parts: int = 32,
+) -> DataFrame:
+    """Distributed running (inclusive-prefix) sum of ``val_col`` over the
+    global ``order_cols`` order, optionally restarting per
+    ``group_cols`` group. The intended call pattern is AGGREGATE-FIRST:
+    pre-reduce the data to one row per distinct key, then prefix the
+    (much smaller) distinct frame — so the range shuffle here moves
+    distinct keys, not raw rows.
+
+    Mechanism: range-partition by (group_cols, order_cols) so groups are
+    contiguous and ordered; localCheckpoint for boundary consistency
+    (see global_ntile); per-(pid, group) totals → exclusive offsets via
+    a window over the tiny totals frame; within-partition prefix via a
+    pid-partitioned window (the checkpoint drops the range partitioning
+    info, so this costs one hash exchange of the distinct-key frame —
+    measured: LogicalRDD preserves hash, not range, partitioning)."""
+    keys = [*group_cols, *order_cols]
+    parts = (
+        df.repartitionByRange(num_parts, *keys)
+        .withColumn("_rs_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ptot = parts.groupBy("_rs_pid", *group_cols).agg(
+        F.sum(val_col).alias("_rs_pt")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols).orderBy("_rs_pid")
+        if group_cols
+        else Window.orderBy("_rs_pid")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_rs_pid",
+        *group_cols,
+        F.coalesce(F.sum("_rs_pt").over(w_off), F.lit(0)).alias("_rs_off"),
+    )
+    w_run = (
+        Window.partitionBy("_rs_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(offs), ["_rs_pid", *group_cols])
+        .withColumn(out_name, F.col("_rs_off") + F.sum(val_col).over(w_run))
+        .drop("_rs_pid", "_rs_off")
     )
 
 

@@ -528,28 +528,13 @@ def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
+    from adv_big_data_indexing_spark.operators.advanced import (  # noqa: PLC0415
+        global_running_sum,
+    )
+
     sweep = pts.groupBy("t").agg(F.sum("delta").alias("d"))
-    parts = (
-        sweep.repartitionByRange(32, "t")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    ptot = parts.groupBy("_pid").agg(F.sum("d").alias("_pd"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = ptot.select(
-        "_pid", F.coalesce(F.sum("_pd").over(w_off), F.lit(0)).alias("_off")
-    )
-    w_run = (
-        Window.partitionBy("_pid")
-        .orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run = (
-        parts.join(F.broadcast(offs), "_pid")
-        .select(
-            "t",
-            (F.col("_off") + F.sum("d").over(w_run)).cast("bigint").alias("concurrent"),
-        )
+    run = global_running_sum(sweep, ["t"], "d", "concurrent").select(
+        "t", F.col("concurrent").cast("bigint").alias("concurrent")
     )
     mx = run.agg(F.max("concurrent").alias("mc"))
     return (

@@ -55,15 +55,18 @@ def main() -> None:
     # Then per query: one more untimed run (plan re-derivation), best of
     # two timed runs — single-run timings on a 32-thread local JVM swing
     # ±0.3 s/query with machine noise, which would otherwise dominate the
-    # round-over-round comparison.
+    # round-over-round comparison. The timed unit REBUILDS the DataFrame
+    # inside the clock: several queries materialize an eager
+    # localCheckpoint during fn() (the rank machinery's boundary-
+    # consistency device), and timing only the downstream materialize
+    # would hide that work.
     timings: dict[str, float] = {}
     for name in names:
-        df = specs[name].fn(spark, sf_dir)
-        materialize(df)
+        materialize(specs[name].fn(spark, sf_dir))
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            materialize(df)
+            materialize(specs[name].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

@@ -280,10 +280,17 @@ def test_link_prediction_broadcasts_degrees(spark):
 
 def test_auc_single_scan_no_pairwise(spark):
     p = plan_of(spark, "ext_auc_exact")
-    # rank-sum identity: no join at all, one scan + windows + aggregate
-    assert "Join" not in p
+    # rank-sum identity, aggregate-first (r6): events reduce to distinct
+    # scores BEFORE the prefix machinery (that pre-agg + range shuffle
+    # live inside the checkpoint), offsets ride a broadcast, and the
+    # post-checkpoint plan ranks nothing row-by-row — no O(pos·neg)
+    # pairing anywhere
     assert "CartesianProduct" not in p
-    assert p.count("FileScan") == 1
+    assert "SortMergeJoin" not in p
+    assert "ExistingRDD" in p
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "row_number()" not in ln and "rank(" not in ln, ln
 
 
 def test_rollup_merge_partial_aggregation(spark):
@@ -350,6 +357,16 @@ def test_rfm_distributed_ntile_single_scan(spark):
     p = plan_of(spark, "ext_rfm_segmentation")
     _assert_no_global_ntile_window(p)
     assert "BroadcastHashJoin" in p
+
+
+def test_percentile_no_group_buffering(spark):
+    """r6: exact percentiles must come from the rank machinery, not
+    Spark's percentile() aggregate (which buffers every group member in
+    one aggregation state — OOM-class at scale)."""
+    p = plan_of(spark, "ext_percentile")
+    assert "percentile(" not in p
+    assert "ExistingRDD" in p  # the checkpointed ranked frame
+    assert "BroadcastHashJoin" in p  # group starts ride a broadcast
 
 
 def test_global_rank_machinery_is_deterministic(spark):

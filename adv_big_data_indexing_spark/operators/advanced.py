@@ -1077,7 +1077,11 @@ _PROFILE_COLS = (
     "unpivoted to (col, stats) rows presentation-side.",
 )
 def ext_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread() before the aggregate: the multi-countDistinct compiles to
+    # an Expand (7× the rows through the partial agg), and on the
+    # single-row-group local testdata that whole pipeline would run in
+    # ONE task (measured 11.7 s at sf0.1 → ~1.5 s spread)
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     aggs = [F.count("*").cast("bigint").alias("n_rows")]
     for c, _t in _PROFILE_COLS:
         aggs += [

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, quantize_vec
-from adv_big_data_indexing_spark.sources.catalog import load_table
+from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
 K_CLUSTERS = 8
 KMEANS_ITERS = 2
@@ -221,7 +221,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared Lloyd loop: returns the final (vec_id, q, cluster, d)
     assignment frame, checkpointed (it feeds multiple downstream stages)."""
     e = (
-        load_table(spark, sf_dir, "embeddings")
+        spread(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", quantize_vec(F.col("embedding")).alias("q"))
         # the quantized frame feeds 3+ downstream executions (each
         # assignment pass + the pairwise stage); materialize once. At
@@ -292,12 +292,21 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(K_CLUSTERS)
             ]
         )
-        # empty clusters keep their previous centroid
-        wide = wide.crossJoin(new_wide).select(
-            *[
-                F.coalesce(F.col(f"n{j}"), F.col(f"c{j}")).alias(f"c{j}")
-                for j in range(K_CLUSTERS)
-            ]
+        # empty clusters keep their previous centroid. localCheckpoint
+        # the ONE-ROW centroid frame per iteration: without it the wide
+        # chain nests every prior iteration's full plan and Catalyst
+        # re-analyzes a linearly deepening tree each pass (measured
+        # 9.6 → 7.0 s full-run at sf0.1; the rest is the per-job
+        # scheduling floor of an iterative algorithm at toy scale)
+        wide = (
+            wide.crossJoin(new_wide)
+            .select(
+                *[
+                    F.coalesce(F.col(f"n{j}"), F.col(f"c{j}")).alias(f"c{j}")
+                    for j in range(K_CLUSTERS)
+                ]
+            )
+            .localCheckpoint(eager=True)
         )
 
     return assign(e, wide).localCheckpoint(eager=True)

@@ -19,6 +19,11 @@ QUERIES = [
     "ns_hybrid_rrf_fusion",
     "ns_dedup_minhash_lsh",
     "ns_dedup_lsh_bucket_audit",
+    "ext_auc_exact",
+    "ext_percentile",
+    "ext_window_distribution",
+    "ts_max_concurrency",
+    "ns_negative_sampling",
 ]
 
 TABLES = (

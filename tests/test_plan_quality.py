@@ -369,6 +369,38 @@ def test_percentile_no_group_buffering(spark):
     assert "BroadcastHashJoin" in p  # group starts ride a broadcast
 
 
+def _assert_no_data_sized_rank_window(p: str) -> None:
+    """No row_number/rank/ntile WindowExec anywhere in the post-
+    checkpoint plan (the rank machinery's offset windows aggregate
+    counts, never rank rows)."""
+    assert "ntile(" not in p
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "row_number()" not in ln and "rank(" not in ln, ln
+
+
+def test_window_distribution_no_global_window(spark):
+    p = plan_of(spark, "ext_window_distribution")
+    _assert_no_data_sized_rank_window(p)
+    assert "ExistingRDD" in p
+
+
+def test_max_concurrency_distributed_prefix(spark):
+    p = plan_of(spark, "ts_max_concurrency")
+    _assert_no_data_sized_rank_window(p)
+    assert "ExistingRDD" in p
+    # the within-partition running sum is pid-partitioned, never global:
+    # every Window's spec must mention the machinery's pid column
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "_rs_pid" in ln, ln
+
+
+def test_negative_sampling_vocab_index_distributed(spark):
+    p = plan_of(spark, "ns_negative_sampling")
+    _assert_no_data_sized_rank_window(p)
+
+
 def test_global_rank_machinery_is_deterministic(spark):
     """Regression for the RangePartitioner boundary-resample bug: four
     builds of ext_auc_exact must agree exactly (pre-fix: four runs, four

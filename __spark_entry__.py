@@ -62,82 +62,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs/ROTATION_LEDGER.md (tools/rotation_ledger.py) records each query's
 # last driver-green round so staleness is auditable.
 #
-# Round 6 window = the 15 queries registered after the r5 window froze
-# (local-parity evidence only: 11 TPC-H shapes + preference pairs /
-# negative sampling / survival / OOO audit), the 11 whose implementation
-# changed this round (VERDICT r5 scale fixes: equidepth histogram, RFM,
-# hybrid RRF, the LSH-bucket-cap minhash family, seasonal-decompose
-# offset uniformity, plus the global-window eliminations: AUC,
-# distribution windows, max-concurrency, percentile) + the new bucket
-# audit, then back-fills from the 43 stalest r1-only rows (alphabetical;
-# the remaining r1-stale rows queue for r7 and stay green on their r1
-# evidence + the local parity gate).
-_DRIVER_WINDOW_R6 = (
-    # never driver-verified: registered after the r5 window froze
-    "ext_tpch_q4_shape",
-    "ext_tpch_q6_shape",
-    "ext_tpch_q8_shape",
-    "ext_tpch_q9_shape",
-    "ext_tpch_q10_shape",
-    "ext_tpch_q13_shape",
-    "ext_tpch_q15_shape",
-    "ext_tpch_q16_shape",
-    "ext_tpch_q17_shape",
-    "ext_tpch_q19_shape",
-    "ext_tpch_q22_shape",
-    "ns_preference_pairs",
-    "ns_negative_sampling",
-    "ts_survival_km",
-    "ts_ooo_audit",
-    # implementation changed in round 6 — need fresh rows
-    "ext_equidepth_histogram",
-    "ext_rfm_segmentation",
-    "ns_hybrid_rrf_fusion",
-    "ns_dedup_minhash_lsh",
-    "ns_minhash_jaccard_estimate",
-    "ns_dedup_incremental",
-    "ns_dedup_lsh_bucket_audit",  # new in r6 (the cap's observable)
-    "ext_auc_exact",  # changed in r6: distributed rank, no global window
-    "ext_window_distribution",  # changed in r6: global_row_number algebra
-    "ts_max_concurrency",  # changed in r6: distributed prefix sums
-    "ts_seasonal_decompose",
-    # stalest back-fill: last driver row was round 1
-    "doc_parents_having",
-    "doc_roundtrip_flat",
-    "doc_search_rehydrated",
-    "doc_shred_entities",
-    "ext_agg_cube",
-    "ext_agg_distinct",
-    "ext_agg_rollup",
-    "ext_approx_distinct_portable",
-    "ext_approx_percentile",
-    "ext_argmax",
-    "ext_bitwise",
-    "ext_bloom_semijoin",
-    "ext_conditionals",
-    "ext_correlated_above_avg",
-    "ext_fuzzy_join_levenshtein",
-    "ext_grouping_id",
-    "ext_grouping_sets",
-    "ext_histogram",
-    "ext_join_anti",
-    "ext_join_broadcast_star",
-    "ext_join_full_outer",
-    "ext_join_left_null",
-    "ext_percentile",  # changed in r6: distributed interpolated percentile
-    "ext_join_tpch_q5",
+# Round 7 window = the 13 queries whose implementation changed this
+# round (VERDICT r6 items 1/4/6 + ADVICE: the CMS pool-then-rank fix,
+# the per-lang text top-k pooling, every rank-machinery caller —
+# num_parts now derived from spark.sql.shuffle.partitions, RANGE-frame
+# prefix determinism, _consistent_materialize checkpoint switch — and
+# the three grouped-machinery rewrites: ext_window_ntile,
+# ns_corpus_shuffle, ns_preference_pairs), then back-fill per the
+# committed r7 plan: ALL 19 remaining r1-only ledger rows, then the 18
+# alphabetically-first r2 rows. After this round no query's last
+# driver-green is older than r2; the 11 leftover r2 rows (op_b4/b5/b6,
+# op_c1/c3/c4/c5, op_d1, op_f1/f2/f3) queue for r8.
+_DRIVER_WINDOW_R7 = (
+    # implementation changed in round 7 — need fresh rows
+    "ns_sketch_cms_heavy_hitters",  # pool-then-rank (VERDICT r6 item 1)
+    "ns_text_top_terms",  # _grouped_topk pooling (item 6)
+    "ns_text_heavy_hitters",  # _grouped_topk pooling (item 6)
+    "ext_window_distribution",  # degenerate-N guards (ADVICE r6)
+    "ext_equidepth_histogram",  # machinery: derived num_parts + ckpt switch
+    "ext_rfm_segmentation",  # machinery (inline melt)
+    "ext_auc_exact",  # machinery + RANGE-frame prefix
+    "ext_percentile",  # machinery + RANGE-frame prefix
+    "ts_max_concurrency",  # machinery + RANGE-frame prefix
+    "ns_negative_sampling",  # machinery (global_row_number vocab index)
+    "ext_window_ntile",  # r7 grouped_ntile (no per-segment one-task frame)
+    "ns_corpus_shuffle",  # r7 grouped_row_number (per-shard positions)
+    "ns_preference_pairs",  # r7 grouped_topk pools (per-source ranks)
+    # stalest back-fill: the 19 remaining rows whose last green was r1
+    "ext_join_size_estimate",
+    "ext_json_extract",
+    "ext_listagg",
+    "ext_mad_outliers",
+    "ext_map_ops",
+    "ext_not_in_null",
+    "ext_posexplode",
+    "ext_range_join",
+    "ext_referential_audit",
+    "ext_scalar_date",
+    "ext_scalar_date_arith",
+    "ext_scalar_hash",
+    "ext_scalar_math",
+    "ext_scalar_regex",
+    "ext_scalar_string",
+    "ext_setops",
+    "ext_stats_moments",
+    "ext_table_diff",
+    "ext_topk_orderby",
+    # then the oldest r2 rows, alphabetical
+    "doc_etag_pipeline",
+    "doc_get_mapping",
+    "ext_array_ops",
+    "ext_pivot",
+    "ns_dedup_exact",
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_simhash",
+    "op_a10_predicate_delete",
+    "op_a1_point_lookup",
+    "op_a2_existence_probe",
+    "op_a3_point_lookup_hash",
+    "op_a5_full_scan_limit",
+    "op_a6_upsert",
+    "op_a7_guarded_insert",
+    "op_a9_keyed_delete",
+    "op_b1_conjunctive_filter",
+    "op_b2_filter_by_id",
+    "op_b3_filter_by_routing",
 )
 
-# ROUND-7 ROTATION PLAN: back-fill from the then-stalest ledger rows —
-# the remaining r1-only rows first (ext_join_size_estimate, ext_json_extract, ext_listagg,
-# ext_mad_outliers, ext_map_ops, ext_not_in_null,
-# ext_posexplode, ext_range_join, ext_referential_audit, ext_scalar_*,
-# ext_setops, ext_stats_moments, ext_table_diff, ext_topk_orderby),
-# then the oldest r2 rows (ext_array_ops, ext_pivot, ...) per
-# docs/ROTATION_LEDGER.md.
+# ROUND-8 ROTATION PLAN: the 11 remaining r2 rows
+# (op_b4_range_predicate, op_b5_projection, op_b6_prefix_scan,
+# op_c1_reconstruct_flat, op_c3_has_child_range, op_c4_has_parent,
+# op_c5_edges, op_d1_hit_count, op_f1_key_synthesis, op_f2_content_hash,
+# op_f3_date_validation), then the oldest r3 rows per
+# docs/ROTATION_LEDGER.md (regenerate after the r7 driver run lands).
 
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R6 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R7 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -386,21 +386,31 @@ def ext_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     rn = global_row_number(c, ["c_acctbal", "c_custkey"], "_rn")
     n = rn.agg(F.max("_rn").alias("_n"))
+    # Degenerate-N guards (this shape is the template for future
+    # consumers, so make totality explicit rather than relying on lazy
+    # CaseWhen evaluation): when N < 4, lead = N so EVERY row takes the
+    # fill-rule branch (divisor _n DIV 4 + 1 >= 1, never zero) — the
+    # `_n < 4` disjunct states that; percent_rank is defined 0.0 for a
+    # one-row frame in both engines, where (rn-1)/(N-1) would be 0/0.
     lead = F.expr("(_n % 4) * (_n DIV 4 + 1)")
     quartile = (
-        F.when(F.col("_rn") <= lead, F.expr("(_rn - 1) DIV (_n DIV 4 + 1)"))
+        F.when(
+            (F.col("_n") < 4) | (F.col("_rn") <= lead),
+            F.expr("(_rn - 1) DIV (_n DIV 4 + 1)"),
+        )
         .otherwise(
             F.expr("_n % 4 + (_rn - (_n % 4) * (_n DIV 4 + 1) - 1) DIV (_n DIV 4)")
         )
         .cast("int")
         + 1
     )
+    pct_rank = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("_rn") - 1).cast("double") / (F.col("_n") - 1).cast("double")
+    )
     return rn.crossJoin(F.broadcast(n)).select(
         "c_custkey",
         quartile.alias("quartile"),
-        ((F.col("_rn") - 1).cast("double") / (F.col("_n") - 1).cast("double")).alias(
-            "pct_rank"
-        ),
+        pct_rank.alias("pct_rank"),
         (F.col("_rn").cast("double") / F.col("_n").cast("double")).alias("cume"),
     )
 
@@ -1180,8 +1190,48 @@ def ext_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _machinery_parts(df: DataFrame, num_parts: int | None) -> int:
+    """Range-partition count for the rank machinery. ``None`` (the
+    default everywhere) derives it from ``spark.sql.shuffle.partitions``
+    — the same knob that sizes every other shuffle — so a cluster sized
+    for 100 TB automatically gets 100 TB-grade parallelism here too; a
+    hardcoded 32 would mean ~3 TB per range partition at that scale.
+    The rank algebra itself is partition-count-agnostic (property-tested
+    across several counts in test_properties.py)."""
+    if num_parts is not None:
+        return num_parts
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def _consistent_materialize(df: DataFrame) -> DataFrame:
+    """Materialize the range-partitioned frame ONCE so both consumers
+    (the ranked rows and the per-partition counts) read identical
+    partition boundaries — RangePartitioner re-samples per
+    materialization, so without this the broadcast offsets can disagree
+    with the partition sizes they describe (see global_ntile).
+
+    Two modes, selected by session conf
+    ``spark.advbdi.rankMachinery.checkpoint``:
+
+    - ``local`` (default): ``localCheckpoint(eager=True)`` — executor-
+      local block storage, no HDFS round-trip. Right for local[...] and
+      for clusters where the ranked frame fits executor disks and jobs
+      tolerate recompute-from-scratch on executor loss (lineage is
+      dropped, so a lost block fails the job and it reruns).
+    - ``reliable``: ``checkpoint(eager=True)`` to the directory set via
+      ``spark.sparkContext.setCheckpointDir`` — survives executor loss
+      and doesn't size local disks by the data. The cluster-grade
+      setting (docs/RANK_MACHINERY.md §Checkpoint modes).
+    """
+    mode = df.sparkSession.conf.get("spark.advbdi.rankMachinery.checkpoint", "local")
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def global_ntile(
-    df: DataFrame, k: int, order_cols: list, bucket_name: str, num_parts: int = 32
+    df: DataFrame, k: int, order_cols: list, bucket_name: str,
+    num_parts: int | None = None,
 ) -> DataFrame:
     """Exact ``ntile(k) OVER (ORDER BY order_cols)`` without a global
     single-partition sort (VERDICT r5 items 3-4: the former shipped shape
@@ -1216,7 +1266,10 @@ def global_ntile(
     ``order_cols`` must be a total order (callers tie-break on a key
     column) or ranks — and therefore buckets — would be nondeterministic.
 
-    The ranked frame is localCheckpoint'ed: RangePartitioner samples its
+    The ranked frame is materialized once (_consistent_materialize:
+    localCheckpoint by default, reliable checkpoint under
+    ``spark.advbdi.rankMachinery.checkpoint=reliable`` for clusters —
+    docs/RANK_MACHINERY.md): RangePartitioner samples its
     boundaries with an RNG seeded by the RDD id, so two materializations
     of the "same" exchange pick DIFFERENT boundaries whenever exchange
     reuse misses (e.g. divergent column pruning between the ranked and
@@ -1226,12 +1279,11 @@ def global_ntile(
     One materialization, both consumers read it; same device as
     ext_tpch_q15_shape's revenue view.
     """
-    parts = (
-        df.repartitionByRange(num_parts, *order_cols)
+    parts = _consistent_materialize(
+        df.repartitionByRange(_machinery_parts(df, num_parts), *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_ntile_mid", F.monotonically_increasing_id())
         .withColumn("_ntile_pid", F.expr("CAST(_ntile_mid DIV 8589934592 AS INT)"))
-        .localCheckpoint(eager=True)
     )
     ranked = parts.withColumn(
         "_ntile_r", F.expr("_ntile_mid % 8589934592 + 1").cast("bigint")
@@ -1273,7 +1325,7 @@ def global_running_sum(
     val_col: str,
     out_name: str,
     group_cols: tuple = (),
-    num_parts: int = 32,
+    num_parts: int | None = None,
 ) -> DataFrame:
     """Distributed running (inclusive-prefix) sum of ``val_col`` over the
     global ``order_cols`` order, optionally restarting per
@@ -1282,18 +1334,27 @@ def global_running_sum(
     (much smaller) distinct frame — so the range shuffle here moves
     distinct keys, not raw rows.
 
+    Deterministic for NON-distinct (group, order) keys too: the within-
+    partition prefix uses a RANGE frame, so every row of a tie run gets
+    the run-inclusive prefix (standard SQL RANGE semantics) — a pure
+    function of the key, whatever the physical row order. For distinct
+    keys (every current caller) RANGE and ROWS coincide. The former
+    ROWS frame handed tied rows arbitrary intermediate prefixes — a
+    contract that lived only in the docstring (ADVICE r6).
+
     Mechanism: range-partition by (group_cols, order_cols) so groups are
-    contiguous and ordered; localCheckpoint for boundary consistency
-    (see global_ntile); per-(pid, group) totals → exclusive offsets via
-    a window over the tiny totals frame; within-partition prefix via a
-    pid-partitioned window (the checkpoint drops the range partitioning
-    info, so this costs one hash exchange of the distinct-key frame —
-    measured: LogicalRDD preserves hash, not range, partitioning)."""
+    contiguous and ordered (equal keys always land in one partition);
+    consistent materialization for boundary stability (see
+    _consistent_materialize); per-(pid, group) totals → exclusive
+    offsets via a window over the tiny totals frame; within-partition
+    prefix via a pid-partitioned window (the checkpoint drops the range
+    partitioning info, so this costs one hash exchange of the
+    distinct-key frame — measured: LogicalRDD preserves hash, not
+    range, partitioning)."""
     keys = [*group_cols, *order_cols]
-    parts = (
-        df.repartitionByRange(num_parts, *keys)
+    parts = _consistent_materialize(
+        df.repartitionByRange(_machinery_parts(df, num_parts), *keys)
         .withColumn("_rs_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
     ptot = parts.groupBy("_rs_pid", *group_cols).agg(
         F.sum(val_col).alias("_rs_pt")
@@ -1308,10 +1369,14 @@ def global_running_sum(
         *group_cols,
         F.coalesce(F.sum("_rs_pt").over(w_off), F.lit(0)).alias("_rs_off"),
     )
+    # RANGE, not ROWS: CURRENT ROW means "last peer", so tied keys all
+    # read the tie-run-inclusive prefix — deterministic without a
+    # distinctness precondition (no offset bound, so multi-column
+    # ordering is fine).
     w_run = (
         Window.partitionBy("_rs_pid", *group_cols)
         .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         parts.join(F.broadcast(offs), ["_rs_pid", *group_cols])
@@ -1321,7 +1386,7 @@ def global_running_sum(
 
 
 def global_row_number(
-    df: DataFrame, order_cols: list, rn_name: str, num_parts: int = 32
+    df: DataFrame, order_cols: list, rn_name: str, num_parts: int | None = None
 ) -> DataFrame:
     """Global 1-based row position over ``order_cols`` with ONE range
     shuffle — the same mechanism as :func:`global_ntile` (range
@@ -1333,12 +1398,11 @@ def global_row_number(
     after the range sort, so the positions inside a run are a
     permutation of a fixed interval. localCheckpoint'ed for the same
     boundary-consistency reason as global_ntile (see its docstring)."""
-    parts = (
-        df.repartitionByRange(num_parts, *order_cols)
+    parts = _consistent_materialize(
+        df.repartitionByRange(_machinery_parts(df, num_parts), *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_grn_mid", F.monotonically_increasing_id())
         .withColumn("_grn_pid", F.expr("CAST(_grn_mid DIV 8589934592 AS INT)"))
-        .localCheckpoint(eager=True)
     )
     cnts = parts.groupBy("_grn_pid").agg(F.count("*").alias("_grn_c"))
     w_off = Window.orderBy("_grn_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -1350,6 +1414,133 @@ def global_row_number(
         parts.join(F.broadcast(offs), "_grn_pid")
         .withColumn(rn_name, F.expr("_grn_off + _grn_mid % 8589934592 + 1"))
         .drop("_grn_mid", "_grn_pid", "_grn_off")
+    )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    rn_name: str,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY order)`` for
+    LOW-cardinality groups without routing any group's full frame
+    through one task (round 7; the grouped sibling of
+    :func:`global_row_number`).
+
+    A plain ``Window.partitionBy(group)`` hash-shuffles every row of a
+    group to ONE partition — with few groups (market segments, shards,
+    sources) that is a data-sized frame per task at 100 TB. Here the
+    range partitioner orders by (group, order), so groups are
+    contiguous ordered runs ACROSS partitions and every partition stays
+    ~|df|/P rows whatever the group skew:
+
+    1. range partition + local sort + ``monotonically_increasing_id``
+       (pid and local rank from one narrow project — see global_ntile).
+    2. per-(pid, group) count and min-id: since a group spans at most
+       (group_size/partition_size + 2) partitions, this stats frame has
+       ~num_parts + |groups| rows — constant-ish, broadcast back.
+    3. rank = exclusive prefix of the group's counts over earlier pids
+       + (mid − min_mid + 1).
+
+    For HIGH-cardinality groups use the plain window — hash
+    partitioning is already parallel there and needs no machinery.
+    ``(group_cols, order_cols)`` must be a total order for
+    deterministic output, same contract as global_row_number.
+    """
+    keys = [*group_cols, *order_cols]
+    parts = _consistent_materialize(
+        df.repartitionByRange(_machinery_parts(df, num_parts), *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_grp_mid", F.monotonically_increasing_id())
+        .withColumn("_grp_pid", F.expr("CAST(_grp_mid DIV 8589934592 AS INT)"))
+    )
+    st = parts.groupBy("_grp_pid", *group_cols).agg(
+        F.count("*").alias("_grp_c"), F.min("_grp_mid").alias("_grp_min")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_grp_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = st.select(
+        "_grp_pid",
+        *group_cols,
+        "_grp_min",
+        F.coalesce(F.sum("_grp_c").over(w_off), F.lit(0)).alias("_grp_off"),
+    )
+    return (
+        parts.join(F.broadcast(offs), ["_grp_pid", *group_cols])
+        .withColumn(
+            rn_name, (F.col("_grp_off") + F.col("_grp_mid") - F.col("_grp_min") + 1)
+        )
+        .drop("_grp_mid", "_grp_pid", "_grp_min", "_grp_off")
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    k: int,
+    group_cols: list,
+    order_cols: list,
+    bucket_name: str,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (PARTITION BY group ORDER BY order)`` for
+    LOW-cardinality groups: :func:`grouped_row_number` for the
+    per-group rank, per-group N broadcast back, then ntile's exact fill
+    rule in int64 arithmetic (identical to :func:`global_ntile`'s; the
+    q = 0 small-N case never reaches the second branch since
+    r(q+1) = N)."""
+    rn = grouped_row_number(df, group_cols, order_cols, "_gnt_rk", num_parts)
+    ng = rn.groupBy(*group_cols).agg(F.count("*").alias("_gnt_n"))
+    lead = (F.col("_gnt_n") % k) * (F.expr(f"_gnt_n DIV {k}") + 1)
+    return (
+        rn.join(F.broadcast(ng), list(group_cols))
+        .withColumn(
+            bucket_name,
+            F.when(
+                F.col("_gnt_rk") <= lead,
+                F.expr(f"(_gnt_rk - 1) DIV (_gnt_n DIV {k} + 1)"),
+            )
+            .otherwise(
+                F.expr(
+                    f"_gnt_n % {k} + (_gnt_rk"
+                    f" - (_gnt_n % {k}) * (_gnt_n DIV {k} + 1) - 1)"
+                    f" DIV (_gnt_n DIV {k})"
+                )
+            )
+            .cast("int")
+            + 1,
+        )
+        .drop("_gnt_rk", "_gnt_n")
+    )
+
+
+def grouped_topk(df: DataFrame, group_col: str, order_cols, k: int) -> DataFrame:
+    """Per-group top-k without ranking any group's full frame in one
+    task — the POOLING sibling of :func:`grouped_row_number` for when
+    only k rows per group survive (per-language top terms, per-source
+    preference pools).
+
+    Rank twice: first inside each (group, physical-slice) cell — each
+    cell is ~|df|/P rows whatever the group skew — keep each cell's
+    top-k, then rank the pooled <= k*P rows per group. Output is
+    identical to the direct per-group rank window because a group's
+    global top-k is contained in the union of its per-slice top-k sets,
+    and the (order, tiebreak) ordering is total. Adds column ``rnk``
+    (int), filtered to rnk <= k."""
+    local = Window.partitionBy(group_col, "_tk_slice").orderBy(*order_cols)
+    pooled = (
+        df.withColumn("_tk_slice", F.spark_partition_id())
+        .withColumn("_tk_rk", F.row_number().over(local))
+        .filter(F.col("_tk_rk") <= k)
+        .drop("_tk_slice", "_tk_rk")
+    )
+    final = Window.partitionBy(group_col).orderBy(*order_cols)
+    return pooled.withColumn("rnk", F.row_number().over(final).cast("int")).filter(
+        F.col("rnk") <= k
     )
 
 
@@ -1424,13 +1615,12 @@ def ext_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.col("m_id").asc(), F.col("val").desc(), F.col("o_custkey").asc()]
     # localCheckpoint: boundary consistency between the ranked and counts
     # consumers (see global_ntile's docstring)
-    parts = (
-        long.repartitionByRange(32, *order)
+    parts = _consistent_materialize(
+        long.repartitionByRange(_machinery_parts(long, None), *order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.expr("CAST(_mid DIV 8589934592 AS INT)"))
         .withColumn("_r", F.expr("_mid % 8589934592 + 1"))
-        .localCheckpoint(eager=True)
     )
     cnts = parts.groupBy("_pid").agg(F.count("*").alias("_c"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

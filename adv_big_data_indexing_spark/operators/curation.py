@@ -274,25 +274,29 @@ _SHUF_SALT = "shuffle42"
     "is (shard, pos) with shard = md5-bucket mod N and pos = rank of the "
     "full md5 within the shard — a total order that is reproducible from "
     "the seed alone (restartable training, auditable sampling), yet never "
-    "computes a global sort: the only shuffle is the hash partition, and "
-    "each shard orders independently (the window is per-shard, so at "
-    "100 TB this is one exchange + per-partition sort, the same shape "
-    "files-per-shard manifests want anyway).",
+    "computes a global sort OR a per-shard single-task rank: with N "
+    "shards a Window.partitionBy(shard) frame is corpus/N rows through "
+    "one task (r7 fix) — grouped_row_number (operators/advanced.py) "
+    "range-partitions by (shard, h, doc_id) and reassembles exact "
+    "per-shard positions from broadcast per-(partition, shard) offsets, "
+    "so every task holds ~corpus/P rows regardless of shard count.",
 )
 def ns_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
+    from adv_big_data_indexing_spark.operators.advanced import (  # noqa: PLC0415
+        grouped_row_number,
+    )
     from adv_big_data_indexing_spark.operators.sampling import hash_bucket  # noqa: PLC0415
 
     d = load_table(spark, sf_dir, "documents")
     h = F.md5(F.concat_ws(":", F.lit(_SHUF_SALT), F.col("doc_id").cast("string")))
     shard = (hash_bucket(F.col("doc_id"), salt=_SHUF_SALT) % N_SHUFFLE_SHARDS).cast("int")
-    w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    return (
-        d.select("doc_id", h.alias("h"), shard.alias("shard"))
-        .withColumn("pos", F.row_number().over(w).cast("bigint"))
-        .select("doc_id", "shard", "pos")
+    ranked = grouped_row_number(
+        d.select("doc_id", h.alias("h"), shard.alias("shard")),
+        ["shard"],
+        ["h", "doc_id"],
+        "pos",
     )
+    return ranked.select("doc_id", "shard", F.col("pos").cast("bigint").alias("pos"))
 
 
 # ---------------------------------------------------------------------------
@@ -568,14 +572,13 @@ PREF_PAIRS_PER_SOURCE = 3
     "source, the i-th most lexically-diverse doc (integer-ppm "
     "distinct-token ratio, fully tie-broken) is zipped with the i-th "
     "least diverse, i <= 3, self-pairs dropped. One scan to the scored "
-    "table, two windows on the SAME (source) partitioning (one "
-    "exchange), and a per-source join of two 3-row slices. The score "
-    "column is pluggable — in production it is a reward-model output; "
-    "the pairing machinery is what this op contracts.",
+    "table, two pooled per-source top-k passes (grouped_topk — no "
+    "data-sized per-source frame, r7), and a per-source join of two "
+    "3-row slices. The score column is pluggable — in production it is "
+    "a reward-model output; the pairing machinery is what this op "
+    "contracts.",
 )
 def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
     d = load_table(spark, sf_dir, "documents")
     scored = (
         d.select(
@@ -596,24 +599,28 @@ def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_q"),
         )
     )
-    w_top = Window.partitionBy("source").orderBy(F.desc("score_q"), "doc_id")
-    w_bot = Window.partitionBy("source").orderBy(F.asc("score_q"), "doc_id")
-    ranked = scored.select(
-        "doc_id",
-        "source",
-        "score_q",
-        F.row_number().over(w_top).alias("r_top"),
-        F.row_number().over(w_bot).alias("r_bot"),
+    # r7: sources are LOW-cardinality, so the former per-source rank
+    # windows pulled corpus/|sources| rows through one task each; only
+    # K rows per source survive per direction, so pool with
+    # grouped_topk (per-slice rank → k*P pool → final rank; identical
+    # output, no data-sized frame — operators/advanced.py)
+    from adv_big_data_indexing_spark.operators.advanced import (  # noqa: PLC0415
+        grouped_topk,
     )
-    t = ranked.filter(F.col("r_top") <= PREF_PAIRS_PER_SOURCE).select(
+
+    t = grouped_topk(
+        scored, "source", [F.desc("score_q"), F.asc("doc_id")], PREF_PAIRS_PER_SOURCE
+    ).select(
         "source",
-        F.col("r_top").cast("int").alias("pair_rank"),
+        F.col("rnk").cast("int").alias("pair_rank"),
         F.col("doc_id").alias("chosen_doc_id"),
         F.col("score_q").alias("chosen_score_q"),
     )
-    b = ranked.filter(F.col("r_bot") <= PREF_PAIRS_PER_SOURCE).select(
+    b = grouped_topk(
+        scored, "source", [F.asc("score_q"), F.asc("doc_id")], PREF_PAIRS_PER_SOURCE
+    ).select(
         F.col("source").alias("b_source"),
-        F.col("r_bot").cast("int").alias("b_rank"),
+        F.col("rnk").cast("int").alias("b_rank"),
         F.col("doc_id").alias("rejected_doc_id"),
         F.col("score_q").alias("rejected_score_q"),
     )

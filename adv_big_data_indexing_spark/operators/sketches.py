@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.functions.text import token_rows, tokens
@@ -98,14 +97,13 @@ def ns_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ri", "b")
         .agg(F.sum("exact_count").cast("bigint").alias("cnt"))
     )
-    top = (
-        exact.withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.col("exact_count").desc(), F.col("w"))),
-        )
-        .filter(F.col("rk") <= CMS_TOP)
-        .drop("rk")
-    )
+    # Top-k pool via ordered take (TakeOrderedAndProject), never a rank
+    # window over the full vocabulary: at web scale the distinct-token
+    # table is 1e8+ rows, and an unpartitioned row_number would pull all
+    # of it through one task. The (exact_count DESC, w) tiebreak makes
+    # the take deterministic, so the pool equals the oracle's QUALIFY
+    # rk <= CMS_TOP set exactly.
+    top = exact.orderBy(F.col("exact_count").desc(), F.col("w")).limit(CMS_TOP)
     probes = top.select(
         F.col("w").alias("token"),
         "exact_count",

@@ -301,6 +301,13 @@ def ns_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-group top-k pooling lives with the rest of the grouped rank
+# machinery (round 7); re-exported here for the per-language consumers.
+from adv_big_data_indexing_spark.operators.advanced import (  # noqa: E402
+    grouped_topk as _grouped_topk,
+)
+
+
 @query(
     "ns_text_heavy_hitters",
     oracle=f"""
@@ -318,25 +325,23 @@ def ns_text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="NS per-language heavy hitters: top-10 tokens per stratum "
     "(vocabulary drift / contamination monitoring). Count shuffles on "
-    "(lang, token) with map-side partial aggregation; the rank window "
-    "then runs over the tiny per-language count table. At 100 TB swap "
-    "the exact count for a count-min sketch only if the token "
-    "vocabulary itself outgrows memory.",
+    "(lang, token) with map-side partial aggregation; the top-k then "
+    "pools per (lang, slice) before the per-language rank (_grouped_topk)"
+    " so no task ever holds a language's full vocabulary — with few "
+    "languages a plain per-lang window is one task per language. At "
+    "100 TB swap the exact count for a count-min sketch only if the "
+    "token vocabulary itself outgrows memory.",
 )
 def ns_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = spread(load_table(spark, sf_dir, "documents"))
     counts = (
         token_rows(d, ["lang"])
         .groupBy("lang", "w")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("w"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("lang", F.col("w").alias("token"), "freq", "rnk")
+    top = _grouped_topk(counts, "lang", [F.col("freq").desc(), F.col("w")], 10)
+    return top.select(
+        "lang", F.col("w").alias("token"), "freq", F.col("rnk").cast("bigint").alias("rnk")
     )
 
 
@@ -458,26 +463,21 @@ TOP_TERMS_K = 5
     """,
     doc="NS per-language top terms: the vocabulary profile a corpus report "
     "leads with (and the input to stopword-list induction). One shuffle "
-    "to (lang, term) counts with map-side combine, then a per-language "
-    "top-k window over the counts — the window input is the aggregated "
-    "vocabulary, never the token stream, so at 100 TB the ranked set is "
-    "|vocab| rows, not |tokens|. Deterministic tie-break by term.",
+    "to (lang, term) counts with map-side combine, then pooled top-k per "
+    "language (_grouped_topk: per-slice rank, keep k, re-rank the k*P "
+    "pool) — the ranked set is |vocab|/P rows per task, never a whole "
+    "language's vocabulary through one partition. Deterministic "
+    "tie-break by term.",
 )
 def ns_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = spread(load_table(spark, sf_dir, "documents"))
     counts = (
         token_rows(d, ["lang"])
         .groupBy("lang", "w")
         .agg(F.count("*").alias("freq"))
     )
-    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("w"))
-    return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_TERMS_K)
-        .select("lang", F.col("w").alias("term"), "freq", F.col("rnk").cast("int").alias("rnk"))
-    )
+    top = _grouped_topk(counts, "lang", [F.col("freq").desc(), F.col("w")], TOP_TERMS_K)
+    return top.select("lang", F.col("w").alias("term"), "freq", "rnk")
 
 
 # --- Inverted-index phrase search ------------------------------------------

@@ -1697,9 +1697,15 @@ _DEC_OFF = 1 << 40
     "shape on the value dimension.",
 )
 def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = 2 * DECOMP_HALF + 1
     e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(
+    return seasonalize(detrend_hourly(hourly_series(e)))
+
+
+def hourly_series(events: DataFrame) -> DataFrame:
+    """(event_type, h, x): the exact-integer hourly rollup both the batch
+    decompose and its streaming twin fold (map-side combined — the only
+    data-sized stage of the decomposition)."""
+    return events.groupBy(
         "event_type",
         ((epoch_us("ts") - epoch_us("ts") % 3_600_000_000) / 3_600_000_000)
         .cast("bigint")
@@ -1709,6 +1715,17 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("x")
     )
+
+
+def detrend_hourly(hourly: DataFrame) -> DataFrame:
+    """Trend + detrended columns for every hour with a FULL centered
+    window (wcnt == 2*HALF+1 over the per-type ROWS frame). Shared by
+    the batch query and the streaming twin's per-batch step: a row's
+    frame is its ±HALF neighbors in h-order, so running this on any
+    h-prefix of the series yields exactly the full-data rows whose 12th
+    follower lies inside the prefix — the streaming watermark argument
+    (streaming/events.py:run_streaming_seasonal)."""
+    m = 2 * DECOMP_HALF + 1
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")
@@ -1723,7 +1740,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ADVICE r5: the trend division was the one signed division left
     # unoffset — uniform _DEC_OFF shift like every other division here
-    dt = tr.filter(F.col("wcnt") == m).select(
+    return tr.filter(F.col("wcnt") == m).select(
         "event_type",
         "h",
         "x",
@@ -1732,6 +1749,12 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "detrended"
         ),
     )
+
+
+def seasonalize(dt: DataFrame) -> DataFrame:
+    """Hour-of-day seasonal index (re-centered to sum ~0) over the
+    detrended rows, joined back broadcast — the final decomposition
+    columns. Shared by batch and the streaming finalize."""
     seas = dt.groupBy("event_type", (F.col("h") % 24).alias("hod")).agg(
         F.expr(
             f"(sum(detrended) + {_DEC_OFF} * count(*)) DIV count(*) - {_DEC_OFF}"

@@ -631,7 +631,10 @@ def lttb_window_monitor(
 # ---------------------------------------------------------------------------
 
 LOCF_OUTPUT = "user_id long, bucket_start timestamp, filled_m long, is_gap boolean"
-LOCF_STATE = "pend_bucket bigint, pend_x bigint"
+LOCF_STATE = (
+    "pend_bucket bigint, pend_x bigint, pend_ts_us bigint, pend_eid bigint,"
+    " n_late bigint"
+)
 
 
 def locf_monitor(events: DataFrame) -> DataFrame:
@@ -641,11 +644,23 @@ def locf_monitor(events: DataFrame) -> DataFrame:
     every empty bucket in between emitted as a carried-forward gap row —
     TimescaleDB's time_bucket_gapfill/locf as an incremental recurrence.
 
-    State is TWO bigints per user (the pending bucket and its current
-    last value); on in-order input the emitted rows equal the batch
-    operator's output restricted to buckets strictly before each user's
-    last observed bucket (the final bucket stays pending — a stream
-    cannot know it is over).
+    Out-of-order hardened (ADVICE r6): a row whose bucket is BEHIND the
+    pending bucket arrives only via a late micro-batch — its bucket's
+    row (observed or gap) is already in the append sink, so re-emitting
+    would write a second, contradictory row for the same bucket_start.
+    Such rows are DROPPED and counted in state (``n_late``, the
+    monitor's lateness observable — the same drop-and-count contract as
+    Spark's own watermark on append sinks). Within the pending bucket,
+    "last observation wins" is enforced by (ts, event_id) comparison
+    against state, so a late row of the CURRENT bucket can never roll
+    the carried value back either. In-order input is unaffected: the
+    emitted rows equal the batch operator's output restricted to
+    buckets strictly before each user's last observed bucket (the final
+    bucket stays pending — a stream cannot know it is over).
+
+    State is five bigints per user: pending bucket, its carried value,
+    the (ts_us, event_id) of the winning observation, and the late-drop
+    count.
     """
     import pandas as pd  # noqa: PLC0415
 
@@ -655,9 +670,14 @@ def locf_monitor(events: DataFrame) -> DataFrame:
         import math  # noqa: PLC0415
 
         (user_id,) = key
-        pend_b, pend_x = (
-            (int(state.get[0]), int(state.get[1])) if state.exists else (None, None)
-        )
+        if state.exists:
+            s = state.get
+            pend_b, pend_x, pend_ts, pend_eid, n_late = (
+                int(s[0]), int(s[1]), int(s[2]), int(s[3]), int(s[4])
+            )
+        else:
+            pend_b = pend_x = pend_ts = pend_eid = None
+            n_late = 0
         out = {c: [] for c in ("user_id", "bucket_start", "filled_m", "is_gap")}
 
         def emit(bucket, x_m, gap):
@@ -669,18 +689,27 @@ def locf_monitor(events: DataFrame) -> DataFrame:
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         for _, row in pdf.iterrows():
-            bucket = (int(row["ts"].value) // 1000) // 3_600_000_000
+            ts_us = int(row["ts"].value) // 1000
+            eid = int(row["event_id"])
+            bucket = ts_us // 3_600_000_000
             x = int(math.floor(float(row["value"]) * 1000.0))
             if pend_b is None:
-                pend_b, pend_x = bucket, x
+                pend_b, pend_x, pend_ts, pend_eid = bucket, x, ts_us, eid
+            elif bucket < pend_b:
+                n_late += 1  # bucket already finalized in the sink: drop
             elif bucket == pend_b:
-                pend_x = x  # later observation in the same bucket wins
+                # later observation in the same bucket wins — by event
+                # order, not arrival order (cross-batch late rows lose)
+                if (ts_us, eid) > (pend_ts, pend_eid):
+                    pend_x, pend_ts, pend_eid = x, ts_us, eid
             else:
                 emit(pend_b, pend_x, False)
                 for g in range(pend_b + 1, bucket):
                     emit(g, pend_x, True)
-                pend_b, pend_x = bucket, x
-        state.update((int(pend_b), int(pend_x)))
+                pend_b, pend_x, pend_ts, pend_eid = bucket, x, ts_us, eid
+        state.update(
+            (int(pend_b), int(pend_x), int(pend_ts), int(pend_eid), int(n_late))
+        )
         yield pd.DataFrame(out)
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -690,3 +719,163 @@ def locf_monitor(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming STL-style seasonal decomposition (incremental index maintenance)
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_seasonal(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    delay_hours: int = 1,
+) -> "StreamingQuery":
+    """Streaming twin of ``ts_seasonal_decompose`` (VERDICT r6 item 7):
+    watermark-bounded incremental maintenance of the hourly series, the
+    trend/detrended rows, and (through them) the hour-of-day seasonal
+    index, in ``foreachBatch`` with the exactly-once batch_id guard of
+    ``run_streaming_cms``.
+
+    Per batch:
+
+    1. Fold the batch into the per-(event_type, hour) rollup state —
+       additive merge, late rows (hour <= the watermark as of the
+       PREVIOUS batch) dropped and counted, exactly the contract of a
+       Spark watermarked aggregation in append mode.
+    2. Advance the watermark: wm_h = max observed hour − delay_hours.
+       Hours <= wm_h are FINAL: a later event for them would be late,
+       so neither their x nor the SET of such hours can change again.
+    3. Emit every newly trend-complete row: ``detrend_hourly`` (the
+       IDENTICAL expressions the batch operator uses —
+       operators/timeseries.py) over the frozen prefix yields exactly
+       the full-data rows whose +HALF'th following ROW lies inside the
+       prefix, because a row's centered ROWS frame never reaches past
+       that follower; an anti-join against already-emitted (type, h)
+       keys makes the append idempotent at the row level too.
+
+    The seasonal index is a pure aggregate of the emitted detrended
+    rows, so maintaining the rows maintains the index;
+    ``streaming_seasonal_result`` materializes it at any point. A true
+    unbounded-stream decomposition cannot exist (the index is defined
+    over the whole detrended history — same impossibility class as
+    streaming LTTB), so the deployable form is exactly this: exact
+    incremental trend rows + an index over everything emitted so far.
+
+    State tables under ``state_dir``: ``hourly`` (event_type, h, x,
+    n_late, batch_id) and ``dt`` (event_type, h, x, trend_q, detrended).
+    State is O(observed hours), not O(events) — the 100 TB shape.
+    """
+    from pyspark.sql import functions as F
+
+    from adv_big_data_indexing_spark.operators.timeseries import (
+        DECOMP_HALF,
+        detrend_hourly,
+        hourly_series,
+    )
+
+    import os
+
+    hourly_dir = os.path.join(state_dir, "hourly")
+    dt_dir = os.path.join(state_dir, "dt")
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+
+        prev = None
+        applied = -1
+        if os.path.exists(hourly_dir):
+            prev = spark.read.parquet(hourly_dir)
+            applied = prev.agg(F.max("batch_id")).collect()[0][0]
+        if batch_id <= applied:
+            return  # replay of an already-applied batch (exactly-once)
+
+        delta = hourly_series(batch)
+        if prev is not None:
+            prev_h = prev.select("event_type", "h", "x")
+            prev_wm = prev.agg(
+                F.max("h") - F.lit(delay_hours)
+            ).collect()[0][0]
+            n_late_prev = prev.agg(F.max("n_late")).collect()[0][0]
+            late = delta.filter(F.col("h") <= prev_wm)
+            n_late = n_late_prev + late.count()
+            delta = delta.filter(F.col("h") > prev_wm)
+            merged = (
+                prev_h.withColumnRenamed("x", "px")
+                .join(delta.withColumnRenamed("x", "dx"),
+                      ["event_type", "h"], "full_outer")
+                .select(
+                    "event_type",
+                    "h",
+                    (
+                        F.coalesce(F.col("px"), F.lit(0))
+                        + F.coalesce(F.col("dx"), F.lit(0))
+                    ).cast("bigint").alias("x"),
+                )
+            )
+        else:
+            merged = delta
+            n_late = 0
+
+        out = merged.withColumn("n_late", F.lit(n_late).cast("bigint")).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        tmp = hourly_dir + ".tmp"
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(hourly_dir)
+
+        # trend-complete rows inside the frozen (<= watermark) prefix
+        cur = spark.read.parquet(hourly_dir)
+        wm_h = cur.agg(F.max("h") - F.lit(delay_hours)).collect()[0][0]
+        frozen = cur.select("event_type", "h", "x").filter(F.col("h") <= wm_h)
+        ready = detrend_hourly(frozen)
+        if os.path.exists(dt_dir):
+            seen = spark.read.parquet(dt_dir)
+            new = ready.join(
+                seen.select("event_type", "h"), ["event_type", "h"], "left_anti"
+            )
+            new.coalesce(1).write.mode("append").parquet(dt_dir)
+        else:
+            ready.coalesce(1).write.mode("overwrite").parquet(dt_dir)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_seasonal_result(
+    spark: "SparkSession", state_dir: str, finalize: bool = False
+) -> DataFrame:
+    """Decomposition over everything the incremental state has emitted:
+    ``seasonalize`` (the batch operator's own seasonal-index + join
+    expressions) on the maintained ``dt`` rows. With ``finalize=True``
+    the stream is declared OVER: the watermark lifts, the tail hours
+    (those whose centered window was still awaiting future rows) are
+    detrended from the final hourly state and included — the result
+    then equals the batch operator on the same data EXACTLY
+    (tests/test_streaming.py::test_streaming_seasonal_matches_batch).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adv_big_data_indexing_spark.operators.timeseries import (
+        detrend_hourly,
+        seasonalize,
+    )
+
+    dt = spark.read.parquet(os.path.join(state_dir, "dt"))
+    dt = dt.select("event_type", "h", "x", "trend_q", "detrended")
+    if finalize:
+        hourly = spark.read.parquet(os.path.join(state_dir, "hourly")).select(
+            "event_type", "h", "x"
+        )
+        tail = detrend_hourly(hourly).join(
+            dt.select("event_type", "h"), ["event_type", "h"], "left_anti"
+        )
+        dt = dt.unionByName(tail)
+    return seasonalize(dt)

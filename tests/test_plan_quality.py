@@ -166,17 +166,15 @@ def test_phrase_search_probe_not_scan(spark):
 
 def test_corpus_shuffle_no_global_sort(spark):
     """The training-order shuffle must never compile to a single-partition
-    global window: shard is a hash bucket, pos a per-shard rank."""
+    global window — and since r7, not to a per-shard rank window either
+    (corpus/N_SHARDS rows through one task): grouped_row_number
+    reassembles positions from broadcast per-(partition, shard) offsets,
+    so no rank window survives at all."""
     p = plan_of(spark, "ns_corpus_shuffle")
-    # per-shard window: partition spec present (not an empty PARTITION BY)
-    assert "row_number()" in p
-    assert "hashpartitioning(shard" in p
-    # no global-sort Exchange SinglePartition feeding the window
-    import re
-
-    window_blocks = [b for b in p.split("\n") if "Window" in b]
-    assert window_blocks, p
     assert "SinglePartition" not in p
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "row_number()" not in ln, ln
 
 
 def test_quality_curriculum_broadcasts_decile_map(spark):
@@ -213,6 +211,54 @@ def test_cms_event_types_partial_aggregates(spark):
     (ri, b) partial counts — d*w rows — not one row per event."""
     p = plan_of(spark, "ts_cms_event_types")
     assert "partial_count" in p
+
+
+@pytest.mark.parametrize("name", ["ext_window_ntile", "ns_corpus_shuffle"])
+def test_grouped_rank_machinery_no_group_window(spark, name):
+    """r7: per-group ntile/row_number over LOW-cardinality groups
+    (market segments, shards) must use the grouped rank machinery —
+    no rank/ntile WindowExec anywhere (the offset windows aggregate
+    per-(pid, group) counts, never rank rows), and the offsets ride a
+    broadcast join back onto the checkpointed range-partitioned frame."""
+    p = plan_of(spark, name)
+    assert "ntile(" not in p
+    for ln in p.splitlines():
+        if "Window [" in ln:
+            assert "row_number()" not in ln and "rank(" not in ln, ln
+    assert "ExistingRDD" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_preference_pairs_pooled_topk(spark):
+    """r7: the per-source chosen/rejected ranks must pool per
+    (source, slice) first — every rank Window spec except the two final
+    pool rankings mentions the slice column."""
+    p = plan_of(spark, "ns_preference_pairs")
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(win_lines) == 4, p  # 2 directions x (local + pool)
+    assert sum("_tk_slice" in ln for ln in win_lines) == 2, "\n".join(win_lines)
+
+
+def test_cms_heavy_hitters_pooled_take_no_vocab_window(spark):
+    """VERDICT r6 item 1: the top-k pool must come from an ordered take
+    (per-partition heaps), never a row_number window over the full
+    distinct-token table — vocab is 1e8+ rows at web scale and an
+    unpartitioned rank pulls all of it through one task."""
+    p = plan_of(spark, "ns_sketch_cms_heavy_hitters")
+    assert "Window [" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+@pytest.mark.parametrize("name", ["ns_text_top_terms", "ns_text_heavy_hitters"])
+def test_per_lang_topk_pools_before_rank(spark, name):
+    """VERDICT r6 item 6: the per-language rank must never run over a
+    language's full vocabulary in one task. _grouped_topk ranks inside
+    (lang, slice) cells first, so every Window spec partitions by the
+    slice column except the final one over the k*P pool."""
+    p = plan_of(spark, name)
+    win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
+    assert len(win_lines) == 2, p
+    assert sum("_tk_slice" in ln for ln in win_lines) == 1, "\n".join(win_lines)
 
 
 def test_bm25_no_explode_and_ordered_take(spark):

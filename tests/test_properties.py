@@ -298,12 +298,14 @@ def test_pair_explode_matches_combinations(spark, baskets):
 @given(
     vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=200),
     k=st.integers(2, 9),
+    num_parts=st.sampled_from([1, 3, 7, 32, None]),
 )
-def test_global_ntile_matches_window_ntile(spark, vals, k):
+def test_global_ntile_matches_window_ntile(spark, vals, k, num_parts):
     """The distributed exact ntile (range shuffle + mid-rank + broadcast
     offsets) must equal Spark's own ntile window under the identical
     total order — for any size (including n < k), any tie pattern, any
-    sign."""
+    sign, and any range-partition count (None = derived from
+    spark.sql.shuffle.partitions, the r7 default)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -314,7 +316,7 @@ def test_global_ntile_matches_window_ntile(spark, vals, k):
     )
     got = {
         r.id: r.b
-        for r in global_ntile(df, k, ["v", "id"], "b", num_parts=7).collect()
+        for r in global_ntile(df, k, ["v", "id"], "b", num_parts=num_parts).collect()
     }
     exp = {
         r.id: r.b
@@ -323,3 +325,125 @@ def test_global_ntile_matches_window_ntile(spark, vals, k):
         ).collect()
     }
     assert got == exp
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-10, 10)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_global_running_sum_deterministic_on_ties(spark, rows):
+    """ADVICE r6: global_running_sum must be total — with NON-distinct
+    order keys, every row of a tie run reads the run-inclusive prefix
+    (SQL RANGE semantics), a pure function of the key, never an
+    arbitrary intermediate ROWS prefix."""
+    from adv_big_data_indexing_spark.operators.advanced import global_running_sum
+
+    df = spark.createDataFrame(rows, "t: long, d: long")
+    got = global_running_sum(df, ["t"], "d", "run").collect()
+    per_key: dict[int, int] = {}
+    for t, d in rows:
+        per_key[t] = per_key.get(t, 0) + d
+    pref, acc = {}, 0
+    for t in sorted(per_key):
+        acc += per_key[t]
+        pref[t] = acc
+    assert got, "empty result"
+    for r in got:
+        assert r.run == pref[r.t], (r, pref)
+
+
+def test_rank_machinery_reliable_checkpoint_mode(spark):
+    """VERDICT r6 item 5: under spark.advbdi.rankMachinery.checkpoint=
+    reliable the machinery writes to the SparkContext checkpoint dir
+    (survives executor loss; local disks not sized by the data) and
+    produces the identical buckets."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from adv_big_data_indexing_spark.operators.advanced import global_ntile
+
+    cp_dir = "/root/repo/.cp_reliable_test"
+    spark.sparkContext.setCheckpointDir(cp_dir)
+    spark.conf.set("spark.advbdi.rankMachinery.checkpoint", "reliable")
+    try:
+        df = spark.range(200).select(
+            F.col("id"), (F.col("id") * 37 % 11).alias("v")
+        )
+        got = {
+            r.id: r.b for r in global_ntile(df, 4, ["v", "id"], "b").collect()
+        }
+        exp = {
+            r.id: r.b
+            for r in df.select(
+                "id", F.ntile(4).over(Window.orderBy("v", "id")).alias("b")
+            ).collect()
+        }
+        assert got == exp
+    finally:
+        spark.conf.set("spark.advbdi.rankMachinery.checkpoint", "local")
+        shutil.rmtree(cp_dir, ignore_errors=True)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.integers(2, 7),
+    num_parts=st.sampled_from([1, 5, 32, None]),
+)
+def test_grouped_ntile_matches_window_ntile(spark, rows, k, num_parts):
+    """r7 grouped machinery: grouped_ntile/grouped_row_number must equal
+    Spark's own per-group windows under the identical total order — any
+    group sizes (including singleton and empty groups), ties, signs,
+    partition counts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from adv_big_data_indexing_spark.operators.advanced import (
+        grouped_ntile,
+        grouped_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id: long, g: long, v: long"
+    )
+    got_b = {
+        r.id: r.b
+        for r in grouped_ntile(
+            df, k, ["g"], ["v", "id"], "b", num_parts=num_parts
+        ).collect()
+    }
+    got_rn = {
+        r.id: r.rn
+        for r in grouped_row_number(
+            df, ["g"], ["v", "id"], "rn", num_parts=num_parts
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    exp = {
+        r.id: (r.b, r.rn)
+        for r in df.select(
+            "id",
+            F.ntile(k).over(w).alias("b"),
+            F.row_number().over(w).alias("rn"),
+        ).collect()
+    }
+    for rid, (eb, ern) in exp.items():
+        assert got_b[rid] == eb, (rid, got_b[rid], eb)
+        assert got_rn[rid] == ern, (rid, got_rn[rid], ern)

@@ -819,3 +819,148 @@ def test_streaming_locf_matches_batch(spark, tmp_path):
         (2, "2024-01-01T01:00:00"): (1250, True),
     }
     assert got == exp
+
+
+def test_streaming_locf_drops_late_buckets(spark, tmp_path):
+    """ADVICE r6 regression: an event for a bucket BEHIND the pending
+    one (late micro-batch) must be dropped — not regress state, not
+    re-emit its already-finalized bucket_start with a conflicting value
+    — and a late row of the CURRENT bucket must not roll the carried
+    value back (event order wins, not arrival order)."""
+    import time
+
+    batch1 = [
+        (1, "2024-01-01 00:10:00", 1, "click", 5.0),
+        (2, "2024-01-01 02:05:00", 1, "click", 7.0),  # hour 0 emitted, gap 1
+    ]
+    batch2 = [
+        # late: hour 0 already in the sink — must be dropped entirely
+        (3, "2024-01-01 00:50:00", 1, "click", 99.0),
+        # late within pending hour 2: earlier (ts,eid) than eid=2's obs?
+        # no — 02:01 < 02:05, so it must NOT displace 7.0
+        (4, "2024-01-01 02:01:00", 1, "click", 42.0),
+        # in-order advance: closes hour 2 with the surviving 7.0
+        (5, "2024-01-01 05:30:00", 1, "click", 8.0),
+    ]
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs,
+            "event_id long, ts_s string, user_id long, event_type string, value double",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    src = str(tmp_path / "locf_ooo_src")
+    mk(batch1).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    mk(batch2).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(mk(batch1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_memory(spark, ev.locf_monitor(stream), "t_locf_ooo", "append")
+    rows = out.collect()
+    per_bucket: dict[str, list] = {}
+    for r in rows:
+        per_bucket.setdefault(r.bucket_start.isoformat(), []).append(
+            (r.filled_m, r.is_gap)
+        )
+    # exactly one row per bucket — no duplicate contradictory emissions
+    assert all(len(v) == 1 for v in per_bucket.values()), per_bucket
+    assert per_bucket == {
+        "2024-01-01T00:00:00": [(5000, False)],
+        "2024-01-01T01:00:00": [(5000, True)],
+        "2024-01-01T02:00:00": [(7000, False)],  # 42.0 did not displace
+        "2024-01-01T03:00:00": [(7000, True)],
+        "2024-01-01T04:00:00": [(7000, True)],
+    }, per_bucket
+
+
+def test_streaming_seasonal_matches_batch(spark, tmp_path):
+    """VERDICT r6 item 7: the incremental seasonal-decompose state
+    (foreachBatch hourly fold + watermark-frozen trend rows) must (a)
+    emit trend rows INCREMENTALLY — before finalize, exactly the rows
+    whose centered window closed under the watermark — and (b) after
+    finalize equal the batch operator on the same data EXACTLY."""
+    import time
+
+    from adv_big_data_indexing_spark.operators.timeseries import (
+        detrend_hourly,
+        hourly_series,
+        seasonalize,
+    )
+
+    rows = [
+        (
+            h * 10 + k,
+            f"2024-01-{1 + h // 24:02d} {h % 24:02d}:{5 + 17 * k % 50:02d}:00",
+            1 + k,
+            ["click", "view"][h % 2 == 0 and k % 2],
+            float((h * 7 + k * 3) % 13) + 0.25 * k,
+        )
+        for h in range(60)
+        for k in range(2)
+    ]
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs,
+            "event_id long, ts_s string, user_id long, event_type string, value double",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    src = str(tmp_path / "seasonal_src")
+    state = str(tmp_path / "seasonal_state")
+    ck = str(tmp_path / "seasonal_ck")
+    all_df = mk(rows)
+    mk([r for r in rows if int(r[0]) // 10 < 40]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    mk([r for r in rows if int(r[0]) // 10 >= 40]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(all_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ev.run_streaming_seasonal(stream, state, ck)
+    q.awaitTermination(180)
+
+    def keyed(df):
+        return {
+            (r.event_type, r.h): (r.x, r.trend_q, r.seasonal_q, r.resid_q)
+            for r in df.collect()
+        }
+
+    batch = seasonalize(detrend_hourly(hourly_series(all_df)))
+
+    # (a) incremental rows exist pre-finalize and are the watermark-
+    # closed subset of the batch detrended rows (wm = 59 - 1 = 58)
+    pre_dt = spark.read.parquet(state + "/dt")
+    assert pre_dt.count() > 0
+    batch_dt = {
+        (r.event_type, r.h): (r.x, r.trend_q, r.detrended)
+        for r in detrend_hourly(hourly_series(all_df)).collect()
+    }
+    pre = {
+        (r.event_type, r.h): (r.x, r.trend_q, r.detrended)
+        for r in pre_dt.collect()
+    }
+    for key, v in pre.items():
+        assert batch_dt[key] == v, key
+    assert set(pre), "no incremental trend rows emitted"
+    assert set(pre) != set(batch_dt), (
+        "tail rows should still be pending before finalize"
+    )
+
+    # (b) finalized streaming result == batch operator, exactly
+    final = ev.streaming_seasonal_result(spark, state, finalize=True)
+    assert keyed(final) == keyed(batch)

@@ -447,6 +447,18 @@ def test_negative_sampling_vocab_index_distributed(spark):
     _assert_no_data_sized_rank_window(p)
 
 
+def test_grouped_rank_machinery_is_deterministic(spark):
+    """Same RangePartitioner boundary-consistency regression as the
+    global probe, for the r7 grouped machinery path (ns_corpus_shuffle:
+    per-shard positions from broadcast per-(partition, shard) offsets):
+    three builds must agree exactly."""
+    outs = set()
+    for _ in range(3):
+        rows = registry()["ns_corpus_shuffle"].fn(spark, SF_CORRECTNESS).collect()
+        outs.add(tuple(sorted(map(str, rows))))
+    assert len(outs) == 1, "nondeterministic grouped rank"
+
+
 def test_global_rank_machinery_is_deterministic(spark):
     """Regression for the RangePartitioner boundary-resample bug: four
     builds of ext_auc_exact must agree exactly (pre-fix: four runs, four

@@ -571,11 +571,13 @@ PREF_PAIRS_PER_SOURCE = 3
     "construction a data pipeline runs over scored generations: per "
     "source, the i-th most lexically-diverse doc (integer-ppm "
     "distinct-token ratio, fully tie-broken) is zipped with the i-th "
-    "least diverse, i <= 3, self-pairs dropped. One scan to the scored "
-    "table, two pooled per-source top-k passes (grouped_topk — no "
-    "data-sized per-source frame, r7), and a per-source join of two "
-    "3-row slices. The score column is pluggable — in production it is "
-    "a reward-model output; the pairing machinery is what this op "
+    "least diverse, i <= 3, self-pairs dropped. ONE corpus scan (r7): "
+    "both directions pool per (source, slice) off one exchange — no "
+    "data-sized per-source frame — and the chosen/rejected zip is an "
+    "explode + tiny groupBy, not a self-join (a t JOIN b forks the plan "
+    "and re-derives the scored subtree per branch; measured: two "
+    "scans). The score column is pluggable — in production it is a "
+    "reward-model output; the pairing machinery is what this op "
     "contracts.",
 )
 def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,49 +602,94 @@ def ns_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # r7: sources are LOW-cardinality, so the former per-source rank
-    # windows pulled corpus/|sources| rows through one task each; only
-    # K rows per source survive per direction, so pool with
-    # grouped_topk (per-slice rank → k*P pool → final rank; identical
-    # output, no data-sized frame — operators/advanced.py)
-    from adv_big_data_indexing_spark.operators.advanced import (  # noqa: PLC0415
-        grouped_topk,
-    )
+    # windows pulled corpus/|sources| rows through one task each. Pool
+    # BOTH directions in ONE corpus pass (grouped_topk twice would scan
+    # and tokenize the corpus twice): two per-(source, slice) windows
+    # share one exchange — the true per-source top-k/bottom-k sets are
+    # contained in the union of per-slice top-k/bottom-k sets, and
+    # because the pool rankings use the identical total orders, rows
+    # that entered the pool for the OTHER direction can never steal a
+    # rank <= k. No data-sized per-source frame anywhere.
+    from pyspark.sql.window import Window  # noqa: PLC0415
 
-    t = grouped_topk(
-        scored, "source", [F.desc("score_q"), F.asc("doc_id")], PREF_PAIRS_PER_SOURCE
-    ).select(
-        "source",
-        F.col("rnk").cast("int").alias("pair_rank"),
-        F.col("doc_id").alias("chosen_doc_id"),
-        F.col("score_q").alias("chosen_score_q"),
+    k = PREF_PAIRS_PER_SOURCE
+    w_lt = Window.partitionBy("source", "_tk_slice").orderBy(
+        F.desc("score_q"), F.asc("doc_id")
     )
-    b = grouped_topk(
-        scored, "source", [F.asc("score_q"), F.asc("doc_id")], PREF_PAIRS_PER_SOURCE
-    ).select(
-        F.col("source").alias("b_source"),
-        F.col("rnk").cast("int").alias("b_rank"),
-        F.col("doc_id").alias("rejected_doc_id"),
-        F.col("score_q").alias("rejected_score_q"),
+    w_lb = Window.partitionBy("source", "_tk_slice").orderBy(
+        F.asc("score_q"), F.asc("doc_id")
+    )
+    pooled = (
+        scored.withColumn("_tk_slice", F.spark_partition_id())
+        .withColumn("_lt", F.row_number().over(w_lt))
+        .withColumn("_lb", F.row_number().over(w_lb))
+        .filter((F.col("_lt") <= k) | (F.col("_lb") <= k))
+        .drop("_tk_slice", "_lt", "_lb")
+    )
+    w_top = Window.partitionBy("source").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    w_bot = Window.partitionBy("source").orderBy(F.asc("score_q"), F.asc("doc_id"))
+    ranked = pooled.select(
+        "doc_id",
+        "source",
+        "score_q",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+    )
+    # Pair the i-th best with the i-th worst WITHOUT a self-join (a
+    # t ⋈ b join forks the plan and Catalyst re-derives the whole
+    # scored subtree per branch — measured: two corpus scans): each
+    # pooled row explodes into up to two (rank, side) records and ONE
+    # tiny groupBy(source, rank) zips the sides. Both sides exist for
+    # every rank <= min(k, n_docs) by construction, so max(struct)
+    # picks the single candidate per side.
+    long = ranked.select(
+        "source",
+        "doc_id",
+        "score_q",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("r_top") <= k,
+                        F.struct(
+                            F.col("r_top").cast("int").alias("pair_rank"),
+                            F.lit(True).alias("is_chosen"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("r_bot") <= k,
+                        F.struct(
+                            F.col("r_bot").cast("int").alias("pair_rank"),
+                            F.lit(False).alias("is_chosen"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e"),
+    )
+    zipped = long.groupBy("source", F.col("e.pair_rank").alias("pair_rank")).agg(
+        F.max(
+            F.when(F.col("e.is_chosen"), F.struct("doc_id", "score_q"))
+        ).alias("c"),
+        F.max(
+            F.when(~F.col("e.is_chosen"), F.struct("doc_id", "score_q"))
+        ).alias("r"),
     )
     return (
-        t.join(
-            b,
-            (F.col("source") == F.col("b_source"))
-            & (F.col("pair_rank") == F.col("b_rank")),
-        )
+        zipped
         # the score guard matters for tiny sources (2-4 docs), where the
         # i-th best and i-th worst cross over and would emit an INVERTED
         # preference; dropped on both sides identically
         .filter(
-            (F.col("chosen_doc_id") != F.col("rejected_doc_id"))
-            & (F.col("chosen_score_q") >= F.col("rejected_score_q"))
+            (F.col("c.doc_id") != F.col("r.doc_id"))
+            & (F.col("c.score_q") >= F.col("r.score_q"))
         )
         .select(
             "source",
             "pair_rank",
-            "chosen_doc_id",
-            "chosen_score_q",
-            "rejected_doc_id",
-            "rejected_score_q",
+            F.col("c.doc_id").alias("chosen_doc_id"),
+            F.col("c.score_q").alias("chosen_score_q"),
+            F.col("r.doc_id").alias("rejected_doc_id"),
+            F.col("r.score_q").alias("rejected_score_q"),
         )
     )

@@ -229,14 +229,19 @@ def test_grouped_rank_machinery_no_group_window(spark, name):
     assert "BroadcastHashJoin" in p
 
 
-def test_preference_pairs_pooled_topk(spark):
+def test_preference_pairs_pooled_topk_single_pass(spark):
     """r7: the per-source chosen/rejected ranks must pool per
-    (source, slice) first — every rank Window spec except the two final
-    pool rankings mentions the slice column."""
+    (source, slice) first (no data-sized per-source frame), and the
+    chosen/rejected zip must NOT be a self-join — a t ⋈ b join forks
+    the plan and re-derives the scored corpus subtree per branch
+    (measured: two scans). One scan, 4 windows (2 slice-local pools +
+    2 pool-sized finals), explode + tiny groupBy zip."""
     p = plan_of(spark, "ns_preference_pairs")
     win_lines = [ln for ln in p.splitlines() if "Window [" in ln]
-    assert len(win_lines) == 4, p  # 2 directions x (local + pool)
+    assert len(win_lines) == 4, p
     assert sum("_tk_slice" in ln for ln in win_lines) == 2, "\n".join(win_lines)
+    assert p.count("FileScan") == 1, p
+    assert "Join" not in p, p
 
 
 def test_cms_heavy_hitters_pooled_take_no_vocab_window(spark):

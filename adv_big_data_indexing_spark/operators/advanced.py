@@ -1203,30 +1203,49 @@ def _machinery_parts(df: DataFrame, num_parts: int | None) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
-def _consistent_materialize(df: DataFrame) -> DataFrame:
-    """Materialize the range-partitioned frame ONCE so both consumers
-    (the ranked rows and the per-partition counts) read identical
-    partition boundaries — RangePartitioner re-samples per
+def consistent_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """THE repo-wide checkpoint point: every operator that truncates
+    lineage (rank-machinery boundary consistency, iterative frontiers,
+    quantized-embedding reuse, BPE merge chains) calls this — usually
+    as ``.transform(consistent_materialize)`` inside a method chain —
+    so ONE session conf flips the whole engine between local and
+    cluster-grade checkpointing.
+
+    For the rank machinery specifically this also pins correctness, not
+    just reuse: the range-partitioned frame must materialize ONCE so
+    both consumers (the ranked rows and the per-partition counts) read
+    identical partition boundaries — RangePartitioner re-samples per
     materialization, so without this the broadcast offsets can disagree
     with the partition sizes they describe (see global_ntile).
 
-    Two modes, selected by session conf
-    ``spark.advbdi.rankMachinery.checkpoint``:
+    Two modes, selected by session conf ``spark.advbdi.checkpoint``:
 
-    - ``local`` (default): ``localCheckpoint(eager=True)`` — executor-
-      local block storage, no HDFS round-trip. Right for local[...] and
-      for clusters where the ranked frame fits executor disks and jobs
+    - ``local`` (default): ``localCheckpoint`` — executor-local block
+      storage, no distributed-FS round-trip. Right for local[...] and
+      for clusters where the frame fits executor disks and jobs
       tolerate recompute-from-scratch on executor loss (lineage is
       dropped, so a lost block fails the job and it reruns).
-    - ``reliable``: ``checkpoint(eager=True)`` to the directory set via
+    - ``reliable``: ``checkpoint`` to the directory set via
       ``spark.sparkContext.setCheckpointDir`` — survives executor loss
       and doesn't size local disks by the data. The cluster-grade
       setting (docs/RANK_MACHINERY.md §Checkpoint modes).
     """
-    mode = df.sparkSession.conf.get("spark.advbdi.rankMachinery.checkpoint", "local")
+    mode = df.sparkSession.conf.get("spark.advbdi.checkpoint", "local")
     if mode == "reliable":
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def lazy_consistent_materialize(df: DataFrame) -> DataFrame:
+    """``consistent_materialize`` with ``eager=False`` in a
+    ``.transform(...)``-friendly shape (for reuse hints that should not
+    force a materialization barrier of their own)."""
+    return consistent_materialize(df, eager=False)
+
+
+# the rank machinery's internal alias (kept for the docstrings that
+# reference the boundary-consistency argument by this name)
+_consistent_materialize = consistent_materialize
 
 
 def global_ntile(
@@ -1268,7 +1287,7 @@ def global_ntile(
 
     The ranked frame is materialized once (_consistent_materialize:
     localCheckpoint by default, reliable checkpoint under
-    ``spark.advbdi.rankMachinery.checkpoint=reliable`` for clusters —
+    ``spark.advbdi.checkpoint=reliable`` for clusters —
     docs/RANK_MACHINERY.md): RangePartitioner samples its
     boundaries with an RNG seeded by the RDD id, so two materializations
     of the "same" exchange pick DIFFERENT boundaries whenever exchange

@@ -34,6 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.operators.advanced import (
+    consistent_materialize,
+)
 from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, quantize_vec
 from adv_big_data_indexing_spark.sources.catalog import load_table, spread
 
@@ -227,7 +230,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # assignment pass + the pairwise stage); materialize once. At
         # cluster scale this is persist(DISK) of the embeddings table —
         # the standard trade for any iterative algorithm.
-        .localCheckpoint(eager=True)
+        .transform(consistent_materialize)
     )
 
     def wide_centroids(cent: DataFrame, j_col: str, c_col: str) -> DataFrame:
@@ -292,7 +295,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(K_CLUSTERS)
             ]
         )
-        # empty clusters keep their previous centroid. localCheckpoint
+        # empty clusters keep their previous centroid. consistent_materialize
         # the ONE-ROW centroid frame per iteration: without it the wide
         # chain nests every prior iteration's full plan and Catalyst
         # re-analyzes a linearly deepening tree each pass (measured
@@ -306,10 +309,10 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for j in range(K_CLUSTERS)
                 ]
             )
-            .localCheckpoint(eager=True)
+            .transform(consistent_materialize)
         )
 
-    return assign(e, wide).localCheckpoint(eager=True)
+    return assign(e, wide).transform(consistent_materialize)
 
 
 @query(

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.operators.advanced import (
+    consistent_materialize,
+)
 from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, int_dot, quantize_vec
 from adv_big_data_indexing_spark.functions.text import (
     DUCK_BASE48,
@@ -629,7 +632,7 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one quantization pass: the collect AND the mapInPandas input read
     # the checkpointed frame instead of re-executing the pipeline
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(consistent_materialize)
     # Bounded collect: fetch at most cap+1 rows so a too-big candidate
     # side fails fast with a routing hint instead of driver-OOMing.
     rows = e.limit(MAX_EXACT_CANDIDATES + 1).collect()
@@ -702,7 +705,7 @@ def ns_dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
         "vec_id", quantize_vec(F.col("embedding")).alias("q")
     )
-    e = e.localCheckpoint(eager=True)  # one quantization pass (see above)
+    e = e.transform(consistent_materialize)  # one quantization pass (see above)
     rows = e.limit(MAX_EXACT_CANDIDATES + 1).collect()
     if len(rows) > MAX_EXACT_CANDIDATES:
         raise ValueError(

@@ -13,8 +13,10 @@ edge set contracts toward a star per component; convergence is
 O(log^2 n) rounds (O(log n) observed), independent of component
 diameter — unlike naive label propagation, which needs diameter
 rounds and diameter can be O(n) in chain-shaped near-dup clusters
-(doc1~doc2~doc3~...). Every round ends in ``localCheckpoint`` to
-truncate lineage (iterative plans otherwise grow exponentially).
+(doc1~doc2~doc3~...). Every round ends in ``consistent_materialize``
+(operators/advanced.py: localCheckpoint, or reliable checkpoint under
+``spark.advbdi.checkpoint=reliable``) to truncate lineage (iterative
+plans otherwise grow exponentially).
 
 The reference has no graph layer at all (its dedup story stops at
 Elasticsearch search hits — src/utils/elasticSearch.ts); this is
@@ -30,6 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.operators.advanced import (
+    consistent_materialize,
+)
 from adv_big_data_indexing_spark.operators.dedup import (
     _DUCK_SHINGLE_CTE,
     JACCARD_THRESHOLD,
@@ -95,10 +100,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
 
     `edges` needs columns (a, b); orientation and duplicates don't matter.
     """
-    e = _canon(edges).localCheckpoint(eager=True)
+    e = _canon(edges).transform(consistent_materialize)
     fp = _fingerprint(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e)).transform(consistent_materialize)
         fp2 = _fingerprint(e2)
         e = e2
         if fp2 == fp:
@@ -364,7 +369,7 @@ def ns_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncate the join-tree lineage (same rationale as
         # connected_components). At real scale this is persist() of a
         # |nations|²-row frame.
-        .localCheckpoint(eager=True)
+        .transform(consistent_materialize)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     nodes = n.select(F.col("n_nationkey").alias("v"), "n_name")

@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.operators.advanced import (
+    consistent_materialize,
+    lazy_consistent_materialize,
+)
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
 def ordered_pairs_sql(alias1: str, alias2: str) -> str:
@@ -100,7 +104,7 @@ def ns_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.col("l_orderkey").alias("bask"), F.col("l_partkey").alias("item"))
         .groupBy("bask")
         .agg(F.sort_array(F.collect_set("item")).alias("arr"))
-        .localCheckpoint(eager=True)
+        .transform(consistent_materialize)
     )
     ic = (
         baskets.select(F.explode("arr").alias("item"))
@@ -194,7 +198,7 @@ def ns_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .groupBy("p")
         .agg(F.sort_array(F.collect_set("s")).alias("arr"))
-        .localCheckpoint(eager=True)
+        .transform(consistent_materialize)
     )
     deg = (
         parts.select(F.explode("arr").alias("s"))
@@ -269,7 +273,7 @@ BFS_SOURCE_SUPPKEY = 1
     "2k for parts, 2k+1 for suppliers). Spark runs layered frontier "
     "expansion: per hop, frontier ⋈ edges minus visited (left_anti) — "
     "each iteration is ONE shuffle keyed on node id, the loop state is "
-    "the frontier (localCheckpoint truncates lineage exactly like "
+    "the frontier (consistent_materialize truncates lineage exactly like "
     "connected_components/pagerank), and work per layer is "
     "O(frontier-adjacent edges), the textbook Pregel superstep. The "
     "DuckDB oracle is the recursive-UNION CTE (set semantics dedup "
@@ -285,7 +289,7 @@ def ns_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = fwd.unionAll(
         sp.select((F.col("p") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(consistent_materialize)
 
     src = BFS_SOURCE_SUPPKEY * 2 + 1
     # Only each hop's FRONTIER is eagerly checkpointed (it feeds the next
@@ -294,7 +298,7 @@ def ns_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # growing visited set again.
     frontier = spark.createDataFrame(
         [(src, 0)], "node bigint, hop int"
-    ).localCheckpoint(eager=True)
+    ).transform(consistent_materialize)
     layers = [frontier]
     for hop in range(1, BFS_MAX_HOPS + 1):
         visited_nodes = layers[0].select("node")
@@ -309,7 +313,7 @@ def ns_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             # lazy checkpoint: the count() below is the ONE action that
             # both materializes the checkpoint and sizes the frontier
             # (ADVICE r5: eager + isEmpty was two jobs per layer)
-            .localCheckpoint(eager=False)
+            .transform(lazy_consistent_materialize)
         )
         if nxt.count() == 0:
             break
@@ -499,7 +503,7 @@ def ns_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(consistent_materialize)
     )
     # vocab indexing via the distributed global_row_number (one range
     # shuffle) — a catalog-scale vocabulary must not rank through a

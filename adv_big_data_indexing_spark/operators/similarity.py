@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.operators.advanced import (
+    consistent_materialize,
+)
 from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, int_dot_fixed, quantize_vec
 from adv_big_data_indexing_spark.functions.text import DUCK_BASE48
 from adv_big_data_indexing_spark.sources.catalog import load_table
@@ -337,7 +340,7 @@ def ns_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rescore sides); checkpoint it once instead of re-executing the
     # quantization pipeline per side. At real scale this is the
     # "signatures table" any LSH index materializes anyway.
-    return _lsh_topk(spark, _quantized(spark, sf_dir).localCheckpoint(eager=True))
+    return _lsh_topk(spark, _quantized(spark, sf_dir).transform(consistent_materialize))
 
 
 # ---------------------------------------------------------------------------
@@ -409,8 +412,8 @@ def ns_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four consumers (centroid build, member counts, query side, cell
     # members) — checkpoint the quantized frame once; at real scale this
     # is the persisted IVF "codes" table
-    e = e.withColumn("n2", int_dot_fixed(F.col("q"), F.col("q"), DIM)).localCheckpoint(
-        eager=True
+    e = e.withColumn("n2", int_dot_fixed(F.col("q"), F.col("q"), DIM)).transform(
+        consistent_materialize
     )
 
     # exact integer centroid sums per cell: elementwise array sum via
@@ -611,7 +614,7 @@ def ns_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `_bruteforce_topk` — both are verified against the same oracle), so
     # the exact side costs one extra lightweight scan instead of a
     # crossJoin over the checkpoint (measured ~1.2 s → ~0.8 s at sf0.1).
-    e = _quantized(spark, sf_dir).localCheckpoint(eager=True)
+    e = _quantized(spark, sf_dir).transform(consistent_materialize)
     exact = ns_ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     approx = _lsh_topk(spark, e).select(
         F.col("query_id").alias("l_query_id"), F.col("neighbor_id").alias("l_neighbor_id")
@@ -679,8 +682,8 @@ def ns_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.repartition(e.sparkSession.sparkContext.defaultParallelism).select(
         "vec_id", "label", quantize_vec(F.col("embedding")).alias("q")
     )
-    e = e.withColumn("n2", int_dot_fixed(F.col("q"), F.col("q"), DIM)).localCheckpoint(
-        eager=True
+    e = e.withColumn("n2", int_dot_fixed(F.col("q"), F.col("q"), DIM)).transform(
+        consistent_materialize
     )
     flat = e.select("label", F.posexplode("q").alias("i", "v"))
     cent = (

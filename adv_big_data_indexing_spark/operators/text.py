@@ -13,6 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.operators.advanced import (
+    consistent_materialize,
+)
 from adv_big_data_indexing_spark.functions.exact import DUCK_ILOG2_Q4
 from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, token_rows, tokens
 from adv_big_data_indexing_spark.sources.catalog import load_table, spread
@@ -894,7 +897,7 @@ def ns_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint the (vocab-bigram-sized) counts once: both N (the
         # unfiltered total) and the thresholded table derive from it, so
         # the corpus-sized explode runs exactly one time
-        .localCheckpoint()
+        .transform(consistent_materialize)
     )
     n = bi.agg(F.sum("cab").cast("bigint").alias("nb"))
     bi = bi.filter(F.col("cab") >= PMI_MIN_COUNT)

@@ -17,6 +17,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.operators.advanced import (
+    consistent_materialize,
+)
 from adv_big_data_indexing_spark.functions.exact import DUCK_ILOG2_Q4, epoch_us, sum_money
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
@@ -1606,7 +1609,7 @@ def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         e.groupBy("event_type", "hod")
         .agg(F.count("*").cast("bigint").alias("n"))
-        .localCheckpoint()  # (type x 24) rows: total and join reuse it
+        .transform(consistent_materialize)  # (type x 24) rows: total and join reuse it
     )
     t = c.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("total"))
     return c.join(F.broadcast(t), "event_type").select(

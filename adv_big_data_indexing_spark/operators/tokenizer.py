@@ -29,7 +29,8 @@ per-iteration pair count is a map + aggregate over the VOCAB table
 as a TakeOrdered(1). The per-iteration driver action carries one row —
 the same driver-loop shape as k-means (clustering.py) and PageRank
 (graph.py). State between iterations is the vocab DataFrame with a
-chained narrow ``replace`` projection; the base is localCheckpoint-ed so
+chained narrow ``replace`` projection; the base is checkpointed
+(consistent_materialize) so
 the corpus scan runs exactly once.
 
 Determinism: pure integer counts and binary string comparison — no
@@ -43,6 +44,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.operators.advanced import (
+    consistent_materialize,
+)
 from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, tokens
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
@@ -90,7 +94,7 @@ def _train_merges_list(docs: DataFrame, n_merges: int) -> list[tuple]:
                 F.lit("  "),
             ).alias("sym"),
         )
-        .localCheckpoint()
+        .transform(consistent_materialize)
     )
     out = []
     for rank in range(1, n_merges + 1):

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
+from adv_big_data_indexing_spark.operators.advanced import (
+    consistent_materialize,
+)
 from adv_big_data_indexing_spark.functions.exact import DUCK_REV_C2, cents, rev_c2
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
@@ -276,7 +279,7 @@ def ext_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev_c2()).cast("bigint").alias("total_rev_c2"))
-        .localCheckpoint(eager=True)
+        .transform(consistent_materialize)
     )
     mx = revenue.agg(F.max("total_rev_c2").alias("mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -361,7 +361,7 @@ def test_global_running_sum_deterministic_on_ties(spark, rows):
 
 
 def test_rank_machinery_reliable_checkpoint_mode(spark):
-    """VERDICT r6 item 5: under spark.advbdi.rankMachinery.checkpoint=
+    """VERDICT r6 item 5: under spark.advbdi.checkpoint=
     reliable the machinery writes to the SparkContext checkpoint dir
     (survives executor loss; local disks not sized by the data) and
     produces the identical buckets."""
@@ -373,7 +373,7 @@ def test_rank_machinery_reliable_checkpoint_mode(spark):
 
     cp_dir = "/root/repo/.cp_reliable_test"
     spark.sparkContext.setCheckpointDir(cp_dir)
-    spark.conf.set("spark.advbdi.rankMachinery.checkpoint", "reliable")
+    spark.conf.set("spark.advbdi.checkpoint", "reliable")
     try:
         df = spark.range(200).select(
             F.col("id"), (F.col("id") * 37 % 11).alias("v")
@@ -389,7 +389,7 @@ def test_rank_machinery_reliable_checkpoint_mode(spark):
         }
         assert got == exp
     finally:
-        spark.conf.set("spark.advbdi.rankMachinery.checkpoint", "local")
+        spark.conf.set("spark.advbdi.checkpoint", "local")
         shutil.rmtree(cp_dir, ignore_errors=True)
 
 
@@ -447,3 +447,29 @@ def test_grouped_ntile_matches_window_ntile(spark, rows, k, num_parts):
     for rid, (eb, ern) in exp.items():
         assert got_b[rid] == eb, (rid, got_b[rid], eb)
         assert got_rn[rid] == ern, (rid, got_rn[rid], ern)
+
+
+def test_repo_wide_reliable_checkpoint_mode(spark):
+    """r7: consistent_materialize is the repo-wide lineage-truncation
+    point — under spark.advbdi.checkpoint=reliable an ITERATIVE
+    non-machinery operator (connected components: one checkpoint per
+    small-star/large-star round) must produce the identical result via
+    the SparkContext checkpoint directory."""
+    import shutil
+
+    from adv_big_data_indexing_spark.contract import registry
+    from tests.conftest import SF_CORRECTNESS
+
+    name = "ns_dedup_components"
+    fn = registry()[name].fn
+    base = sorted(map(tuple, fn(spark, SF_CORRECTNESS).collect()))
+
+    cp_dir = "/root/repo/.cp_reliable_repo_test"
+    spark.sparkContext.setCheckpointDir(cp_dir)
+    spark.conf.set("spark.advbdi.checkpoint", "reliable")
+    try:
+        rel = sorted(map(tuple, fn(spark, SF_CORRECTNESS).collect()))
+        assert rel == base
+    finally:
+        spark.conf.set("spark.advbdi.checkpoint", "local")
+        shutil.rmtree(cp_dir, ignore_errors=True)

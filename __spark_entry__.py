@@ -66,13 +66,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # round (VERDICT r6 items 1/4/6 + ADVICE: the CMS pool-then-rank fix,
 # the per-lang text top-k pooling, every rank-machinery caller —
 # num_parts now derived from spark.sql.shuffle.partitions, RANGE-frame
-# prefix determinism, _consistent_materialize checkpoint switch — and
+# prefix determinism, consistent_materialize checkpoint switch — and
 # the three grouped-machinery rewrites: ext_window_ntile,
-# ns_corpus_shuffle, ns_preference_pairs), then back-fill per the
-# committed r7 plan: ALL 19 remaining r1-only ledger rows, then the 18
-# alphabetically-first r2 rows. After this round no query's last
-# driver-green is older than r2; the 11 leftover r2 rows (op_b4/b5/b6,
-# op_c1/c3/c4/c5, op_d1, op_f1/f2/f3) queue for r8.
+# ns_corpus_shuffle, ns_preference_pairs) + the 3 NEW queries
+# (ext_tpch_q2/q11/q12_shape — all 22 TPC-H patterns now ship), then
+# back-fill per the committed r7 plan: ALL 19 remaining r1-only ledger
+# rows, then the 15 alphabetically-first r2 rows. After this round no
+# query's last driver-green is older than r2; the 14 leftover r2 rows
+# (op_b1/b2/b3/b4/b5/b6, op_c1/c3/c4/c5, op_d1, op_f1/f2/f3) queue
+# for r8.
 _DRIVER_WINDOW_R7 = (
     # implementation changed in round 7 — need fresh rows
     "ns_sketch_cms_heavy_hitters",  # pool-then-rank (VERDICT r6 item 1)
@@ -88,6 +90,10 @@ _DRIVER_WINDOW_R7 = (
     "ext_window_ntile",  # r7 grouped_ntile (no per-segment one-task frame)
     "ns_corpus_shuffle",  # r7 grouped_row_number (per-shard positions)
     "ns_preference_pairs",  # r7 grouped_topk pools (per-source ranks)
+    # new in round 7 — never driver-verified (complete the 22 TPC-H patterns)
+    "ext_tpch_q2_shape",
+    "ext_tpch_q11_shape",
+    "ext_tpch_q12_shape",
     # stalest back-fill: the 19 remaining rows whose last green was r1
     "ext_join_size_estimate",
     "ext_json_extract",
@@ -124,13 +130,11 @@ _DRIVER_WINDOW_R7 = (
     "op_a6_upsert",
     "op_a7_guarded_insert",
     "op_a9_keyed_delete",
-    "op_b1_conjunctive_filter",
-    "op_b2_filter_by_id",
-    "op_b3_filter_by_routing",
 )
 
-# ROUND-8 ROTATION PLAN: the 11 remaining r2 rows
-# (op_b4_range_predicate, op_b5_projection, op_b6_prefix_scan,
+# ROUND-8 ROTATION PLAN: the 14 remaining r2 rows
+# (op_b1_conjunctive_filter, op_b2_filter_by_id, op_b3_filter_by_routing,
+# op_b4_range_predicate, op_b5_projection, op_b6_prefix_scan,
 # op_c1_reconstruct_flat, op_c3_has_child_range, op_c4_has_parent,
 # op_c5_edges, op_d1_hit_count, op_f1_key_synthesis, op_f2_content_hash,
 # op_f3_date_validation), then the oldest r3 rows per

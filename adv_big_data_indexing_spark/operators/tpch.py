@@ -7,14 +7,17 @@ max-of-aggregate (q15), negative-filtered distinct counts (q16),
 correlated scalar aggregates (q17), disjunctive predicate pushdown
 (q19), and anti-join + global-average scalar subqueries (q22).
 
-With relational.py's q1/q3/q5/q18/q20/q21 shapes, 19 of the 22 TPC-H
-patterns ship oracle-verified (q22's phone prefix approximated by
-nationkey); the remaining three (q2 and q11 need partsupp, q12 needs
-shipmode) are blocked by absent testdata columns, not by the engine.
-The testdata lacks partsupp and some lineitem columns
-(commit/receiptdate, shipmode, shipinstruct), so each shape keeps the
-PATTERN — the join tree, quantifier, and aggregate structure Catalyst
-must optimize — with predicates adapted to the available columns.
+With relational.py's q1/q3/q5/q18/q20/q21 shapes, ALL 22 TPC-H
+patterns ship oracle-verified (since r7): q22's phone prefix is
+approximated by nationkey, and the three partsupp/shipmode-dependent
+shapes (q2, q11, q12) derive their missing inputs — partsupp as the
+per-(part, supplier) aggregate of lineitem (min price = supplycost for
+q2, price x qty value for q11), shipmode as the l_returnflag
+categorical for q12. The testdata lacks partsupp and some lineitem
+columns (commit/receiptdate, shipmode, shipinstruct), so each shape
+keeps the PATTERN — the join tree, quantifier, and aggregate structure
+Catalyst must optimize — with predicates adapted to the available
+columns.
 Money math is exact throughout: revenue = cents(extendedprice) *
 (100 - discount_pct) in integer centi-cents ("c2" columns), summed as
 int64, with shares as integer ppm — no float aggregation anywhere.
@@ -717,4 +720,241 @@ def ext_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(1000000 AS DECIMAL(38,0)) * nation_rev_c2"
             " DIV CAST(total_rev_c2 AS DECIMAL(38,0)) AS BIGINT)"
         ).alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2: minimum-cost supplier (correlated min over a derived partsupp)
+# ---------------------------------------------------------------------------
+
+_DUCK_PS_COST = (
+    "CAST(min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+)
+
+
+@query(
+    "ext_tpch_q2_shape",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             {_DUCK_PS_COST} AS ps_cost_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    euro AS (
+      SELECT ps.ps_partkey, ps.ps_cost_c, s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    pruned AS (
+      SELECT e.*, p.p_type
+      FROM euro e JOIN part p ON p.p_partkey = e.ps_partkey
+      WHERE p.p_size = 15 AND p.p_type LIKE '%ARD'
+    ),
+    mn AS (SELECT ps_partkey, min(ps_cost_c) AS min_cost_c
+           FROM pruned GROUP BY 1)
+    SELECT pr.s_acctbal, pr.s_name, pr.n_name,
+           pr.ps_partkey AS p_partkey, pr.p_type,
+           pr.ps_cost_c AS supplycost_c
+    FROM pruned pr
+    JOIN mn ON mn.ps_partkey = pr.ps_partkey
+           AND mn.min_cost_c = pr.ps_cost_c
+    ORDER BY pr.s_acctbal DESC, pr.s_name, pr.ps_partkey
+    LIMIT 100
+    """,
+    doc="EXT TPC-H Q2 shape — minimum-cost supplier: the correlated "
+    "MIN-subquery pattern (for each qualifying part, the European "
+    "supplier(s) offering the minimum supply cost), with the absent "
+    "partsupp table derived as min-observed-price per (part, supplier) "
+    "pair from lineitem — the join tree (part x partsupp x supplier x "
+    "nation x region), the decorrelated per-part min, and the "
+    "acctbal-ordered top-100 are the original's structure exactly. "
+    "Scale shape: ONE lineitem shuffle builds ps; supplier/nation/"
+    "region and the filtered part dim ride broadcasts; the pruned "
+    "frame materializes once (consistent_materialize) and feeds both "
+    "the per-part min and the winner join, so the corpus is never "
+    "re-derived; the final cut is an ordered take, not a global sort.",
+)
+def ext_tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(cents("l_extendedprice")).cast("bigint").alias("ps_cost_c"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == F.col("r_regionkey"), "left_semi"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & F.col("p_type").like("%ARD"))
+        .select("p_partkey", "p_type")
+    )
+    pruned = (
+        ps.join(F.broadcast(dim), ps.ps_suppkey == dim.s_suppkey)
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .select("ps_partkey", "ps_cost_c", "s_acctbal", "s_name", "n_name", "p_type")
+        .transform(consistent_materialize)
+    )
+    mn = pruned.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_cost_c").alias("min_cost_c")
+    )
+    return (
+        pruned.join(
+            F.broadcast(mn),
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_cost_c") == F.col("min_cost_c")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_type",
+            F.col("ps_cost_c").alias("supplycost_c"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11: important stock (share-of-global-total HAVING over a derived partsupp)
+# ---------------------------------------------------------------------------
+
+Q11_NATION = "NATION_7"
+Q11_PPM = 1500  # HAVING threshold: part value > 1500e-6 x national total
+
+
+@query(
+    "ext_tpch_q11_shape",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS val_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT ps.ps_partkey, ps.val_c
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = '{Q11_NATION}'
+    ),
+    byp AS (
+      SELECT ps_partkey, CAST(sum(val_c) AS BIGINT) AS part_val_c
+      FROM nat GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(part_val_c) AS HUGEINT) AS total_c FROM byp)
+    SELECT b.ps_partkey AS partkey, b.part_val_c
+    FROM byp b, tot t
+    WHERE CAST(b.part_val_c AS HUGEINT) * 1000000 > t.total_c * {Q11_PPM}
+    """,
+    doc="EXT TPC-H Q11 shape — important stock: per-part inventory value "
+    "for one nation's suppliers, kept only when it exceeds a fixed "
+    "fraction of the national total (the original's GROUP BY + HAVING "
+    "> scalar-subquery-of-the-same-aggregate), with partsupp derived "
+    "from lineitem as value = sum(price_cents x qty) per (part, "
+    "supplier). The share test runs in 128-bit DECIMAL/HUGEINT exact "
+    "integer arithmetic (ppm threshold) — no float thresholds. Scale "
+    "shape: one lineitem shuffle to ps, nation filter rides a "
+    "broadcast, the global total is a one-row aggregate OF the "
+    "per-part frame (no second corpus pass) broadcast back.",
+)
+def ext_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(
+            cents("l_extendedprice")
+            * F.floor(F.col("l_quantity")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("val_c")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q11_NATION
+    )
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+    byp = (
+        ps.join(F.broadcast(dim), ps.ps_suppkey == dim.s_suppkey, "left_semi")
+        .groupBy("ps_partkey")
+        .agg(F.sum("val_c").cast("bigint").alias("part_val_c"))
+        .transform(consistent_materialize)
+    )
+    tot = byp.agg(
+        F.sum(F.col("part_val_c").cast("decimal(38,0)")).alias("total_c")
+    )
+    return (
+        byp.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("part_val_c").cast("decimal(38,0)") * 1000000
+            > F.col("total_c") * Q11_PPM
+        )
+        .select(F.col("ps_partkey").alias("partkey"), "part_val_c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12: shipping modes and order priority (conditional pivot counts)
+# ---------------------------------------------------------------------------
+
+Q12_LO, Q12_HI = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "ext_tpch_q12_shape",
+    oracle=f"""
+    SELECT l.l_returnflag AS mode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN
+                    ({", ".join(f"'{p}'" for p in _Q12_HIGH)})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                    ({", ".join(f"'{p}'" for p in _Q12_HIGH)})
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('R', 'A')
+      AND l.l_shipdate >= TIMESTAMP '{Q12_LO}'
+      AND l.l_shipdate < TIMESTAMP '{Q12_HI}'
+    GROUP BY 1
+    """,
+    doc="EXT TPC-H Q12 shape — shipping-mode priority matrix: per "
+    "category, how many high- vs low-priority orders shipped in the "
+    "year window (the original's two-branch conditional pivot over an "
+    "IN-filtered categorical + date window + fact-fact join), with "
+    "l_returnflag standing in for the absent l_shipmode column and the "
+    "ship-date window for the absent commit/receipt lateness chain. "
+    "Scale shape: both the IN filter and the date range push into the "
+    "lineitem scan (PushedFilters), orders prunes to two columns, the "
+    "one shuffle is the orderkey join, and the conditional counts "
+    "partial-aggregate map-side to a |modes|-row result.",
+)
+def ext_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit(Q12_LO).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q12_HI).cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("mode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
     )

@@ -547,6 +547,36 @@ def test_q18_having_filter_reuses_partition(spark):
     assert "partial_sum" in p
 
 
+def test_q2_min_cost_single_ps_pass_all_broadcast(spark):
+    """r7: the derived-partsupp Q2 must build ps ONCE (checkpointed;
+    both the per-part min and the winner join read it), ride every dim
+    on a broadcast, and finish with an ordered take — no sort-merge
+    join, no global sort."""
+    p = plan_of(spark, "ext_tpch_q2_shape")
+    assert "SortMergeJoin" not in p
+    assert "ExistingRDD" in p  # the materialized pruned ps view
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q11_share_filter_no_second_corpus_pass(spark):
+    """r7: the national total must be a one-row aggregate OF the
+    per-part frame (checkpointed), broadcast back — exactly one
+    FileScan of lineitem."""
+    p = plan_of(spark, "ext_tpch_q11_shape")
+    assert p.count("FileScan parquet") <= 3  # lineitem + supplier + nation
+    assert "ExistingRDD" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q12_filters_push_to_scan(spark):
+    p = plan_of(spark, "ext_tpch_q12_shape")
+    assert "PushedFilters" in p and "In(l_returnflag" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "partial_sum" in p  # map-side conditional counts
+
+
 def test_q4_exists_is_semi_join(spark):
     p = plan_of(spark, "ext_tpch_q4_shape")
     assert "LeftSemi" in p

@@ -114,10 +114,26 @@ SHOWCASE = [
     ),
     (
         "ns_corpus_shuffle",
-        "Training-order shuffle: shard is a hash bucket, pos a per-shard "
-        "row_number — one hash exchange + per-partition sort; the epoch "
-        "order is reproducible from the seed with NO global sort at any "
-        "scale.",
+        "Training-order shuffle (r7 grouped_row_number): shard is a hash "
+        "bucket, pos the per-shard rank reassembled from broadcast "
+        "per-(partition, shard) offsets over ONE range exchange — no "
+        "global sort AND no corpus/N_SHARDS-rows-in-one-task window at "
+        "any scale.",
+    ),
+    (
+        "ext_window_ntile",
+        "Per-group exact ntile for LOW-cardinality groups (r7 "
+        "grouped_ntile): range partition by (segment, balance, key), "
+        "local ranks from monotonically_increasing_id, per-(partition, "
+        "segment) stats broadcast back, fill rule in int64 — no "
+        "one-task-per-segment WindowExec.",
+    ),
+    (
+        "ext_tpch_q2_shape",
+        "TPC-H Q2 (min-cost supplier): ONE checkpointed derived-partsupp "
+        "pass feeds both the per-part min and the winner join, every "
+        "dimension broadcasts, and the acctbal top-100 is an ordered "
+        "take — the full 22-pattern TPC-H suite ships as of r7.",
     ),
     (
         "ns_quality_curriculum",

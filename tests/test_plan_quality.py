@@ -676,3 +676,32 @@ def test_q10_pushes_filters_and_ordered_take(spark):
     assert "GreaterThanOrEqual(o_orderdate" in p
     assert "TakeOrderedAndProject" in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_registry_wide_no_unpooled_global_rank_window(spark):
+    """Repo-wide invariant (r7): ANY unpartitioned rank window
+    (row_number/rank/ntile with an order-only windowspec) anywhere in
+    the 226-query registry must be fed directly by a
+    TakeOrderedAndProject — i.e. it ranks a bounded pool (per-partition
+    heaps), never a data-sized frame through one task. This is the
+    generalization of the per-query pool assertions: a future operator
+    that sneaks in a global rank window fails here by name."""
+    import re
+
+    offenders = []
+    for name, spec in sorted(registry().items()):
+        p = spec.fn(spark, SF_CORRECTNESS)._jdf.queryExecution().executedPlan().toString()
+        lines = p.splitlines()
+        for i, ln in enumerate(lines):
+            if "Window [" not in ln:
+                continue
+            if not ("row_number()" in ln or "rank(" in ln or "ntile(" in ln):
+                continue
+            m = re.search(r"windowspecdefinition\((.*?)\)", ln)
+            if not m:
+                continue
+            first_seg = m.group(1).split(",")[0]
+            unpartitioned = " ASC" in first_seg or " DESC" in first_seg
+            if unpartitioned and "TakeOrderedAndProject" not in lines[i + 1]:
+                offenders.append((name, ln.strip()[:140]))
+    assert not offenders, "\n".join(f"{n}: {l}" for n, l in offenders)

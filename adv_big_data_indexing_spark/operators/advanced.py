@@ -972,7 +972,11 @@ def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 9-row checkpoint: both the total and the join side derive from it,
     # so the table scan runs exactly once
-    agg = c.groupBy("digit").agg(F.count("*").cast("bigint").alias("n")).localCheckpoint()
+    agg = (
+        c.groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .transform(consistent_materialize)
+    )
     total = agg.agg(F.sum("n").cast("bigint").alias("total"))
     expected = li.sparkSession.createDataFrame(
         [(d, p) for d, p in BENFORD_PPM.items()], "digit int, exp_ppm bigint"
@@ -1024,7 +1028,8 @@ def ext_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         c.groupBy("c_mktsegment", "c_nationkey")
         .agg(F.count("*").cast("bigint").alias("k"))
-        .localCheckpoint()  # class table: both the total and the filter reuse it
+        # class table: both the total and the filter reuse it
+        .transform(consistent_materialize)
     )
     t = g.agg(
         F.sum("k").cast("bigint").alias("total"),
@@ -1468,6 +1473,22 @@ def grouped_row_number(
     ``(group_cols, order_cols)`` must be a total order for
     deterministic output, same contract as global_row_number.
     """
+    parts, st, offs = _grouped_rank_assembly(df, group_cols, order_cols, num_parts)
+    return (
+        parts.join(F.broadcast(offs), ["_grp_pid", *group_cols])
+        .withColumn(
+            rn_name, (F.col("_grp_off") + F.col("_grp_mid") - F.col("_grp_min") + 1)
+        )
+        .drop("_grp_mid", "_grp_pid", "_grp_min", "_grp_off")
+    )
+
+
+def _grouped_rank_assembly(df, group_cols, order_cols, num_parts):
+    """Shared grouped-rank plumbing: the checkpointed range-partitioned
+    frame (with _grp_mid/_grp_pid), the per-(pid, group) stats frame st
+    (~num_parts + |groups| rows), and offs = st + exclusive prefix
+    offsets. Consumers derive everything else (per-group N, ranks) from
+    st/offs so the ranked frame is traversed exactly ONCE."""
     keys = [*group_cols, *order_cols]
     parts = _consistent_materialize(
         df.repartitionByRange(_machinery_parts(df, num_parts), *keys)
@@ -1489,13 +1510,7 @@ def grouped_row_number(
         "_grp_min",
         F.coalesce(F.sum("_grp_c").over(w_off), F.lit(0)).alias("_grp_off"),
     )
-    return (
-        parts.join(F.broadcast(offs), ["_grp_pid", *group_cols])
-        .withColumn(
-            rn_name, (F.col("_grp_off") + F.col("_grp_mid") - F.col("_grp_min") + 1)
-        )
-        .drop("_grp_mid", "_grp_pid", "_grp_min", "_grp_off")
-    )
+    return parts, st, offs
 
 
 def grouped_ntile(
@@ -1507,16 +1522,22 @@ def grouped_ntile(
     num_parts: int | None = None,
 ) -> DataFrame:
     """Exact ``ntile(k) OVER (PARTITION BY group ORDER BY order)`` for
-    LOW-cardinality groups: :func:`grouped_row_number` for the
-    per-group rank, per-group N broadcast back, then ntile's exact fill
-    rule in int64 arithmetic (identical to :func:`global_ntile`'s; the
-    q = 0 small-N case never reaches the second branch since
-    r(q+1) = N)."""
-    rn = grouped_row_number(df, group_cols, order_cols, "_gnt_rk", num_parts)
-    ng = rn.groupBy(*group_cols).agg(F.count("*").alias("_gnt_n"))
+    LOW-cardinality groups: the shared grouped-rank assembly for the
+    per-group rank, per-group N derived from the SAME broadcast-sized
+    stats frame (sum of per-(pid, group) counts — NOT a second pass
+    over the ranked frame), then ntile's exact fill rule in int64
+    arithmetic (identical to :func:`global_ntile`'s; the q = 0 small-N
+    case never reaches the second branch since r(q+1) = N). The ranked
+    frame is traversed exactly once: parts ⋈ broadcast(offs) ⋈
+    broadcast(ng)."""
+    parts, st, offs = _grouped_rank_assembly(df, group_cols, order_cols, num_parts)
+    ng = st.groupBy(*group_cols).agg(F.sum("_grp_c").alias("_gnt_n"))
+    rk = F.col("_grp_off") + F.col("_grp_mid") - F.col("_grp_min") + 1
     lead = (F.col("_gnt_n") % k) * (F.expr(f"_gnt_n DIV {k}") + 1)
     return (
-        rn.join(F.broadcast(ng), list(group_cols))
+        parts.join(F.broadcast(offs), ["_grp_pid", *group_cols])
+        .join(F.broadcast(ng), list(group_cols))
+        .withColumn("_gnt_rk", rk)
         .withColumn(
             bucket_name,
             F.when(
@@ -1533,7 +1554,7 @@ def grouped_ntile(
             .cast("int")
             + 1,
         )
-        .drop("_gnt_rk", "_gnt_n")
+        .drop("_grp_mid", "_grp_pid", "_grp_min", "_grp_off", "_gnt_rk", "_gnt_n")
     )
 
 

@@ -284,6 +284,56 @@ def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
     return events.join(dim, "user_id", "left")
 
 
+# --- shared parquet state-store plumbing for foreachBatch folds -----------
+#
+# A plain-parquet state table is the DEMO harness (zero dependencies);
+# production deployments swap these three helpers for a transactional
+# table format — the fold logic on top is format-agnostic.
+
+
+def _read_state(spark, path: str):
+    """State table or None. Falls back to the retained ``.tmp`` copy if
+    the main directory is missing/corrupt mid-overwrite (the tmp copy
+    is only removed AFTER the final commit completes — crash recovery
+    for the non-atomic parquet overwrite)."""
+    import os  # noqa: PLC0415
+
+    for p in (path, path + ".tmp"):
+        if os.path.exists(p):
+            try:
+                return spark.read.parquet(p)
+            except Exception:  # noqa: BLE001 — torn directory: try the tmp copy
+                continue
+    return None
+
+
+def _applied_batch(prev) -> int:
+    """Last applied batch_id, None-safe: an ABSENT or EMPTY state table
+    (e.g. the first micro-batch carried zero rows) means nothing was
+    applied — return -1, never compare against a None aggregate (the
+    pre-r7 folds raised TypeError and wedged the stream on replay)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if prev is None:
+        return -1
+    v = prev.agg(F.max("batch_id")).collect()[0][0]
+    return -1 if v is None else int(v)
+
+
+def _commit_state(df, path: str) -> None:
+    """tmp-write → read-back → overwrite main → remove tmp. The df
+    typically derives from reading ``path`` itself, so writing directly
+    would delete its own input mid-plan; the read-back breaks lineage.
+    The tmp copy survives until the main overwrite finishes, so a crash
+    during the overwrite loses nothing (_read_state falls back)."""
+    import shutil  # noqa: PLC0415
+
+    tmp = path + ".tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.sparkSession.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_streaming_cms(
     events: DataFrame,
     state_dir: str,
@@ -311,13 +361,8 @@ def run_streaming_cms(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        import os
-
-        applied = -1
-        if os.path.exists(state_dir):
-            prev = spark.read.parquet(state_dir)
-            applied = prev.agg(F.max("batch_id")).collect()[0][0]
-        if batch_id <= applied:
+        prev = _read_state(spark, state_dir)
+        if batch_id <= _applied_batch(prev):
             return  # replay of an already-applied batch: skip (exactly-once)
         delta = (
             batch.select(
@@ -328,10 +373,10 @@ def run_streaming_cms(
             .groupBy("ri", "b")
             .agg(F.count("*").cast("bigint").alias("cnt"))
         )
-        if os.path.exists(state_dir):
-            prev = spark.read.parquet(state_dir).drop("batch_id")
+        if prev is not None:
             merged = (
-                prev.withColumnRenamed("cnt", "prev_cnt")
+                prev.drop("batch_id")
+                .withColumnRenamed("cnt", "prev_cnt")
                 .join(delta.withColumnRenamed("cnt", "delta_cnt"), ["ri", "b"], "full_outer")
                 .select(
                     "ri",
@@ -344,11 +389,7 @@ def run_streaming_cms(
             )
         else:
             merged = delta
-        out = merged.withColumn("batch_id", F.lit(batch_id))
-        tmp = state_dir + ".tmp"
-        out.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.coalesce(1).write.mode("overwrite").parquet(state_dir)
+        _commit_state(merged.withColumn("batch_id", F.lit(batch_id)), state_dir)
 
     return (
         events.writeStream.foreachBatch(fold)
@@ -660,7 +701,11 @@ def locf_monitor(events: DataFrame) -> DataFrame:
 
     State is five bigints per user: pending bucket, its carried value,
     the (ts_us, event_id) of the winning observation, and the late-drop
-    count.
+    count. State-schema v2 (r7; v1 was two bigints): a query restarted
+    from a v1 checkpoint fails Spark's state-store schema check — start
+    with a fresh checkpoint directory after upgrading (the pending
+    bucket re-derives from the next event; only the in-flight bucket's
+    carry is lost).
     """
     import pandas as pd  # noqa: PLC0415
 
@@ -738,12 +783,16 @@ def run_streaming_seasonal(
     index, in ``foreachBatch`` with the exactly-once batch_id guard of
     ``run_streaming_cms``.
 
-    Per batch:
+    Per batch (ordered for replay-safety — the dt append is IDEMPOTENT,
+    the hourly commit is the exactly-once marker, and the append runs
+    BEFORE the commit, so a crash anywhere replays into an anti-join
+    no-op instead of losing the batch's trend rows):
 
-    1. Fold the batch into the per-(event_type, hour) rollup state —
-       additive merge, late rows (hour <= the watermark as of the
-       PREVIOUS batch) dropped and counted, exactly the contract of a
-       Spark watermarked aggregation in append mode.
+    1. EVENT-level lateness: batch rows whose hour <= the watermark as
+       of the PREVIOUS batch are dropped and counted per row (the same
+       contract — and the same row-granularity — as Spark's own
+       numRowsDroppedByWatermark), then the survivors fold into the
+       per-(event_type, hour) rollup state by additive merge.
     2. Advance the watermark: wm_h = max observed hour − delay_hours.
        Hours <= wm_h are FINAL: a later event for them would be late,
        so neither their x nor the SET of such hours can change again.
@@ -752,8 +801,9 @@ def run_streaming_seasonal(
        operators/timeseries.py) over the frozen prefix yields exactly
        the full-data rows whose +HALF'th following ROW lies inside the
        prefix, because a row's centered ROWS frame never reaches past
-       that follower; an anti-join against already-emitted (type, h)
-       keys makes the append idempotent at the row level too.
+       that follower; the anti-join against already-emitted (type, h)
+       keys makes the append idempotent. THEN commit the hourly state
+       with this batch_id.
 
     The seasonal index is a pure aggregate of the emitted detrended
     rows, so maintaining the rows maintains the index;
@@ -763,46 +813,49 @@ def run_streaming_seasonal(
     streaming LTTB), so the deployable form is exactly this: exact
     incremental trend rows + an index over everything emitted so far.
 
-    State tables under ``state_dir``: ``hourly`` (event_type, h, x,
-    n_late, batch_id) and ``dt`` (event_type, h, x, trend_q, detrended).
-    State is O(observed hours), not O(events) — the 100 TB shape.
+    State tables under ``state_dir`` (plain parquet via the shared
+    _read_state/_commit_state demo harness — production swaps a
+    transactional format, the fold is format-agnostic): ``hourly``
+    (event_type, h, x, n_late, batch_id) and ``dt`` (event_type, h, x,
+    trend_q, detrended). State is O(observed hours), not O(events) —
+    the 100 TB shape.
     """
+    import os
+
     from pyspark.sql import functions as F
 
     from adv_big_data_indexing_spark.operators.timeseries import (
-        DECOMP_HALF,
         detrend_hourly,
         hourly_series,
     )
-
-    import os
 
     hourly_dir = os.path.join(state_dir, "hourly")
     dt_dir = os.path.join(state_dir, "dt")
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-
-        prev = None
-        applied = -1
-        if os.path.exists(hourly_dir):
-            prev = spark.read.parquet(hourly_dir)
-            applied = prev.agg(F.max("batch_id")).collect()[0][0]
-        if batch_id <= applied:
+        prev = _read_state(spark, hourly_dir)
+        if batch_id <= _applied_batch(prev):
             return  # replay of an already-applied batch (exactly-once)
 
-        delta = hourly_series(batch)
+        hour = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
         if prev is not None:
-            prev_h = prev.select("event_type", "h", "x")
-            prev_wm = prev.agg(
-                F.max("h") - F.lit(delay_hours)
-            ).collect()[0][0]
-            n_late_prev = prev.agg(F.max("n_late")).collect()[0][0]
-            late = delta.filter(F.col("h") <= prev_wm)
-            n_late = n_late_prev + late.count()
-            delta = delta.filter(F.col("h") > prev_wm)
+            # ONE driver action for all previous-state scalars
+            st = prev.agg(
+                F.max("h").alias("mx"), F.max("n_late").alias("nl")
+            ).collect()[0]
+            prev_wm = (int(st["mx"]) - delay_hours) if st["mx"] is not None else None
+            n_late_prev = int(st["nl"]) if st["nl"] is not None else 0
+        else:
+            prev_wm, n_late_prev = None, 0
+
+        if prev_wm is not None:
+            # event-granularity lateness (not rollup-row granularity)
+            n_late = n_late_prev + batch.filter(hour <= prev_wm).count()
+            delta = hourly_series(batch.filter(hour > prev_wm))
             merged = (
-                prev_h.withColumnRenamed("x", "px")
+                prev.select("event_type", "h", "x")
+                .withColumnRenamed("x", "px")
                 .join(delta.withColumnRenamed("x", "dx"),
                       ["event_type", "h"], "full_outer")
                 .select(
@@ -815,29 +868,32 @@ def run_streaming_seasonal(
                 )
             )
         else:
-            merged = delta
             n_late = 0
-
-        out = merged.withColumn("n_late", F.lit(n_late).cast("bigint")).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        tmp = hourly_dir + ".tmp"
-        out.coalesce(1).write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(hourly_dir)
-
-        # trend-complete rows inside the frozen (<= watermark) prefix
-        cur = spark.read.parquet(hourly_dir)
-        wm_h = cur.agg(F.max("h") - F.lit(delay_hours)).collect()[0][0]
-        frozen = cur.select("event_type", "h", "x").filter(F.col("h") <= wm_h)
-        ready = detrend_hourly(frozen)
-        if os.path.exists(dt_dir):
-            seen = spark.read.parquet(dt_dir)
-            new = ready.join(
-                seen.select("event_type", "h"), ["event_type", "h"], "left_anti"
+            merged = hourly_series(batch)
+        merged = merged.persist()
+        try:
+            st2 = merged.agg(F.max("h").alias("mx")).collect()[0]
+            # idempotent dt append FIRST (see the replay-safety ordering)
+            if st2["mx"] is not None:
+                wm_h = int(st2["mx"]) - delay_hours
+                frozen = merged.filter(F.col("h") <= wm_h)
+                ready = detrend_hourly(frozen)
+                seen = _read_state(spark, dt_dir)
+                if seen is not None:
+                    ready = ready.join(
+                        seen.select("event_type", "h"),
+                        ["event_type", "h"],
+                        "left_anti",
+                    )
+                ready.coalesce(1).write.mode("append").parquet(dt_dir)
+            # THEN the exactly-once marker
+            _commit_state(
+                merged.withColumn("n_late", F.lit(n_late).cast("bigint"))
+                .withColumn("batch_id", F.lit(batch_id)),
+                hourly_dir,
             )
-            new.coalesce(1).write.mode("append").parquet(dt_dir)
-        else:
-            ready.coalesce(1).write.mode("overwrite").parquet(dt_dir)
+        finally:
+            merged.unpersist()
 
     return (
         events.writeStream.foreachBatch(fold)
@@ -861,21 +917,23 @@ def streaming_seasonal_result(
     """
     import os
 
-    from pyspark.sql import functions as F
-
     from adv_big_data_indexing_spark.operators.timeseries import (
         detrend_hourly,
         seasonalize,
     )
 
-    dt = spark.read.parquet(os.path.join(state_dir, "dt"))
-    dt = dt.select("event_type", "h", "x", "trend_q", "detrended")
+    DT_SCHEMA = "event_type string, h bigint, x bigint, trend_q bigint, detrended bigint"
+    dt = _read_state(spark, os.path.join(state_dir, "dt"))
+    dt = (
+        dt.select("event_type", "h", "x", "trend_q", "detrended")
+        if dt is not None
+        else spark.createDataFrame([], DT_SCHEMA)
+    )
     if finalize:
-        hourly = spark.read.parquet(os.path.join(state_dir, "hourly")).select(
-            "event_type", "h", "x"
-        )
-        tail = detrend_hourly(hourly).join(
-            dt.select("event_type", "h"), ["event_type", "h"], "left_anti"
-        )
-        dt = dt.unionByName(tail)
+        hourly = _read_state(spark, os.path.join(state_dir, "hourly"))
+        if hourly is not None:
+            tail = detrend_hourly(hourly.select("event_type", "h", "x")).join(
+                dt.select("event_type", "h"), ["event_type", "h"], "left_anti"
+            )
+            dt = dt.unionByName(tail)
     return seasonalize(dt)

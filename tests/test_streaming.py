@@ -964,3 +964,103 @@ def test_streaming_seasonal_matches_batch(spark, tmp_path):
     # (b) finalized streaming result == batch operator, exactly
     final = ev.streaming_seasonal_result(spark, state, finalize=True)
     assert keyed(final) == keyed(batch)
+
+
+def test_streaming_seasonal_empty_batch_and_event_level_lateness(spark, tmp_path):
+    """Code-review r7 regressions: (a) an EMPTY micro-batch must not
+    wedge the fold (the pre-fix guard compared batch_id <= None and
+    raised TypeError on every retry); (b) n_late counts EVENTS, not
+    post-rollup (event_type, hour) rows — three late events in one
+    frozen hour add 3, not 1; (c) late events are excluded from the
+    folded series, so finalize equals batch over the on-time rows."""
+    import time
+
+    from adv_big_data_indexing_spark.operators.timeseries import (
+        detrend_hourly,
+        hourly_series,
+        seasonalize,
+    )
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs,
+            "event_id long, ts_s string, user_id long, event_type string, value double",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    def hour_rows(hours, base_eid):
+        return [
+            (base_eid + i, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:15:00",
+             1, "click", float((h * 5 + 3) % 11) + 0.5)
+            for i, h in enumerate(hours)
+        ]
+
+    batch1 = hour_rows(range(0, 30), 0)
+    late3 = [
+        (900 + i, "2024-01-01 05:0%d:00" % i, 1, "click", 50.0 + i)
+        for i in range(3)
+    ]  # hour 5 <= wm(28): all three must drop and count as 3
+    batch3 = late3 + hour_rows(range(30, 41), 1000)
+
+    src = str(tmp_path / "seasonal_ooo_src")
+    state = str(tmp_path / "seasonal_ooo_state")
+    ck = str(tmp_path / "seasonal_ooo_ck")
+    mk(batch1).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    mk([]).coalesce(1).write.mode("append").parquet(src)  # empty batch
+    time.sleep(1.1)
+    mk(batch3).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(mk(batch1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ev.run_streaming_seasonal(stream, state, ck)
+    q.awaitTermination(180)
+
+    hourly_state = spark.read.parquet(state + "/hourly")
+    assert hourly_state.agg(F.max("n_late")).collect()[0][0] == 3
+    assert hourly_state.agg(F.max("batch_id")).collect()[0][0] == 2
+
+    ontime = mk(batch1 + hour_rows(range(30, 41), 1000))
+    batch_exp = seasonalize(detrend_hourly(hourly_series(ontime)))
+    final = ev.streaming_seasonal_result(spark, state, finalize=True)
+
+    def keyed(df):
+        return {
+            (r.event_type, r.h): (r.x, r.trend_q, r.seasonal_q, r.resid_q)
+            for r in df.collect()
+        }
+
+    assert keyed(final) == keyed(batch_exp)
+
+
+def test_streaming_cms_survives_empty_batch(spark, tmp_path):
+    """Code-review r7: the CMS fold shared the same None-unsafe guard —
+    an empty first micro-batch wrote a zero-row state table whose
+    max(batch_id) is None, wedging every later batch."""
+    import time
+
+    src = str(tmp_path / "cms_empty_src")
+    state = str(tmp_path / "cms_empty_state")
+    ck = str(tmp_path / "cms_empty_ck")
+    schema = "event_id long, event_type string"
+    spark.createDataFrame([], schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(i, ["click", "view"][i % 2]) for i in range(40)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ev.run_streaming_cms(stream, state, ck)
+    q.awaitTermination(120)
+    got = spark.read.parquet(state)
+    assert got.agg(F.max("batch_id")).collect()[0][0] == 1
+    assert got.agg(F.sum("cnt")).collect()[0][0] == 40 * 4

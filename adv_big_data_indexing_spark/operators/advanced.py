@@ -1237,7 +1237,18 @@ def consistent_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """
     mode = df.sparkSession.conf.get("spark.advbdi.checkpoint", "local")
     if mode == "reliable":
-        return df.checkpoint(eager=eager)
+        # DataFrame.checkpoint runs a SEPARATE job to write the
+        # checkpoint files; without a persist the frame is computed
+        # twice (once for the caller's action, once for the write) —
+        # 2x work per iteration in the BFS/components/k-means loops.
+        # Eager: cache, checkpoint (reads the cache), then release.
+        # Lazy: keep the cache alive — the checkpoint job fires at the
+        # caller's first action and must still find it.
+        cached = df.persist()
+        out = cached.checkpoint(eager=eager)
+        if eager:
+            cached.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)
 
 

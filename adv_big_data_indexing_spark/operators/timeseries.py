@@ -1704,15 +1704,21 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonalize(detrend_hourly(hourly_series(e)))
 
 
+def hour_bucket(col: str = "ts"):
+    """Epoch-hour bucket — the ONE derivation shared by hourly_series
+    and the streaming fold's lateness filter (run_streaming_seasonal),
+    so the rollup key and the watermark comparison can never diverge."""
+    e = epoch_us(col)
+    return ((e - e % 3_600_000_000) / 3_600_000_000).cast("bigint")
+
+
 def hourly_series(events: DataFrame) -> DataFrame:
     """(event_type, h, x): the exact-integer hourly rollup both the batch
     decompose and its streaming twin fold (map-side combined — the only
     data-sized stage of the decomposition)."""
     return events.groupBy(
         "event_type",
-        ((epoch_us("ts") - epoch_us("ts") % 3_600_000_000) / 3_600_000_000)
-        .cast("bigint")
-        .alias("h"),
+        hour_bucket("ts").alias("h"),
     ).agg(
         F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
         .cast("bigint")

@@ -292,19 +292,32 @@ def enrich_events(events: DataFrame, customer: DataFrame) -> DataFrame:
 
 
 def _read_state(spark, path: str):
-    """State table or None. Falls back to the retained ``.tmp`` copy if
-    the main directory is missing/corrupt mid-overwrite (the tmp copy
-    is only removed AFTER the final commit completes — crash recovery
-    for the non-atomic parquet overwrite)."""
+    """State table or None (None means ABSENT — a read failure of an
+    existing table raises so the batch retries, never silently restarts
+    from empty state and overwrites history).
+
+    Crash recovery for the non-atomic parquet overwrite: if the main
+    directory is torn mid-overwrite, the retained ``.tmp`` copy (only
+    removed AFTER a commit completes) is RESTORED into the main
+    directory first and the read retried — restoring eagerly (rather
+    than reading tmp directly) keeps later ``_commit_state`` calls from
+    overwriting a tmp dir their own input lineage still reads."""
     import os  # noqa: PLC0415
 
-    for p in (path, path + ".tmp"):
-        if os.path.exists(p):
-            try:
-                return spark.read.parquet(p)
-            except Exception:  # noqa: BLE001 — torn directory: try the tmp copy
-                continue
-    return None
+    tmp = path + ".tmp"
+    if not os.path.exists(path) and not os.path.exists(tmp):
+        return None
+    if os.path.exists(path):
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force footer/schema resolution now, not lazily
+            return df
+        except Exception:
+            if not os.path.exists(tmp):
+                raise  # torn with no recovery copy: fail LOUDLY, retry
+    # main absent/torn but tmp intact: restore main from tmp, read main
+    spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def _applied_batch(prev) -> int:
@@ -325,7 +338,9 @@ def _commit_state(df, path: str) -> None:
     typically derives from reading ``path`` itself, so writing directly
     would delete its own input mid-plan; the read-back breaks lineage.
     The tmp copy survives until the main overwrite finishes, so a crash
-    during the overwrite loses nothing (_read_state falls back)."""
+    during the overwrite loses nothing (_read_state restores main from
+    tmp before reading — by then no live lineage points at tmp, so the
+    next commit's tmp overwrite is safe)."""
     import shutil  # noqa: PLC0415
 
     tmp = path + ".tmp"
@@ -826,6 +841,7 @@ def run_streaming_seasonal(
 
     from adv_big_data_indexing_spark.operators.timeseries import (
         detrend_hourly,
+        hour_bucket,
         hourly_series,
     )
 
@@ -835,19 +851,22 @@ def run_streaming_seasonal(
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         prev = _read_state(spark, hourly_dir)
-        if batch_id <= _applied_batch(prev):
-            return  # replay of an already-applied batch (exactly-once)
-
-        hour = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+        # ONE driver action for ALL previous-state scalars, guard included
         if prev is not None:
-            # ONE driver action for all previous-state scalars
             st = prev.agg(
-                F.max("h").alias("mx"), F.max("n_late").alias("nl")
+                F.max("batch_id").alias("bid"),
+                F.max("h").alias("mx"),
+                F.max("n_late").alias("nl"),
             ).collect()[0]
+            applied = -1 if st["bid"] is None else int(st["bid"])
             prev_wm = (int(st["mx"]) - delay_hours) if st["mx"] is not None else None
             n_late_prev = int(st["nl"]) if st["nl"] is not None else 0
         else:
-            prev_wm, n_late_prev = None, 0
+            applied, prev_wm, n_late_prev = -1, None, 0
+        if batch_id <= applied:
+            return  # replay of an already-applied batch (exactly-once)
+
+        hour = hour_bucket("ts")
 
         if prev_wm is not None:
             # event-granularity lateness (not rollup-row granularity)

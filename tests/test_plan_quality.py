@@ -702,6 +702,10 @@ def test_registry_wide_no_unpooled_global_rank_window(spark):
                 continue
             first_seg = m.group(1).split(",")[0]
             unpartitioned = " ASC" in first_seg or " DESC" in first_seg
-            if unpartitioned and "TakeOrderedAndProject" not in lines[i + 1]:
+            # the bounded pool may sit a Sort/Project below the Window
+            # in some plan renderings — accept it within the next few
+            # child lines rather than demanding the literal next line
+            child_window = "\n".join(lines[i + 1 : i + 4])
+            if unpartitioned and "TakeOrderedAndProject" not in child_window:
                 offenders.append((name, ln.strip()[:140]))
     assert not offenders, "\n".join(f"{n}: {l}" for n, l in offenders)

@@ -473,3 +473,43 @@ def test_repo_wide_reliable_checkpoint_mode(spark):
     finally:
         spark.conf.set("spark.advbdi.checkpoint", "local")
         shutil.rmtree(cp_dir, ignore_errors=True)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.integers(1, 6),
+)
+def test_grouped_topk_matches_window_topk(spark, rows, k):
+    """r7 grouped machinery: grouped_topk (per-slice pool -> k*P pool ->
+    final rank) must equal the direct per-group rank window filtered to
+    rnk <= k — any group sizes, tie patterns, k, and whatever physical
+    slicing spark_partition_id produces."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from adv_big_data_indexing_spark.operators.advanced import grouped_topk
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id: long, g: long, v: long"
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        (r.g, r.rnk): r.id for r in grouped_topk(df, "g", order, k).collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    exp = {
+        (r.g, r.rnk): r.id
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .collect()
+    }
+    assert got == exp

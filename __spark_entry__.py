@@ -62,86 +62,82 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs/ROTATION_LEDGER.md (tools/rotation_ledger.py) records each query's
 # last driver-green round so staleness is auditable.
 #
-# Round 7 window = the 13 queries whose implementation changed this
-# round (VERDICT r6 items 1/4/6 + ADVICE: the CMS pool-then-rank fix,
-# the per-lang text top-k pooling, every rank-machinery caller —
-# num_parts now derived from spark.sql.shuffle.partitions, RANGE-frame
-# prefix determinism, consistent_materialize checkpoint switch — and
-# the three grouped-machinery rewrites: ext_window_ntile,
-# ns_corpus_shuffle, ns_preference_pairs) + the 3 NEW queries
-# (ext_tpch_q2/q11/q12_shape — all 22 TPC-H patterns now ship), then
-# back-fill per the committed r7 plan: ALL 19 remaining r1-only ledger
-# rows, then the 15 alphabetically-first r2 rows. After this round no
-# query's last driver-green is older than r2; the 14 leftover r2 rows
-# (op_b1/b2/b3/b4/b5/b6, op_c1/c3/c4/c5, op_d1, op_f1/f2/f3) queue
-# for r8.
-_DRIVER_WINDOW_R7 = (
-    # implementation changed in round 7 — need fresh rows
-    "ns_sketch_cms_heavy_hitters",  # pool-then-rank (VERDICT r6 item 1)
-    "ns_text_top_terms",  # _grouped_topk pooling (item 6)
-    "ns_text_heavy_hitters",  # _grouped_topk pooling (item 6)
-    "ext_window_distribution",  # degenerate-N guards (ADVICE r6)
-    "ext_equidepth_histogram",  # machinery: derived num_parts + ckpt switch
-    "ext_rfm_segmentation",  # machinery (inline melt)
-    "ext_auc_exact",  # machinery + RANGE-frame prefix
-    "ext_percentile",  # machinery + RANGE-frame prefix
-    "ts_max_concurrency",  # machinery + RANGE-frame prefix
-    "ns_negative_sampling",  # machinery (global_row_number vocab index)
-    "ext_window_ntile",  # r7 grouped_ntile (no per-segment one-task frame)
-    "ns_corpus_shuffle",  # r7 grouped_row_number (per-shard positions)
-    "ns_preference_pairs",  # r7 grouped_topk pools (per-source ranks)
-    # new in round 7 — never driver-verified (complete the 22 TPC-H patterns)
-    "ext_tpch_q2_shape",
-    "ext_tpch_q11_shape",
-    "ext_tpch_q12_shape",
-    # stalest back-fill: the 19 remaining rows whose last green was r1
-    "ext_join_size_estimate",
-    "ext_json_extract",
-    "ext_listagg",
-    "ext_mad_outliers",
-    "ext_map_ops",
-    "ext_not_in_null",
-    "ext_posexplode",
-    "ext_range_join",
-    "ext_referential_audit",
-    "ext_scalar_date",
-    "ext_scalar_date_arith",
-    "ext_scalar_hash",
-    "ext_scalar_math",
-    "ext_scalar_regex",
-    "ext_scalar_string",
-    "ext_setops",
-    "ext_stats_moments",
-    "ext_table_diff",
-    "ext_topk_orderby",
-    # then the oldest r2 rows, alphabetical
-    "doc_etag_pipeline",
-    "doc_get_mapping",
-    "ext_array_ops",
-    "ext_pivot",
-    "ns_dedup_exact",
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_simhash",
-    "op_a10_predicate_delete",
-    "op_a1_point_lookup",
-    "op_a2_existence_probe",
-    "op_a3_point_lookup_hash",
-    "op_a5_full_scan_limit",
-    "op_a6_upsert",
-    "op_a7_guarded_insert",
-    "op_a9_keyed_delete",
+# Round 8 window = the queries whose implementation changed this round
+# (VERDICT r7 item 5: ns_hybrid_rrf_fusion's dense arm now routes to the
+# IVF ranker above the brute-force cap; item 6: the dedup tail measured
+# at sf10), then the committed r8 back-fill plan: ALL 14 remaining
+# r2-stale ledger rows (op_b*, op_c1/c3/c4/c5, op_d1, op_f1/f2/f3), ALL
+# 26 r3-stale rows, then the alphabetically-first r4 rows to fill 50.
+# After this round no query's last driver-green is older than r4.
+_DRIVER_WINDOW_R8 = (
+    # implementation changed in round 8 — need fresh rows
+    "ns_hybrid_rrf_fusion",  # dense arm ANN routing above cap (VERDICT r7 item 5)
+    # the 14 remaining rows whose last green was r2
+    "op_b1_conjunctive_filter",
+    "op_b2_filter_by_id",
+    "op_b3_filter_by_routing",
+    "op_b4_range_predicate",
+    "op_b5_projection",
+    "op_b6_prefix_scan",
+    "op_c1_reconstruct_flat",
+    "op_c3_has_child_range",
+    "op_c4_has_parent",
+    "op_c5_edges",
+    "op_d1_hit_count",
+    "op_f1_key_synthesis",
+    "op_f2_content_hash",
+    "op_f3_date_validation",
+    # all 26 rows whose last green was r3
+    "ext_skew_salted_join",
+    "ext_tpch_q18_shape",
+    "ext_tpch_q3_shape",
+    "ext_triangle_count",
+    "ext_union_by_name",
+    "ext_unpivot",
+    "ext_window_frame",
+    "ext_window_lag",
+    "ext_window_rank",
+    "ext_window_values",
+    "ext_winsorized_stats",
+    "ns_dedup_cluster_stats",
+    "ns_layout_zorder",
+    "ns_text_bigram_freq",
+    "ns_text_repetition",
+    "ns_text_simpson_diversity",
+    "ns_udf_group_zscore",
+    "ts_dedup_first",
+    "ts_enriched_by_segment",
+    "ts_funnel",
+    "ts_gap_filled_minutes",
+    "ts_hypertable_rollup",
+    "ts_markov_transitions",
+    "ts_period_over_period",
+    "ts_point_in_time_join",
+    "ts_retention_cohort",
+    # oldest r4 rows (alphabetical, plus ns_dedup_components — the sf10
+    # dedup-tail probe target, VERDICT r7 item 6) to fill 50
+    "ext_agg_groupby",
+    "ext_asof_join",
+    "ext_skew_profile",
+    "ns_ann_ivf",
+    "ns_ann_lsh_bucketed",
+    "ns_ann_lsh_recall",
+    "ns_corpus_curation",
+    "ns_dataset_diff",
+    "ns_dedup_components",
 )
 
-# ROUND-8 ROTATION PLAN: the 14 remaining r2 rows
-# (op_b1_conjunctive_filter, op_b2_filter_by_id, op_b3_filter_by_routing,
-# op_b4_range_predicate, op_b5_projection, op_b6_prefix_scan,
-# op_c1_reconstruct_flat, op_c3_has_child_range, op_c4_has_parent,
-# op_c5_edges, op_d1_hit_count, op_f1_key_synthesis, op_f2_content_hash,
-# op_f3_date_validation), then the oldest r3 rows per
-# docs/ROTATION_LEDGER.md (regenerate after the r7 driver run lands).
+# ROUND-9 ROTATION PLAN: the remaining r4 rows per
+# docs/ROTATION_LEDGER.md (ns_decontaminate, ns_dedup_embedding_*,
+# ns_embed_*, ns_mixture_weights, ns_multimodal_*, ns_pack_*,
+# ns_phrase_search, ns_pii_mask, ns_*_sample, ns_split_train_eval,
+# ns_text_* r4 rows, op_c1_reconstruct_nested, op_c2, op_g2, op_g4,
+# ts_anomaly_zscore, ts_cms_event_types, ts_interval_join,
+# ts_session_window, ts_tumbling_window), then oldest r5 rows
+# (regenerate the ledger after the r8 driver run lands).
 
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R7 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R8 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

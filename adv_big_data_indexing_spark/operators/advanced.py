@@ -1205,7 +1205,24 @@ def _machinery_parts(df: DataFrame, num_parts: int | None) -> int:
     across several counts in test_properties.py)."""
     if num_parts is not None:
         return num_parts
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    parsed = _parse_partitions_conf(raw)
+    if parsed is not None:
+        return parsed
+    # Some platforms set this conf to a non-numeric sentinel (e.g.
+    # "auto" under runtime-managed AQE — OSS Spark rejects that value,
+    # managed runtimes accept it); fall back to the cluster's default
+    # parallelism rather than crashing every machinery caller.
+    return df.sparkSession.sparkContext.defaultParallelism or 200
+
+
+def _parse_partitions_conf(raw) -> int | None:
+    """int value of ``spark.sql.shuffle.partitions`` or None when the
+    platform set a non-numeric sentinel (ADVICE r7)."""
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return None
 
 
 def consistent_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -1243,13 +1260,29 @@ def consistent_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         # 2x work per iteration in the BFS/components/k-means loops.
         # Eager: cache, checkpoint (reads the cache), then release.
         # Lazy: keep the cache alive — the checkpoint job fires at the
-        # caller's first action and must still find it.
+        # caller's first action and must still find it — but release it
+        # at the NEXT materialize call: by then the caller has acted on
+        # this layer (the iterative loops act every iteration), so the
+        # checkpoint files exist and the cache would otherwise leak for
+        # the session lifetime (ADVICE r7). Worst case (no intervening
+        # action) the checkpoint job recomputes from lineage — slower,
+        # never wrong.
+        for prev in _pending_lazy_caches:
+            prev.unpersist()
+        _pending_lazy_caches.clear()
         cached = df.persist()
         out = cached.checkpoint(eager=eager)
         if eager:
             cached.unpersist()
+        else:
+            _pending_lazy_caches.append(cached)
         return out
     return df.localCheckpoint(eager=eager)
+
+
+# lazily-cached frames awaiting their reliable-mode checkpoint job; see
+# consistent_materialize
+_pending_lazy_caches: list[DataFrame] = []
 
 
 def lazy_consistent_materialize(df: DataFrame) -> DataFrame:

@@ -308,13 +308,24 @@ def _read_state(spark, path: str):
     if not os.path.exists(path) and not os.path.exists(tmp):
         return None
     if os.path.exists(path):
-        try:
-            df = spark.read.parquet(path)
-            df.schema  # force footer/schema resolution now, not lazily
-            return df
-        except Exception:
-            if not os.path.exists(tmp):
-                raise  # torn with no recovery copy: fail LOUDLY, retry
+        # A torn overwrite can leave a dir that still PARSES (some part
+        # files committed) — a successful read is not authority. The
+        # _SUCCESS marker is: it is written last by the committer, so
+        # its absence means the overwrite never finished (ADVICE r7).
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            try:
+                df = spark.read.parquet(path)
+                df.schema  # force footer/schema resolution now, not lazily
+                return df
+            except Exception:
+                if not os.path.exists(tmp):
+                    raise  # torn with no recovery copy: fail LOUDLY, retry
+        elif not os.path.exists(tmp):
+            raise OSError(
+                f"state dir {path} lacks its _SUCCESS marker and no .tmp "
+                "recovery copy exists — refusing to read possibly-"
+                "truncated state"
+            )
     # main absent/torn but tmp intact: restore main from tmp, read main
     spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -689,7 +700,7 @@ def lttb_window_monitor(
 LOCF_OUTPUT = "user_id long, bucket_start timestamp, filled_m long, is_gap boolean"
 LOCF_STATE = (
     "pend_bucket bigint, pend_x bigint, pend_ts_us bigint, pend_eid bigint,"
-    " n_late bigint"
+    " n_late bigint, first_bucket bigint"
 )
 
 
@@ -701,26 +712,34 @@ def locf_monitor(events: DataFrame) -> DataFrame:
     TimescaleDB's time_bucket_gapfill/locf as an incremental recurrence.
 
     Out-of-order hardened (ADVICE r6): a row whose bucket is BEHIND the
-    pending bucket arrives only via a late micro-batch — its bucket's
-    row (observed or gap) is already in the append sink, so re-emitting
-    would write a second, contradictory row for the same bucket_start.
-    Such rows are DROPPED and counted in state (``n_late``, the
-    monitor's lateness observable — the same drop-and-count contract as
-    Spark's own watermark on append sinks). Within the pending bucket,
-    "last observation wins" is enforced by (ts, event_id) comparison
-    against state, so a late row of the CURRENT bucket can never roll
-    the carried value back either. In-order input is unaffected: the
-    emitted rows equal the batch operator's output restricted to
-    buckets strictly before each user's last observed bucket (the final
-    bucket stays pending — a stream cannot know it is over).
+    pending bucket but at-or-after the user's FIRST chain bucket arrives
+    only via a late micro-batch — its bucket's row (observed or gap) is
+    already in the append sink, so re-emitting would write a second,
+    contradictory row for the same bucket_start. Such rows are DROPPED
+    and counted in state (``n_late``, the monitor's lateness observable
+    — the same drop-and-count contract as Spark's own watermark on
+    append sinks). A late row EARLIER than the first chain bucket
+    (ADVICE r7) has nothing in the sink to contradict — those buckets
+    were never emitted — so it is EMITTED: the batch's prefix events
+    (last-wins per bucket) flush at end-of-batch as observed rows plus
+    carried-forward gaps up to the old first bucket, exactly the rows
+    the batch operator produces for that range, and the chain start
+    moves back. Within the pending bucket, "last observation wins" is
+    enforced by (ts, event_id) comparison against state, so a late row
+    of the CURRENT bucket can never roll the carried value back either.
+    In-order input is unaffected: the emitted rows equal the batch
+    operator's output restricted to buckets strictly before each user's
+    last observed bucket (the final bucket stays pending — a stream
+    cannot know it is over).
 
-    State is five bigints per user: pending bucket, its carried value,
-    the (ts_us, event_id) of the winning observation, and the late-drop
-    count. State-schema v2 (r7; v1 was two bigints): a query restarted
-    from a v1 checkpoint fails Spark's state-store schema check — start
-    with a fresh checkpoint directory after upgrading (the pending
-    bucket re-derives from the next event; only the in-flight bucket's
-    carry is lost).
+    State is six bigints per user: pending bucket, its carried value,
+    the (ts_us, event_id) of the winning observation, the late-drop
+    count, and the first chain bucket. State-schema v3 (r8; v2 lacked
+    first_bucket, v1 was two bigints): a query restarted from an older
+    checkpoint fails Spark's state-store schema check — start with a
+    fresh checkpoint directory after upgrading (the pending bucket
+    re-derives from the next event; only the in-flight bucket's carry
+    is lost).
     """
     import pandas as pd  # noqa: PLC0415
 
@@ -732,11 +751,11 @@ def locf_monitor(events: DataFrame) -> DataFrame:
         (user_id,) = key
         if state.exists:
             s = state.get
-            pend_b, pend_x, pend_ts, pend_eid, n_late = (
-                int(s[0]), int(s[1]), int(s[2]), int(s[3]), int(s[4])
+            pend_b, pend_x, pend_ts, pend_eid, n_late, first_b = (
+                int(s[0]), int(s[1]), int(s[2]), int(s[3]), int(s[4]), int(s[5])
             )
         else:
-            pend_b = pend_x = pend_ts = pend_eid = None
+            pend_b = pend_x = pend_ts = pend_eid = first_b = None
             n_late = 0
         out = {c: [] for c in ("user_id", "bucket_start", "filled_m", "is_gap")}
 
@@ -746,6 +765,9 @@ def locf_monitor(events: DataFrame) -> DataFrame:
             out["filled_m"].append(int(x_m))
             out["is_gap"].append(bool(gap))
 
+        # pre-first-chain late events (bucket < first_b): nothing in the
+        # sink to contradict — buffer last-wins per bucket, flush below
+        prefix: dict[int, int] = {}
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         for _, row in pdf.iterrows():
@@ -755,6 +777,9 @@ def locf_monitor(events: DataFrame) -> DataFrame:
             x = int(math.floor(float(row["value"]) * 1000.0))
             if pend_b is None:
                 pend_b, pend_x, pend_ts, pend_eid = bucket, x, ts_us, eid
+                first_b = bucket
+            elif bucket < first_b:
+                prefix[bucket] = x  # sorted batch: later (ts,eid) overwrites
             elif bucket < pend_b:
                 n_late += 1  # bucket already finalized in the sink: drop
             elif bucket == pend_b:
@@ -767,8 +792,22 @@ def locf_monitor(events: DataFrame) -> DataFrame:
                 for g in range(pend_b + 1, bucket):
                     emit(g, pend_x, True)
                 pend_b, pend_x, pend_ts, pend_eid = bucket, x, ts_us, eid
+        if prefix:
+            # flush the prefix chain: observed rows + carried gaps up to
+            # the (pre-batch) first chain bucket — the exact rows the
+            # batch operator emits for [min(prefix), first_b)
+            bks = sorted(prefix)
+            for i, b in enumerate(bks):
+                emit(b, prefix[b], False)
+                nxt = bks[i + 1] if i + 1 < len(bks) else first_b
+                for g in range(b + 1, nxt):
+                    emit(g, prefix[b], True)
+            first_b = bks[0]
         state.update(
-            (int(pend_b), int(pend_x), int(pend_ts), int(pend_eid), int(n_late))
+            (
+                int(pend_b), int(pend_x), int(pend_ts), int(pend_eid),
+                int(n_late), int(first_b),
+            )
         )
         yield pd.DataFrame(out)
 

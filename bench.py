@@ -8,6 +8,15 @@ Prints ONE JSON line:
 Each query materializes through the noop sink (full computation, no
 driver-side collect), timed after a JVM/session warmup query. Set
 BENCH_ALL=1 to time every registered query instead of the headline set.
+
+The JSON line embeds /proc/loadavg before and after the run
+("load_before"/"load_after") plus any stray Spark JVMs detected before
+the session starts ("stray_spark_pids"). BENCH_r07.json was invalidated
+by an orphaned sf10 sweep still chewing 21 cores during the driver
+bench (VERDICT r7); a contaminated run is now self-evident from the
+artifact, and a loud stderr warning fires when load_before suggests the
+machine is not quiet. Timings are unaffected — measurement is annotated,
+never silently altered.
 """
 
 from __future__ import annotations
@@ -29,10 +38,54 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _loadavg() -> float | None:
+    try:
+        return float(Path("/proc/loadavg").read_text().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _stray_spark_pids() -> list[int]:
+    """PIDs of Spark JVMs already running before this bench starts.
+
+    Any hit means another Spark workload shares the machine and the
+    timings below are suspect (the r7 contamination signature)."""
+    pids: list[int] = []
+    me = os.getpid()
+    for p in Path("/proc").iterdir():
+        if not p.name.isdigit() or int(p.name) == me:
+            continue
+        try:
+            cmd = (p / "cmdline").read_bytes().replace(b"\0", b" ")
+        except OSError:
+            continue
+        if b"org.apache.spark" in cmd or b"SparkSubmit" in cmd:
+            pids.append(int(p.name))
+    return pids
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    load_before = _loadavg()
+    strays = _stray_spark_pids()
+    ncpu = os.cpu_count() or 32
+    if strays:
+        print(
+            f"WARNING: {len(strays)} Spark JVM(s) already running "
+            f"(pids {strays}) — timings will be contaminated; kill them "
+            "and re-run.",
+            file=sys.stderr,
+        )
+    if load_before is not None and load_before > max(4.0, ncpu / 8):
+        print(
+            f"WARNING: load average {load_before} before bench start — "
+            "machine is not quiet; expect inflated timings (see "
+            "BENCH_r07 post-mortem in VERDICT r7).",
+            file=sys.stderr,
+        )
 
     spark = get_spark("adv-big-data-indexing-bench")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -76,6 +129,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_before": load_before,
+        "load_after": _loadavg(),
+        "stray_spark_pids": strays,
     }
     print(json.dumps(out))
 

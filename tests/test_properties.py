@@ -393,6 +393,60 @@ def test_rank_machinery_reliable_checkpoint_mode(spark):
         shutil.rmtree(cp_dir, ignore_errors=True)
 
 
+def test_machinery_parts_nonnumeric_conf_falls_back(spark):
+    """ADVICE r7: platforms that set spark.sql.shuffle.partitions to a
+    non-numeric sentinel ("auto" under runtime-managed AQE) must not
+    crash every rank-machinery caller — the parse falls back to the
+    cluster default parallelism. OSS Spark rejects setting the sentinel
+    conf value itself, so the parse helper is exercised directly."""
+    from adv_big_data_indexing_spark.operators.advanced import (
+        _machinery_parts,
+        _parse_partitions_conf,
+    )
+
+    assert _parse_partitions_conf("32") == 32
+    assert _parse_partitions_conf("auto") is None
+    assert _parse_partitions_conf(None) is None
+    df = spark.range(5)
+    # numeric conf (the tests run at 32): derived value, no fallback
+    assert _machinery_parts(df, None) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert _machinery_parts(df, 7) == 7
+
+
+def test_lazy_reliable_checkpoint_releases_previous_cache(spark):
+    """ADVICE r7: in reliable mode with eager=False (the per-layer BFS
+    shape), each lazily-cached frame must be unpersisted at the NEXT
+    materialize call — not leak for the session lifetime."""
+    import shutil
+
+    from adv_big_data_indexing_spark.operators import advanced as adv
+
+    cp_dir = "/root/repo/.cp_lazy_release_test"
+    spark.sparkContext.setCheckpointDir(cp_dir)
+    spark.conf.set("spark.advbdi.checkpoint", "reliable")
+    try:
+        adv._pending_lazy_caches.clear()
+        out1 = adv.lazy_consistent_materialize(spark.range(50))
+        assert out1.count() == 50  # checkpoint job fires at first action
+        assert len(adv._pending_lazy_caches) == 1
+        first = adv._pending_lazy_caches[0]
+        assert first.storageLevel.useMemory or first.storageLevel.useDisk
+        out2 = adv.lazy_consistent_materialize(spark.range(30))
+        assert out2.count() == 30
+        # previous layer's cache released, only the new one pending
+        assert len(adv._pending_lazy_caches) == 1
+        assert adv._pending_lazy_caches[0] is not first
+        assert not (first.storageLevel.useMemory or first.storageLevel.useDisk)
+    finally:
+        spark.conf.set("spark.advbdi.checkpoint", "local")
+        for c in adv._pending_lazy_caches:
+            c.unpersist()
+        adv._pending_lazy_caches.clear()
+        shutil.rmtree(cp_dir, ignore_errors=True)
+
+
 @settings(
     max_examples=10,
     deadline=None,

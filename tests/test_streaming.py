@@ -291,6 +291,55 @@ def test_stream_static_enrichment(spark, event_stream_dir):
         assert seg[r.event_id] == expected
 
 
+def test_read_state_success_marker_gates_authority(spark, tmp_path):
+    """ADVICE r7: a torn overwrite can leave a main state dir that still
+    PARSES (some part files committed, _SUCCESS never written) — reading
+    it silently truncates history. _read_state must treat the _SUCCESS
+    marker as authority: absent marker + intact .tmp → restore from tmp;
+    absent marker + no tmp → refuse loudly."""
+    import os
+    import shutil
+
+    import pytest
+
+    full = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "k long, v long"
+    )
+
+    # healthy commit: marker present, read succeeds
+    p1 = str(tmp_path / "healthy")
+    full.coalesce(1).write.parquet(p1)
+    assert ev._read_state(spark, p1).count() == 8
+
+    # torn-but-parseable main + intact tmp: must restore the tmp copy,
+    # not trust the truncated main
+    p2 = str(tmp_path / "torn")
+    full.coalesce(1).write.parquet(p2)
+    full.coalesce(1).write.parquet(p2 + ".tmp")
+    os.remove(os.path.join(p2, "_SUCCESS"))
+    # drop rows from main so a naive read would return truncated state
+    truncated = spark.read.parquet(p2).limit(3)
+    pdf = truncated.toPandas()
+    shutil.rmtree(p2)
+    os.makedirs(p2)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(p2, "part-0.parquet"))
+    restored = ev._read_state(spark, p2)
+    assert restored.count() == 8  # tmp copy won, truncation ignored
+
+    # torn main, no recovery copy: loud failure, never silent truncation
+    p3 = str(tmp_path / "torn_norecovery")
+    full.coalesce(1).write.parquet(p3)
+    os.remove(os.path.join(p3, "_SUCCESS"))
+    with pytest.raises(OSError, match="_SUCCESS"):
+        ev._read_state(spark, p3)
+
+    # absent entirely: None (first batch bootstraps)
+    assert ev._read_state(spark, str(tmp_path / "missing")) is None
+
+
 def test_streaming_cms_equals_batch_and_skips_replay(spark, tmp_path):
     """The streaming CMS state after draining the source equals the batch
     CMS of the same data, and re-applying an already-applied batch_id is
@@ -876,6 +925,70 @@ def test_streaming_locf_drops_late_buckets(spark, tmp_path):
         "2024-01-01T02:00:00": [(7000, False)],  # 42.0 did not displace
         "2024-01-01T03:00:00": [(7000, True)],
         "2024-01-01T04:00:00": [(7000, True)],
+    }, per_bucket
+
+
+def test_streaming_locf_emits_pre_first_bucket_late(spark, tmp_path):
+    """ADVICE r7: a late event EARLIER than the user's first chain
+    bucket has nothing in the sink to contradict (those buckets were
+    never emitted) — it must be EMITTED, as observed rows plus
+    carried-forward gaps up to the old chain start, not silently
+    dropped; genuinely finalized buckets must still be dropped."""
+    import time
+
+    batch1 = [
+        (1, "2024-01-01 05:10:00", 1, "click", 5.0),
+        (2, "2024-01-01 07:05:00", 1, "click", 7.0),  # emit 5, gap 6; pend=7
+    ]
+    batch2 = [
+        # pre-first-bucket late pair: hours 2 and 3 were never emitted
+        (3, "2024-01-01 02:20:00", 1, "click", 2.0),
+        (4, "2024-01-01 03:40:00", 1, "click", 3.0),
+        # hour 5 IS in the sink — still dropped (sink contradiction)
+        (5, "2024-01-01 05:50:00", 1, "click", 99.0),
+    ]
+    batch3 = [
+        # an even earlier one in a later batch: chain start moves again
+        (6, "2024-01-01 00:30:00", 1, "click", 1.0),
+        # and an in-order advance closing pending hour 7
+        (7, "2024-01-01 09:30:00", 1, "click", 9.0),
+    ]
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs,
+            "event_id long, ts_s string, user_id long, event_type string, value double",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    src = str(tmp_path / "locf_prefix_src")
+    for batch in (batch1, batch2, batch3):
+        mk(batch).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(mk(batch1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_memory(spark, ev.locf_monitor(stream), "t_locf_pre", "append")
+    per_bucket: dict[str, list] = {}
+    for r in out.collect():
+        per_bucket.setdefault(r.bucket_start.isoformat(), []).append(
+            (r.filled_m, r.is_gap)
+        )
+    assert all(len(v) == 1 for v in per_bucket.values()), per_bucket
+    assert per_bucket == {
+        "2024-01-01T00:00:00": [(1000, False)],  # batch3 prefix obs
+        "2024-01-01T01:00:00": [(1000, True)],  # gap up to old start (2)
+        "2024-01-01T02:00:00": [(2000, False)],  # batch2 prefix obs
+        "2024-01-01T03:00:00": [(3000, False)],  # batch2 prefix obs
+        "2024-01-01T04:00:00": [(3000, True)],  # gap up to old start (5)
+        "2024-01-01T05:00:00": [(5000, False)],  # 99.0 dropped, not re-emitted
+        "2024-01-01T06:00:00": [(5000, True)],
+        "2024-01-01T07:00:00": [(7000, False)],  # closed by batch3 advance
+        "2024-01-01T08:00:00": [(7000, True)],
     }, per_bucket
 
 

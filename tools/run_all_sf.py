@@ -1,9 +1,20 @@
 """Execute every registry query at sf1 (no oracle compare) to surface
-ANSI overflow / scale bugs that sf0.01 can't reach."""
-import sys, time, traceback
+ANSI overflow / scale bugs that sf0.01 can't reach.
+
+Usage: python tools/run_all_sf.py [SF_DIR] [checkpoint_mode]
+  checkpoint_mode: local (default) | reliable — "reliable" certifies the
+  cluster-grade checkpoint path (spark.advbdi.checkpoint=reliable routed
+  through consistent_materialize) end-to-end across the whole registry
+  (VERDICT r7 item 4)."""
+import os
+import shutil
+import sys
+import time
+
 from pyspark.sql import SparkSession
+
 sys.path.insert(0, "/root/repo")
-from adv_big_data_indexing_spark.contract import registry
+from adv_big_data_indexing_spark.contract import registry  # noqa: E402
 
 spark = (SparkSession.builder.master("local[32]")
          .config("spark.sql.shuffle.partitions", "32")
@@ -12,6 +23,13 @@ spark = (SparkSession.builder.master("local[32]")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+mode = sys.argv[2] if len(sys.argv) > 2 else "local"
+ckpt_dir = None
+if mode == "reliable":
+    ckpt_dir = f"/tmp/advbdi_ckpt_{os.getpid()}"
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    spark.conf.set("spark.advbdi.checkpoint", "reliable")
+print(f"sweep: sf_dir={sf} checkpoint={mode}", flush=True)
 fails = []
 for name, spec in sorted(registry().items()):
     t0 = time.time()
@@ -27,3 +45,5 @@ print("\n=== failures ===")
 for n, m in fails:
     print(n, "::", m)
 print(f"{len(fails)} failures / {len(registry())} queries")
+if ckpt_dir:
+    shutil.rmtree(ckpt_dir, ignore_errors=True)

@@ -821,6 +821,119 @@ def locf_monitor(events: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming sliding-rate limiter (trailing-window burst detection)
+# ---------------------------------------------------------------------------
+
+RATE_OUTPUT = "user_id long, event_id long, ts timestamp, n_trailing long"
+RATE_STATE = (
+    "secs array<bigint>, eids array<bigint>, ts_us array<bigint>,"
+    " max_sec bigint, n_late bigint"
+)
+
+
+def rate_flag_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
+    """Streaming twin of ``ts_sliding_rate_flags`` (operators/
+    timeseries.py): per user, each event's trailing-``RATE_WINDOW_SEC``
+    event count, flagged past ``RATE_LIMIT`` — the online rate limiter /
+    burst detector (VERDICT r7 item 8).
+
+    Event-time semantics under an allowed lateness of ``delay_sec``:
+
+    - An event FINALIZES once the user's max observed event-time second
+      advances past ``sec + delay_sec`` — only then is its trailing
+      count provably complete (the batch RANGE frame counts PEERS at
+      the same second too, so a row cannot finalize the instant it
+      arrives). Finalized flags equal the batch operator's rows
+      restricted to each user's finalized horizon, bit-for-bit.
+    - A late event INSIDE the horizon (sec > max_sec − delay) slots
+      into the buffer and is counted by every pending event it
+      precedes — out-of-order within tolerance is handled exactly.
+    - A late event BEHIND the horizon is dropped and counted in state
+      (``n_late``) — its bucket's flags are already in the append sink
+      (the same drop-and-count contract as Spark's own watermark and
+      the LOCF monitor).
+
+    State per user is the event buffer of the trailing
+    ``delay_sec + RATE_WINDOW_SEC`` seconds (three parallel bigint
+    arrays) — bounded by the user's event rate times a constant
+    horizon, the buffer any online rate limiter holds; pruned every
+    batch.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    from adv_big_data_indexing_spark.operators.timeseries import (  # noqa: PLC0415
+        RATE_LIMIT,
+        RATE_WINDOW_SEC,
+    )
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            s = state.get
+            secs, eids, tss = list(s[0]), list(s[1]), list(s[2])
+            max_sec, n_late = int(s[3]), int(s[4])
+        else:
+            secs, eids, tss = [], [], []
+            max_sec, n_late = None, 0
+        horizon_old = None if max_sec is None else max_sec - delay_sec
+
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for _, row in pdf.iterrows():
+            ts_us = int(row["ts"].value) // 1000
+            sec = ts_us // 1_000_000
+            if horizon_old is not None and sec <= horizon_old:
+                n_late += 1  # flags for this second already finalized
+                continue
+            secs.append(sec)
+            eids.append(int(row["event_id"]))
+            tss.append(ts_us)
+            max_sec = sec if max_sec is None else max(max_sec, sec)
+
+        out = {c: [] for c in ("user_id", "event_id", "ts", "n_trailing")}
+        if max_sec is not None:
+            horizon_new = max_sec - delay_sec
+            a_sec = np.array(secs, dtype=np.int64)
+            a_eid = np.array(eids, dtype=np.int64)
+            a_ts = np.array(tss, dtype=np.int64)
+            lo = -np.inf if horizon_old is None else horizon_old
+            fin = (a_sec > lo) & (a_sec <= horizon_new)
+            order = np.lexsort((a_eid[fin], a_ts[fin]))
+            f_sec, f_eid, f_ts = a_sec[fin][order], a_eid[fin][order], a_ts[fin][order]
+            for sec, eid, ts_us in zip(f_sec, f_eid, f_ts):
+                n_tr = int(
+                    ((a_sec > sec - RATE_WINDOW_SEC) & (a_sec <= sec)).sum()
+                )
+                if n_tr > RATE_LIMIT:
+                    out["user_id"].append(user_id)
+                    out["event_id"].append(int(eid))
+                    out["ts"].append(pd.Timestamp(int(ts_us) * 1000))
+                    out["n_trailing"].append(n_tr)
+            # prune: pending events (sec > horizon_new) reach back at most
+            # RATE_WINDOW_SEC-1 seconds; older rows can never be read again
+            keep = a_sec > horizon_new - RATE_WINDOW_SEC
+            secs = [int(x) for x in a_sec[keep]]
+            eids = [int(x) for x in a_eid[keep]]
+            tss = [int(x) for x in a_ts[keep]]
+
+        state.update(
+            (secs, eids, tss, -1 if max_sec is None else int(max_sec), int(n_late))
+        )
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RATE_OUTPUT,
+        stateStructType=RATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming STL-style seasonal decomposition (incremental index maintenance)
 # ---------------------------------------------------------------------------
 

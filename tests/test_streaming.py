@@ -992,6 +992,86 @@ def test_streaming_locf_emits_pre_first_bucket_late(spark, tmp_path):
     }, per_bucket
 
 
+def test_streaming_rate_flags_match_batch(spark, tmp_path):
+    """VERDICT r7 item 8: the streaming rate limiter's finalized flags
+    must equal the batch ts_sliding_rate_flags rows on the same input —
+    including a late-within-horizon event that pushes an earlier pending
+    event over the limit — while an event behind the allowed-lateness
+    horizon is dropped (its absence is observable in the counts)."""
+    import time
+
+    # user 1: a burst of 8 events 10:00–10:35 plus a late insert e10 at
+    # 10:20:30 (arrives in batch 2, AFTER e7/e8's seconds were seen) —
+    # with it, trailing counts reach 7/8/9 at e6/e7/e8. user 2: sparse.
+    # e9/e21 are clock advances more than a full rate window past the
+    # burst: they finalize everything, stay pending, and never flag.
+    base = [
+        (1, "2024-01-01 10:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 10:05:00", 1, "click", 0.0),
+        (3, "2024-01-01 10:10:00", 1, "click", 0.0),
+        (4, "2024-01-01 10:15:00", 1, "click", 0.0),
+        (5, "2024-01-01 10:20:00", 1, "click", 0.0),
+        (6, "2024-01-01 10:25:00", 1, "click", 0.0),
+        (7, "2024-01-01 10:30:00", 1, "click", 0.0),
+        (8, "2024-01-01 10:35:00", 1, "click", 0.0),
+        (10, "2024-01-01 10:20:30", 1, "click", 0.0),
+        (9, "2024-01-02 12:00:00", 1, "click", 0.0),
+        (20, "2024-01-01 10:00:00", 2, "view", 0.0),
+        (21, "2024-01-02 12:30:00", 2, "view", 0.0),
+    ]
+    # behind the horizon when it arrives (batch 3 horizon = 10:35-1h):
+    # dropped, so it must NOT raise the finalized counts
+    too_late = (11, "2024-01-01 08:00:00", 1, "click", 0.0)
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs,
+            "event_id long, ts_s string, user_id long, event_type string, value double",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    batches = [
+        [r for r in base if r[0] in (1, 2, 3, 4, 5, 6, 20)],
+        [r for r in base if r[0] in (10, 7, 8)],
+        [r for r in base if r[0] in (9, 21)] + [too_late],
+    ]
+    src = str(tmp_path / "rate_src")
+    for b in batches:
+        mk(b).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(mk(base).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_memory(
+        spark, ev.rate_flag_monitor(stream), "t_rate_flags", "append"
+    )
+    got = sorted(
+        (r.user_id, r.event_id, r.ts.isoformat(), r.n_trailing)
+        for r in out.collect()
+    )
+
+    # batch twin on the SAME input minus the dropped-too-late event
+    # (every flagged event is past the finalization horizon by design,
+    # and the pending clock events never flag — so the sets are equal)
+    from adv_big_data_indexing_spark.contract import registry
+
+    bdir = str(tmp_path / "rate_batch")
+    mk(base).withColumn("props", F.lit("{}")).coalesce(1).write.parquet(
+        bdir + "/events.parquet"
+    )
+    exp = sorted(
+        (r.user_id, r.event_id, r.ts.isoformat(), r.n_trailing)
+        for r in registry()["ts_sliding_rate_flags"].fn(spark, bdir).collect()
+    )
+    assert got == exp
+    assert [g[1] for g in got] == [6, 7, 8]  # e6 flagged only via late e10
+    assert [g[3] for g in got] == [7, 8, 9]  # counts exclude dropped e11
+
+
 def test_streaming_seasonal_matches_batch(spark, tmp_path):
     """VERDICT r6 item 7: the incremental seasonal-decompose state
     (foreachBatch hourly fold + watermark-frozen trend rows) must (a)

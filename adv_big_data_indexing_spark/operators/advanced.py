@@ -1292,6 +1292,33 @@ def lazy_consistent_materialize(df: DataFrame) -> DataFrame:
     return consistent_materialize(df, eager=False)
 
 
+def release_superseded_materializations(spark) -> None:
+    """Reclaim the PREVIOUS iteration's checkpoint blocks and shuffle
+    files inside an iterative loop that materializes a frame per
+    iteration (connected components, k-means).
+
+    Spark's ContextCleaner only removes localCheckpoint blocks and
+    shuffle files once the JVM-side RDD object is garbage — which needs
+    BOTH a Python GC (to drop the Py4J handle the superseded DataFrame
+    held) and a JVM GC cycle. Neither is guaranteed to run during a
+    tight driver loop, so disk grows O(iterations × frame + iterations ×
+    shuffle): ns_dedup_components at sf10's adversarial density (~24M
+    true near-dup pairs, one giant component) accumulated the full 77 GB
+    of free disk as spill and died ENOSPC (BASELINE r8, VERDICT r7
+    item 6 — 'any fix that falls out'). Called once per iteration AFTER
+    rebinding the loop variable, this pins the reclaim to the loop
+    boundary; cost is one driver GC cycle per iteration, negligible next
+    to a data-sized iteration. Advisory only — semantics are identical
+    without it, it just bounds peak disk at O(one iteration)."""
+    import gc  # noqa: PLC0415
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # JVM GC is advisory; worst case is the old reclaim timing
+
+
 # the rank machinery's internal alias (kept for the docstrings that
 # reference the boundary-consistency argument by this name)
 _consistent_materialize = consistent_materialize

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.operators.advanced import (
     consistent_materialize,
+    release_superseded_materializations,
 )
 from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, quantize_vec
 from adv_big_data_indexing_spark.sources.catalog import load_table, spread
@@ -311,6 +312,10 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .transform(consistent_materialize)
         )
+        # per-iteration shuffle files (the data-sized assignment groupBy)
+        # otherwise accumulate until an arbitrary GC — see
+        # release_superseded_materializations (sf10 ENOSPC post-mortem)
+        release_superseded_materializations(wide.sparkSession)
 
     return assign(e, wide).transform(consistent_materialize)
 

@@ -106,6 +106,57 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(load_table(spark, sf_dir, "documents"))
 
 
+#: corpus-size cap for the exact inverted-index jaccard self-join. Its
+#: shuffle volume is Θ(Σ_shingle g² · shingles/doc) — under adversarial
+#: duplication (sf10: ~4800-doc clique groups) a single execution wrote
+#: >76 GB of shuffle spill and died ENOSPC (BASELINE r8). The LSH
+#: pipeline produces the same threshold-verified pairs in Θ(pairs); the
+#: cap is sized so every calibration SF (≤ sf1 = 50k docs) stays on the
+#: exact path and anything bigger routes.
+MAX_EXACT_JACCARD_DOCS = 100_000
+
+
+def _guard_exact_jaccard(n_docs: int, op_name: str, cap: int | None = None) -> None:
+    """Fail-fast routing guard for the exact inverted-index jaccard
+    (same contract as similarity._guard_bruteforce)."""
+    cap = MAX_EXACT_JACCARD_DOCS if cap is None else cap
+    if n_docs > cap:
+        raise ValueError(
+            f"{op_name} runs the exact inverted-index jaccard self-join "
+            f"over {n_docs} documents (cap {cap}); its shuffle volume is "
+            f"quadratic in duplicate-group size — use ns_dedup_minhash_lsh "
+            f"(same threshold, exact-verified candidates, Θ(pairs)) at "
+            f"this scale; ns_dedup_lsh_bucket_audit reports what the "
+            f"banding excludes."
+        )
+
+
+def near_dup_edges(
+    spark: SparkSession, sf_dir: str, exact_cap: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b) near-dup pairs at JACCARD_THRESHOLD, ROUTED by
+    corpus size (VERDICT r7 item 6 — the fix that fell out of the sf10
+    probe): at or below ``MAX_EXACT_JACCARD_DOCS`` the exact
+    inverted-index jaccard (the oracle's form — driver rows stay exact);
+    above it the one-pass MinHash-LSH pipeline, whose candidates are
+    verified with the SAME exact-jaccard threshold (sf10-proven Θ(pairs),
+    94.6 s for ~24M pairs) — the only divergence is LSH recall, priced
+    by the banding (4×4) and reported by ns_dedup_lsh_bucket_audit.
+    The routing decision reads parquet metadata only (count)."""
+    cap = MAX_EXACT_JACCARD_DOCS if exact_cap is None else exact_cap
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    sh = _shingle_df(spark, sf_dir)
+    if n_docs > cap:
+        pairs = (
+            _with_jaccard(_lsh_pair_stats(sh))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .distinct()
+        )
+    else:
+        pairs = _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return pairs.select("doc_a", "doc_b")
+
+
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     """Exact jaccard over shingle strings for doc pairs sharing ≥1 shingle
     (the ground-truth inverted-index self-join; the LSH family uses the
@@ -172,10 +223,13 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="NS exact n-gram Jaccard near-dup pairs (word 3-gram shingles, "
     "inverted-index self-join). Only docs sharing a shingle ever pair up — "
-    "no cross join. Skew note: at 100 TB drop stop-shingles (document "
-    "frequency cap) before the self-join.",
+    "no cross join. GUARDED (r8): refuses above MAX_EXACT_JACCARD_DOCS and "
+    "routes to ns_dedup_minhash_lsh — the self-join's shuffle is quadratic "
+    "in duplicate-group size (sf10 adversarial density: ENOSPC at 76 GB).",
 )
 def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    _guard_exact_jaccard(n_docs, "ns_dedup_ngram_jaccard")
     sh = _shingle_df(spark, sf_dir)
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 

@@ -34,12 +34,12 @@ from pyspark.sql import functions as F
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.operators.advanced import (
     consistent_materialize,
+    release_superseded_materializations,
 )
 from adv_big_data_indexing_spark.operators.dedup import (
     _DUCK_SHINGLE_CTE,
     JACCARD_THRESHOLD,
-    _jaccard_pairs,
-    _shingle_df,
+    near_dup_edges,
 )
 from adv_big_data_indexing_spark.sources.catalog import load_table
 
@@ -106,6 +106,10 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         e2 = _small_star(_large_star(e)).transform(consistent_materialize)
         fp2 = _fingerprint(e2)
         e = e2
+        # reclaim the superseded iteration's checkpoint blocks + shuffle
+        # files NOW — at adversarial density (sf10: one ~24M-pair giant
+        # component) letting them ride to an eventual GC exhausts disk
+        release_superseded_materializations(e.sparkSession)
         if fp2 == fp:
             break
         fp = fp2
@@ -169,8 +173,10 @@ FROM membership
     "only viable at oracle scale; the Spark path is the O(E log n) one.",
 )
 def ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df(spark, sf_dir)
-    pairs = _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # routed pair source (r8): exact jaccard at calibration sizes,
+    # minhash-LSH verified candidates above MAX_EXACT_JACCARD_DOCS —
+    # the exact self-join ENOSPC'd at sf10's adversarial density
+    pairs = near_dup_edges(spark, sf_dir)
     cc = connected_components(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
@@ -258,10 +264,9 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the component closure; the output is O(max cluster size) rows.",
 )
 def ns_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df(spark, sf_dir)
+    # same routed pair source as ns_dedup_components (r8)
     cc = connected_components(
-        _jaccard_pairs(sh)
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        near_dup_edges(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id")

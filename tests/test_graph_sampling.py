@@ -226,3 +226,58 @@ def test_doc_chunking_whitespace_only_doc(spark, tmp_path):
     )
     assert compare(spec.fn(spark, pdf_dir), con.sql(spec.oracle)) == []
     con.close()
+
+
+def test_near_dup_edges_routes_to_lsh_above_cap(spark):
+    """VERDICT r7 item 6 fallout: the exact inverted-index jaccard
+    self-join writes shuffle quadratic in duplicate-group size (ENOSPC
+    at sf10's ~4800-doc clique groups), so above MAX_EXACT_JACCARD_DOCS
+    the components/cluster-stats pair source must substitute the
+    minhash-LSH verified candidates; at calibration sizes it must stay
+    the oracle-exact pair set."""
+    from adv_big_data_indexing_spark.contract import registry
+    from adv_big_data_indexing_spark.operators.dedup import near_dup_edges
+
+    # default route at the test SF: identical to the exact-jaccard op
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in registry()["ns_dedup_ngram_jaccard"]
+        .fn(spark, SF_CORRECTNESS)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    default = {
+        (r.doc_a, r.doc_b)
+        for r in near_dup_edges(spark, SF_CORRECTNESS).collect()
+    }
+    assert default == exact
+
+    # forced big-corpus route: identical to the LSH op's verified pairs
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in registry()["ns_dedup_minhash_lsh"]
+        .fn(spark, SF_CORRECTNESS)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    routed = {
+        (r.doc_a, r.doc_b)
+        for r in near_dup_edges(spark, SF_CORRECTNESS, exact_cap=0).collect()
+    }
+    assert routed == lsh
+    # LSH candidates are exact-verified at the same threshold: the routed
+    # set can only miss pairs (banding recall), never invent them
+    assert routed <= exact
+
+
+def test_exact_jaccard_guard_refuses_with_routing_hint():
+    import pytest
+
+    from adv_big_data_indexing_spark.operators.dedup import (
+        MAX_EXACT_JACCARD_DOCS,
+        _guard_exact_jaccard,
+    )
+
+    _guard_exact_jaccard(MAX_EXACT_JACCARD_DOCS, "x")  # at cap: allowed
+    with pytest.raises(ValueError, match="ns_dedup_minhash_lsh"):
+        _guard_exact_jaccard(MAX_EXACT_JACCARD_DOCS + 1, "ns_dedup_ngram_jaccard")

@@ -72,6 +72,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_R8 = (
     # implementation changed in round 8 — need fresh rows
     "ns_hybrid_rrf_fusion",  # dense arm ANN routing above cap (VERDICT r7 item 5)
+    "ns_dedup_ngram_jaccard",  # exact-jaccard corpus-size guard (item 6 fallout)
+    "ns_semdedup_kmeans",  # per-iteration checkpoint/shuffle reclaim (item 6)
     # the 14 remaining rows whose last green was r2
     "op_b1_conjunctive_filter",
     "op_b2_filter_by_id",
@@ -122,8 +124,6 @@ _DRIVER_WINDOW_R8 = (
     "ns_ann_ivf",
     "ns_ann_lsh_bucketed",
     "ns_ann_lsh_recall",
-    "ns_corpus_curation",
-    "ns_dataset_diff",
     "ns_dedup_components",
 )
 

@@ -39,7 +39,7 @@ from adv_big_data_indexing_spark.functions.text import (
     token_rows,
     tokens,
 )
-from adv_big_data_indexing_spark.sources.catalog import load_table
+from adv_big_data_indexing_spark.sources.catalog import load_table, table_rows
 
 JACCARD_THRESHOLD = 0.8
 N_MINHASH = 16
@@ -144,7 +144,7 @@ def near_dup_edges(
     by the banding (4×4) and reported by ns_dedup_lsh_bucket_audit.
     The routing decision reads parquet metadata only (count)."""
     cap = MAX_EXACT_JACCARD_DOCS if exact_cap is None else exact_cap
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = table_rows(sf_dir, "documents")  # parquet footers, no job
     sh = _shingle_df(spark, sf_dir)
     if n_docs > cap:
         pairs = (
@@ -228,7 +228,7 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in duplicate-group size (sf10 adversarial density: ENOSPC at 76 GB).",
 )
 def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = table_rows(sf_dir, "documents")  # parquet footers, no job
     _guard_exact_jaccard(n_docs, "ns_dedup_ngram_jaccard")
     sh = _shingle_df(spark, sf_dir)
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.functions.exact import DUCK_ILOG2_Q4, ilog2_q4
 from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, tokens
-from adv_big_data_indexing_spark.sources.catalog import load_table, spread
+from adv_big_data_indexing_spark.sources.catalog import load_table, spread, table_rows
 
 #: Fixed query panel: one rare term (df ≈ 5% of docs) and two common ones,
 #: so idf spread actually drives the ranking. The OPERATOR takes any panel;
@@ -307,7 +307,7 @@ def _dense_pool_ranks(spark: SparkSession, sf_dir: str, brute_cap: int | None = 
 
     cap = MAX_BRUTEFORCE_CANDIDATES if brute_cap is None else brute_cap
     e = load_table(spark, sf_dir, "embeddings")
-    n_vec = e.count()
+    n_vec = table_rows(sf_dir, "embeddings")  # parquet footers, no job
     qv = F.broadcast(
         e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
             quantize_vec(F.col("embedding")).alias("qq")

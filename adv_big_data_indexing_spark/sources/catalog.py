@@ -53,6 +53,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a catalog table from parquet FOOTERS, driver-side —
+    no Spark job at all (routing decisions read this: the exact-vs-LSH
+    dedup pair source, the brute-vs-ANN dense arm). On a parquet
+    directory the counts sum across part files; on a bare file it reads
+    the one footer. Equivalent to ``COUNT(*)`` (parquet footers store
+    exact row counts) at zero job-scheduling cost."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def spread(df: DataFrame, factor: int = 2) -> DataFrame:
     """Ensure minimum scan parallelism before CPU-heavy per-row work.
 

@@ -74,6 +74,7 @@ _DRIVER_WINDOW_R8 = (
     "ns_hybrid_rrf_fusion",  # dense arm ANN routing above cap (VERDICT r7 item 5)
     "ns_dedup_ngram_jaccard",  # exact-jaccard corpus-size guard (item 6 fallout)
     "ns_semdedup_kmeans",  # per-iteration checkpoint/shuffle reclaim (item 6)
+    "ns_dedup_lsh_pair_recall",  # NEW in r8 — prices the near_dup_edges routing
     # the 14 remaining rows whose last green was r2
     "op_b1_conjunctive_filter",
     "op_b2_filter_by_id",
@@ -120,7 +121,6 @@ _DRIVER_WINDOW_R8 = (
     # dedup-tail probe target, VERDICT r7 item 6) to fill 50
     "ext_agg_groupby",
     "ext_asof_join",
-    "ext_skew_profile",
     "ns_ann_ivf",
     "ns_ann_lsh_bucketed",
     "ns_ann_lsh_recall",

@@ -458,6 +458,75 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_dedup_lsh_pair_recall",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    {_DUCK_LSH_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    {_DUCK_LSH_STATS},
+    lshp AS (
+      SELECT DISTINCT doc_a, doc_b FROM stats
+      WHERE {_DUCK_JACC} >= {JACCARD_THRESHOLD}
+    ),
+    xinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT doc_a, doc_b
+      FROM xinter
+      JOIN sh_count na ON xinter.doc_a = na.doc_id
+      JOIN sh_count nb ON xinter.doc_b = nb.doc_id
+      WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)
+            >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(l.doc_a) AS BIGINT) AS n_hit,
+           CAST(count(l.doc_a) AS DOUBLE) / count(*) AS recall
+    FROM exact e LEFT JOIN lshp l
+      ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+    """,
+    doc="NS dedup-pair recall contract: the MinHash-LSH verified pair set "
+    "measured against the exact inverted-index jaccard pair set — the "
+    "measurement that justifies near_dup_edges routing components/"
+    "cluster-stats away from the guarded exact path above "
+    "MAX_EXACT_JACCARD_DOCS (r8; the exact path ENOSPC'd at sf10). Both "
+    "sets are deterministic, so the recall fraction reproduces "
+    "bit-for-bit in the oracle. At 100 TB this runs on a sampled corpus "
+    "slice while production routes through LSH; the per-bucket losses "
+    "are itemized by ns_dedup_lsh_bucket_audit.",
+)
+def ns_dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one shingle pass feeds BOTH pipelines (exact self-join + LSH
+    # signature build) — checkpoint it instead of re-tokenizing 3×
+    sh = _shingle_df(spark, sf_dir).transform(consistent_materialize)
+    exact = _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    lsh = (
+        _with_jaccard(_lsh_pair_stats(sh))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .distinct()
+        .select(F.col("doc_a").alias("l_doc_a"), F.col("doc_b").alias("l_doc_b"))
+    )
+    joined = exact.join(
+        lsh,
+        (F.col("doc_a") == F.col("l_doc_a")) & (F.col("doc_b") == F.col("l_doc_b")),
+        "left",
+    )
+    return joined.agg(
+        F.count("*").alias("n_exact"),
+        F.count("l_doc_a").alias("n_hit"),
+        (F.count("l_doc_a").cast("double") / F.count("*")).alias("recall"),
+    )
+
+
+@query(
     "ns_dedup_lsh_bucket_audit",
     oracle=f"""
     WITH {_DUCK_SHINGLE_CTE},

@@ -934,6 +934,140 @@ def rate_flag_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming Markov transition-matrix maintenance
+# ---------------------------------------------------------------------------
+
+MARKOV_DELTA_OUTPUT = "from_state string, to_state string"
+MARKOV_STATE = "last_type string, last_ts_us bigint, last_eid bigint, n_late bigint"
+
+
+def markov_transition_deltas(events: DataFrame) -> DataFrame:
+    """Per-event (from_state, to_state) transition rows with the
+    cross-micro-batch carry: each user's LAST event type persists in
+    state, so the transition spanning a batch boundary is attributed
+    exactly once — the piece a stateless per-batch lead() would lose.
+
+    In-order input reproduces the batch operator's pair stream exactly
+    (same (ts, event_id) ordering). A late row behind the user's last
+    seen (ts, event_id) would retro-insert into an already-recorded
+    transition chain — it is dropped and counted (``n_late``), the
+    standard append-sink lateness contract. State is three scalars per
+    user."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            s = state.get
+            last_type, last_ts, last_eid, n_late = (
+                s[0], int(s[1]), int(s[2]), int(s[3])
+            )
+        else:
+            last_type, last_ts, last_eid, n_late = None, -1, -1, 0
+        out = {"from_state": [], "to_state": []}
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for _, row in pdf.iterrows():
+            ts_us = int(row["ts"].value) // 1000
+            eid = int(row["event_id"])
+            if (ts_us, eid) <= (last_ts, last_eid):
+                n_late += 1  # behind the recorded chain: drop, count
+                continue
+            t = row["event_type"]
+            if last_type is not None:
+                out["from_state"].append(last_type)
+                out["to_state"].append(t)
+            last_type, last_ts, last_eid = t, ts_us, eid
+        state.update((last_type, int(last_ts), int(last_eid), int(n_late)))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=MARKOV_DELTA_OUTPUT,
+        stateStructType=MARKOV_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_markov(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":
+    """Streaming twin of ``ts_markov_transitions`` (operators/
+    timeseries.py): incremental maintenance of the transition-count
+    matrix. The stateful stage (:func:`markov_transition_deltas`)
+    carries each user's last state across micro-batches; this stage
+    folds the batch's (from, to) counts ADDITIVELY into a parquet state
+    table with the exactly-once batch_id guard of ``run_streaming_cms``
+    (an additive merge is not idempotent, so replays must skip). State
+    is O(|states|²) counters however long the stream runs — live
+    transition probabilities without ever re-scanning history."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # Materialize the stateful stage FIRST, unconditionally, at its
+        # native partitioning: the state-store commit protocol requires
+        # every partition of the applyInPandasWithState operator to
+        # execute and commit per micro-batch — both the skip path
+        # (returning without an action) and the coalesce(1) inside
+        # _commit_state (which folds the stateful stage into one task)
+        # fail Spark's commit validation otherwise.
+        batch = batch.localCheckpoint(eager=True)
+        prev = _read_state(spark, state_dir)
+        if batch_id <= _applied_batch(prev):
+            return  # replay of an already-applied batch: skip the fold
+        delta = batch.groupBy("from_state", "to_state").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        if prev is not None:
+            merged = (
+                prev.drop("batch_id")
+                .withColumnRenamed("n", "prev_n")
+                .join(
+                    delta.withColumnRenamed("n", "delta_n"),
+                    ["from_state", "to_state"],
+                    "full_outer",
+                )
+                .select(
+                    "from_state",
+                    "to_state",
+                    (
+                        F.coalesce(F.col("prev_n"), F.lit(0))
+                        + F.coalesce(F.col("delta_n"), F.lit(0))
+                    ).alias("n"),
+                )
+            )
+        else:
+            merged = delta
+        _commit_state(merged.withColumn("batch_id", F.lit(batch_id)), state_dir)
+
+    return (
+        markov_transition_deltas(events)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_markov_result(spark, state_dir: str) -> DataFrame:
+    """Transition probabilities from the maintained count matrix — the
+    same (n, p = n / Σ_from n) shape as the batch operator, so after a
+    drain the two are comparable row-for-row."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    t = spark.read.parquet(state_dir).drop("batch_id")
+    total = Window.partitionBy("from_state")
+    return t.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(total)).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming STL-style seasonal decomposition (incremental index maintenance)
 # ---------------------------------------------------------------------------
 

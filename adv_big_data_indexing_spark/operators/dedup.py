@@ -619,7 +619,10 @@ _DUCK_SIMHASH_CTE = f"""
     doc="NS SimHash near-dup: 64-bit md5-derived signatures (token-frequency "
     "weighted), banded into 4×16-bit chunks. A pair at hamming ≤ 3 must share "
     "≥1 chunk (pigeonhole), so the chunk join finds every qualifying pair — "
-    "exact results with O(collisions) work, not O(n²).",
+    "exact results with O(collisions) work, not O(n²). Bucket expansion is "
+    "tiered like _lsh_pair_stats (r8): in-row ≤64, spill-safe self-join "
+    "above, degenerate buckets excluded — the flat in-row form OOM'd at "
+    "sf10's ~4800-doc cliques.",
 )
 def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -663,11 +666,17 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = wide.select(
         "doc_id", sig_arr.alias("cs"), F.posexplode(sig_arr).alias("chunk", "chunk_val")
     )
-    grouped = (
-        chunks.groupBy("chunk", "chunk_val")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "cs"))).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
+    # Tiered bucket expansion — the same three paths as _lsh_pair_stats
+    # (r8; the former unconditional collect_list OOM'd the heap at sf10:
+    # a ~4800-doc duplicate clique shares every chunk value, and the
+    # in-row pair flatten builds an ~11.5M-struct array in ONE row).
+    # Small buckets expand in-row; hot buckets expand row-per-member via
+    # the equi self-join (shuffle-backed, spills); degenerate buckets
+    # (chunk value stopped discriminating) are excluded, mirroring the
+    # minhash contract.
+    sized = chunks.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("chunk", "chunk_val"))
+    ).filter((F.col("bsz") > 1) & (F.col("bsz") <= BUCKET_PAIR_CAP))
 
     def _hamming(x, y):
         return F.aggregate(
@@ -676,6 +685,11 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, e: acc + e,
         )
 
+    grouped = (
+        sized.filter(F.col("bsz") <= BUCKET_INROW_CAP)
+        .groupBy("chunk", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "cs"))).alias("ms"))
+    )
     pairs = F.flatten(
         F.transform(
             F.col("ms"),
@@ -689,9 +703,26 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
+    small_pairs = (
         grouped.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
+    )
+    hot = sized.filter(F.col("bsz") > BUCKET_INROW_CAP)
+    x, y = hot.alias("x"), hot.alias("y")
+    hot_pairs = x.join(
+        y,
+        (F.col("x.chunk") == F.col("y.chunk"))
+        & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        _hamming(
+            F.struct(F.col("x.cs").alias("cs")), F.struct(F.col("y.cs").alias("cs"))
+        ).alias("hamming"),
+    )
+    return (
+        small_pairs.unionByName(hot_pairs)
         .filter(F.col("hamming") <= HAMMING_THRESHOLD)
         .distinct()
     )

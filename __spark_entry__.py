@@ -76,6 +76,7 @@ _DRIVER_WINDOW_R8 = (
     "ns_semdedup_kmeans",  # per-iteration checkpoint/shuffle reclaim (item 6)
     "ns_dedup_lsh_pair_recall",  # NEW in r8 — prices the near_dup_edges routing
     "ns_dedup_simhash",  # r8 tiered bucket expansion (sf10 heap-OOM fix)
+    "ns_corpus_curation",  # r8 routed pair stage (sf10 ENOSPC fix)
     # the 14 remaining rows whose last green was r2
     "op_b1_conjunctive_filter",
     "op_b2_filter_by_id",
@@ -120,7 +121,6 @@ _DRIVER_WINDOW_R8 = (
     "ts_retention_cohort",
     # oldest r4 rows (alphabetical, plus ns_dedup_components — the sf10
     # dedup-tail probe target, VERDICT r7 item 6) to fill 50
-    "ext_agg_groupby",
     "ns_ann_ivf",
     "ns_ann_lsh_bucketed",
     "ns_ann_lsh_recall",

@@ -23,8 +23,8 @@ from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.functions.text import DUCK_TOKENS, tokens
 from adv_big_data_indexing_spark.operators.dedup import (
     JACCARD_THRESHOLD,
-    _jaccard_pairs,
     duck_shingle_cte,
+    routed_pairs,
     shingles_of,
 )
 from adv_big_data_indexing_spark.operators.graph import connected_components
@@ -35,7 +35,7 @@ from adv_big_data_indexing_spark.operators.sampling import (
     split_assign,
 )
 from adv_big_data_indexing_spark.operators.text import _STOPWORDS, _duck_grams, _sql_list
-from adv_big_data_indexing_spark.sources.catalog import load_table
+from adv_big_data_indexing_spark.sources.catalog import load_table, table_rows
 
 #: quality gate: minimum whitespace-token count (median corpus doc ≈ 56)
 MIN_TOKENS = 40
@@ -112,7 +112,9 @@ def ns_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
     ).filter(F.col("n_tokens") >= MIN_TOKENS)
     sh = shingles_of(kept.select("doc_id", "text"))
-    pairs = _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # routed pair source (r8): the exact self-join ENOSPC'd here at sf10
+    # exactly as in ns_dedup_components — same decision, filtered corpus
+    pairs = routed_pairs(sh, table_rows(sf_dir, "documents"))
     cc = connected_components(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )

@@ -143,9 +143,20 @@ def near_dup_edges(
     94.6 s for ~24M pairs) — the only divergence is LSH recall, priced
     by the banding (4×4) and reported by ns_dedup_lsh_bucket_audit.
     The routing decision reads parquet metadata only (count)."""
-    cap = MAX_EXACT_JACCARD_DOCS if exact_cap is None else exact_cap
     n_docs = table_rows(sf_dir, "documents")  # parquet footers, no job
-    sh = _shingle_df(spark, sf_dir)
+    return routed_pairs(_shingle_df(spark, sf_dir), n_docs, exact_cap)
+
+
+def routed_pairs(
+    sh: DataFrame, n_docs: int, exact_cap: int | None = None
+) -> DataFrame:
+    """The routing decision of :func:`near_dup_edges` over an arbitrary
+    shingle frame — for consumers that pre-filter the corpus before the
+    pair stage (ns_corpus_curation) and so can't use the table loader.
+    ``n_docs`` is an upper bound on the frame's document count (the raw
+    table count is fine: filtering only shrinks the exact path's work,
+    and above the cap the LSH path is right regardless)."""
+    cap = MAX_EXACT_JACCARD_DOCS if exact_cap is None else exact_cap
     if n_docs > cap:
         pairs = (
             _with_jaccard(_lsh_pair_stats(sh))

@@ -77,6 +77,7 @@ _DRIVER_WINDOW_R8 = (
     "ns_dedup_lsh_pair_recall",  # NEW in r8 — prices the near_dup_edges routing
     "ns_dedup_simhash",  # r8 tiered bucket expansion (sf10 heap-OOM fix)
     "ns_corpus_curation",  # r8 routed pair stage (sf10 ENOSPC fix)
+    "ns_graph_link_prediction",  # r8 tiered posting-list expansion (sf10 OOM fix)
     # the 14 remaining rows whose last green was r2
     "op_b1_conjunctive_filter",
     "op_b2_filter_by_id",
@@ -121,7 +122,6 @@ _DRIVER_WINDOW_R8 = (
     "ts_retention_cohort",
     # oldest r4 rows (alphabetical, plus ns_dedup_components — the sf10
     # dedup-tail probe target, VERDICT r7 item 6) to fill 50
-    "ns_ann_ivf",
     "ns_ann_lsh_bucketed",
     "ns_ann_lsh_recall",
     "ns_dedup_components",

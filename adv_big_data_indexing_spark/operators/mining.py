@@ -205,11 +205,31 @@ def ns_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.count("*").alias("d"))
     )
-    pairs = (
-        parts.select(
-            F.explode(F.expr(ordered_pairs_sql("s1", "s2"))).alias("q")
-        )
+    # Tiered posting-list expansion (r8): the former unconditional in-row
+    # pair array built deg² structs in ONE row per part and OOM'd the
+    # heap at sf10's hub-part degrees — the dedup family's hot-bucket
+    # class. Small lists still expand in-row (cheapest); hub parts
+    # expand row-per-member via the equi self-join, whose deg² pair rows
+    # stream through a spillable shuffle instead of one heap array.
+    # Both tiers are EXACT — no drop cap, identical pair multiset.
+    from adv_big_data_indexing_spark.operators.dedup import (  # noqa: PLC0415
+        BUCKET_INROW_CAP,
+    )
+
+    small_pairs = (
+        parts.filter(F.size("arr") <= BUCKET_INROW_CAP)
+        .select(F.explode(F.expr(ordered_pairs_sql("s1", "s2"))).alias("q"))
         .select("q.s1", "q.s2")
+    )
+    hot_members = parts.filter(F.size("arr") > BUCKET_INROW_CAP).select(
+        "p", F.explode("arr").alias("s")
+    )
+    x, y = hot_members.alias("x"), hot_members.alias("y")
+    hot_pairs = x.join(
+        y, (F.col("x.p") == F.col("y.p")) & (F.col("x.s") < F.col("y.s"))
+    ).select(F.col("x.s").alias("s1"), F.col("y.s").alias("s2"))
+    pairs = (
+        small_pairs.unionByName(hot_pairs)
         .groupBy("s1", "s2")
         .agg(F.count("*").alias("common"))
     )

@@ -130,7 +130,7 @@ _DRIVER_WINDOW_R8 = (
 # ROUND-9 ROTATION PLAN: the remaining r4 rows per
 # docs/ROTATION_LEDGER.md — including the three displaced from this
 # window by mid-round impl changes (ext_agg_groupby, ext_asof_join,
-# ext_skew_profile) — plus ns_decontaminate, ns_dedup_embedding_*,
+# ext_skew_profile, ns_ann_ivf) — plus ns_decontaminate, ns_dedup_embedding_*,
 # ns_embed_*, ns_mixture_weights, ns_multimodal_*, ns_pack_*,
 # ns_phrase_search, ns_pii_mask, ns_*_sample, ns_split_train_eval,
 # ns_text_* r4 rows, op_c1_reconstruct_nested, op_c2, op_g2, op_g4,

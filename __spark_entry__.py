@@ -62,84 +62,80 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs/ROTATION_LEDGER.md (tools/rotation_ledger.py) records each query's
 # last driver-green round so staleness is auditable.
 #
-# Round 8 window = the queries whose implementation changed this round
-# (VERDICT r7 item 5: ns_hybrid_rrf_fusion's dense arm now routes to the
-# IVF ranker above the brute-force cap; item 6: the dedup tail measured
-# at sf10), then the committed r8 back-fill plan: ALL 14 remaining
-# r2-stale ledger rows (op_b*, op_c1/c3/c4/c5, op_d1, op_f1/f2/f3), ALL
-# 26 r3-stale rows, then the alphabetically-first r4 rows to fill 50.
-# After this round no query's last driver-green is older than r4.
-_DRIVER_WINDOW_R8 = (
-    # implementation changed in round 8 — need fresh rows
-    "ns_hybrid_rrf_fusion",  # dense arm ANN routing above cap (VERDICT r7 item 5)
-    "ns_dedup_ngram_jaccard",  # exact-jaccard corpus-size guard (item 6 fallout)
-    "ns_semdedup_kmeans",  # per-iteration checkpoint/shuffle reclaim (item 6)
-    "ns_dedup_lsh_pair_recall",  # NEW in r8 — prices the near_dup_edges routing
-    "ns_dedup_simhash",  # r8 tiered bucket expansion (sf10 heap-OOM fix)
-    "ns_corpus_curation",  # r8 routed pair stage (sf10 ENOSPC fix)
-    "ns_graph_link_prediction",  # r8 tiered posting-list expansion (sf10 OOM fix)
-    # the 14 remaining rows whose last green was r2
-    "op_b1_conjunctive_filter",
-    "op_b2_filter_by_id",
-    "op_b3_filter_by_routing",
-    "op_b4_range_predicate",
-    "op_b5_projection",
-    "op_b6_prefix_scan",
-    "op_c1_reconstruct_flat",
-    "op_c3_has_child_range",
-    "op_c4_has_parent",
-    "op_c5_edges",
-    "op_d1_hit_count",
-    "op_f1_key_synthesis",
-    "op_f2_content_hash",
-    "op_f3_date_validation",
-    # all 26 rows whose last green was r3
-    "ext_skew_salted_join",
-    "ext_tpch_q18_shape",
-    "ext_tpch_q3_shape",
-    "ext_triangle_count",
-    "ext_union_by_name",
-    "ext_unpivot",
-    "ext_window_frame",
-    "ext_window_lag",
-    "ext_window_rank",
-    "ext_window_values",
-    "ext_winsorized_stats",
-    "ns_dedup_cluster_stats",
-    "ns_layout_zorder",
-    "ns_text_bigram_freq",
-    "ns_text_repetition",
-    "ns_text_simpson_diversity",
-    "ns_udf_group_zscore",
-    "ts_dedup_first",
-    "ts_enriched_by_segment",
-    "ts_funnel",
-    "ts_gap_filled_minutes",
-    "ts_hypertable_rollup",
-    "ts_markov_transitions",
-    "ts_period_over_period",
-    "ts_point_in_time_join",
-    "ts_retention_cohort",
-    # oldest r4 rows (alphabetical, plus ns_dedup_components — the sf10
-    # dedup-tail probe target, VERDICT r7 item 6) to fill 50
-    "ns_ann_lsh_bucketed",
-    "ns_ann_lsh_recall",
-    "ns_dedup_components",
+# Round 9 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r08
+# FIRST — the r8 window comment over-claimed "ALL 26 r3-stale rows" when 31
+# existed; the VERDICT r8 residual #1 lists the 5 ts_* rows displaced by
+# mid-round impl changes). Priority order per VERDICT r8 item 2:
+#   1. ALL 5 remaining r3-stale rows (the displaced ts_* set);
+#   2. ALL 39 remaining r4-stale rows (includes the 4 the r8 plan comment
+#      named: ext_agg_groupby, ext_asof_join, ext_skew_profile, ns_ann_ivf);
+#   3. 6 oldest-r5 alphabetical rows as back-fill — these are the
+#      displacement budget: any query whose implementation changes during
+#      round 9 replaces an r5 back-fill row (never an r3/r4 row).
+# After this round no green row is older than r5.
+_DRIVER_WINDOW_R9 = (
+    # --- all 5 remaining r3-stale rows (displaced from the r8 window) ---
+    "ts_rolling_range_frame",
+    "ts_scd2_history",
+    "ts_sliding_window",
+    "ts_time_weighted_avg",
+    "ts_user_stats",
+    # --- all 39 remaining r4-stale rows ---
+    "ext_agg_groupby",
+    "ext_asof_join",
+    "ext_skew_profile",
+    "ns_ann_ivf",
+    "ns_dataset_diff",
+    "ns_decontaminate",
+    "ns_dedup_embedding_cosine",
+    "ns_dedup_embedding_topk",
+    "ns_embed_centroids",
+    "ns_embed_dim_stats",
+    "ns_embed_outliers",
+    "ns_mixture_weights",
+    "ns_multimodal_decode",
+    "ns_multimodal_metadata",
+    "ns_pack_sequences",
+    "ns_pack_stats",
+    "ns_phrase_search",
+    "ns_pii_mask",
+    "ns_reservoir_sample",
+    "ns_split_train_eval",
+    "ns_stratified_sample",
+    "ns_text_bigram_surprisal",
+    "ns_text_fingerprint",
+    "ns_text_langid",
+    "ns_text_langid_confusion",
+    "ns_text_quality",
+    "ns_text_token_entropy_exact",
+    "ns_text_token_stats",
+    "ns_udf_ewma",
+    "ns_weighted_sample",
+    "op_c1_reconstruct_nested",
+    "op_c2_has_child_eq",
+    "op_g2_merge_patch",
+    "op_g4_cascade_closure",
+    "ts_anomaly_zscore",
+    "ts_cms_event_types",
+    "ts_interval_join",
+    "ts_session_window",
+    "ts_tumbling_window",
+    # --- oldest-r5 back-fill / displacement budget (6 slots) ---
+    "ext_ab_wilson_ci",
+    "ext_benford_audit",
+    "ext_chi2_contingency",
+    "ext_column_stats",
+    "ext_dq_expectations",
+    "ext_k_anonymity_audit",
 )
 
-# ROUND-9 ROTATION PLAN: the remaining r4 rows per
-# docs/ROTATION_LEDGER.md — including the three displaced from this
-# window by mid-round impl changes (ext_agg_groupby, ext_asof_join,
-# ext_skew_profile, ns_ann_ivf) — plus ns_decontaminate, ns_dedup_embedding_*,
-# ns_embed_*, ns_mixture_weights, ns_multimodal_*, ns_pack_*,
-# ns_phrase_search, ns_pii_mask, ns_*_sample, ns_split_train_eval,
-# ns_text_* r4 rows, op_c1_reconstruct_nested, op_c2, op_g2, op_g4,
-# ts_anomaly_zscore, ts_cms_event_types, ts_interval_join,
-# ts_session_window, ts_tumbling_window, then oldest r5 rows
-# (regenerate the ledger after the r8 driver run lands).
+# ROUND-10 ROTATION PLAN: regenerate the ledger after CORRECTNESS_r09
+# lands, then fill with the oldest r5 rows (36 remain after this window's
+# 6 back-fill slots go green), then oldest r6. Verify displacement math
+# against the REGENERATED ledger, never this comment (r8 lesson).
 
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R8 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R9 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1260,29 +1260,43 @@ def consistent_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         # 2x work per iteration in the BFS/components/k-means loops.
         # Eager: cache, checkpoint (reads the cache), then release.
         # Lazy: keep the cache alive — the checkpoint job fires at the
-        # caller's first action and must still find it — but release it
-        # at the NEXT materialize call: by then the caller has acted on
-        # this layer (the iterative loops act every iteration), so the
-        # checkpoint files exist and the cache would otherwise leak for
-        # the session lifetime (ADVICE r7). Worst case (no intervening
-        # action) the checkpoint job recomputes from lineage — slower,
-        # never wrong.
-        for prev in _pending_lazy_caches:
-            prev.unpersist()
+        # caller's first action and must still find it — and release it
+        # at the NEXT materialize call (else it leaks for the session
+        # lifetime, ADVICE r7). Before unpersisting, FORCE the pending
+        # frame's checkpoint write with one count() on the checkpointed
+        # layer: Spark writes a lazy checkpoint after the first job that
+        # computes the RDD, so after the count the files are guaranteed
+        # written FROM THE CACHED DATA. Without that barrier, dropping
+        # the cache while the checkpoint is still unwritten lets the
+        # writer later recompute from lineage — which, for
+        # nondeterministic lineage, can produce files that diverge from
+        # what the caller's first action observed (ADVICE r8; the exact
+        # boundary-consistency hazard this function exists to prevent).
+        # The count is a no-op-priced cache/checkpoint scan when the
+        # caller already acted (the iterative loops act every iteration —
+        # lazy callers SHOULD act before the next materialize call; the
+        # barrier just makes forgetting safe rather than wrong).
+        for prev_cached, prev_out in _pending_lazy_caches:
+            try:
+                prev_out.count()
+            except Exception:
+                pass  # frame's session/plan gone — nothing left to protect
+            prev_cached.unpersist()
         _pending_lazy_caches.clear()
         cached = df.persist()
         out = cached.checkpoint(eager=eager)
         if eager:
             cached.unpersist()
         else:
-            _pending_lazy_caches.append(cached)
+            _pending_lazy_caches.append((cached, out))
         return out
     return df.localCheckpoint(eager=eager)
 
 
-# lazily-cached frames awaiting their reliable-mode checkpoint job; see
-# consistent_materialize
-_pending_lazy_caches: list[DataFrame] = []
+# (cached, checkpointed) frame pairs awaiting their reliable-mode lazy
+# checkpoint job; drained — with a forced checkpoint-write barrier — at
+# the next consistent_materialize call. See consistent_materialize.
+_pending_lazy_caches: list[tuple[DataFrame, DataFrame]] = []
 
 
 def lazy_consistent_materialize(df: DataFrame) -> DataFrame:

@@ -232,16 +232,36 @@ def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sh_count nb ON inter.doc_b = nb.doc_id
     WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
     """,
-    doc="NS exact n-gram Jaccard near-dup pairs (word 3-gram shingles, "
-    "inverted-index self-join). Only docs sharing a shingle ever pair up — "
-    "no cross join. GUARDED (r8): refuses above MAX_EXACT_JACCARD_DOCS and "
-    "routes to ns_dedup_minhash_lsh — the self-join's shuffle is quadratic "
-    "in duplicate-group size (sf10 adversarial density: ENOSPC at 76 GB).",
+    doc="NS n-gram Jaccard near-dup pairs (word 3-gram shingles). At or "
+    "below MAX_EXACT_JACCARD_DOCS: the exact inverted-index self-join "
+    "(the oracle's form — only docs sharing a shingle ever pair up, no "
+    "cross join). ROUTED above it (r9, VERDICT r8 item 7): the self-join's "
+    "shuffle is quadratic in duplicate-group size (sf10 adversarial "
+    "density: ENOSPC at 76 GB), so the QUERY surface itself now returns "
+    "the LSH pipeline's exact-threshold-verified pairs — same 4 columns, "
+    "Θ(pairs) work, recall priced by ns_dedup_lsh_pair_recall (0.985 at "
+    "sf1). exact_only=True restores the r8 refuse-loudly guard.",
 )
-def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ns_dedup_ngram_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    exact_only: bool = False,
+    exact_cap: int | None = None,
+) -> DataFrame:
     n_docs = table_rows(sf_dir, "documents")  # parquet footers, no job
-    _guard_exact_jaccard(n_docs, "ns_dedup_ngram_jaccard")
+    cap = MAX_EXACT_JACCARD_DOCS if exact_cap is None else exact_cap
+    if exact_only:
+        _guard_exact_jaccard(n_docs, "ns_dedup_ngram_jaccard", cap)
     sh = _shingle_df(spark, sf_dir)
+    if not exact_only and n_docs > cap:
+        # same column set as the exact path; n_inter counts 48-bit shingle
+        # hashes (collision odds ~2^-48/pair); a pair colliding in several
+        # bands repeats with identical stats — distinct() collapses them
+        return (
+            _with_jaccard(_lsh_pair_stats(sh))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .distinct()
+        )
     return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -631,9 +651,10 @@ _DUCK_SIMHASH_CTE = f"""
     "weighted), banded into 4×16-bit chunks. A pair at hamming ≤ 3 must share "
     "≥1 chunk (pigeonhole), so the chunk join finds every qualifying pair — "
     "exact results with O(collisions) work, not O(n²). Bucket expansion is "
-    "tiered like _lsh_pair_stats (r8): in-row ≤64, spill-safe self-join "
-    "above, degenerate buckets excluded — the flat in-row form OOM'd at "
-    "sf10's ~4800-doc cliques.",
+    "tiered: in-row ≤64, spill-safe self-join above with NO drop cap (r9: "
+    "a BUCKET_PAIR_CAP drop silently lost the sf10 ~4800-doc clique's "
+    "pairs — the exact case the r8 tiering targeted), so the pigeonhole "
+    "exactness claim holds at every bucket size.",
 )
 def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -677,17 +698,26 @@ def ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = wide.select(
         "doc_id", sig_arr.alias("cs"), F.posexplode(sig_arr).alias("chunk", "chunk_val")
     )
-    # Tiered bucket expansion — the same three paths as _lsh_pair_stats
-    # (r8; the former unconditional collect_list OOM'd the heap at sf10:
-    # a ~4800-doc duplicate clique shares every chunk value, and the
-    # in-row pair flatten builds an ~11.5M-struct array in ONE row).
-    # Small buckets expand in-row; hot buckets expand row-per-member via
-    # the equi self-join (shuffle-backed, spills); degenerate buckets
-    # (chunk value stopped discriminating) are excluded, mirroring the
-    # minhash contract.
+    # Tiered bucket expansion — two paths (r8 introduced the tiering after
+    # the unconditional collect_list OOM'd the heap at sf10: a ~4800-doc
+    # duplicate clique shares every chunk value, and the in-row pair
+    # flatten builds an ~11.5M-struct array in ONE row). Small buckets
+    # expand in-row; everything above ``BUCKET_INROW_CAP`` expands
+    # row-per-member via the equi self-join (shuffle-backed, spills) with
+    # NO upper drop cap — unlike minhash's `_lsh_pair_stats`, simhash has
+    # no recall contract to price a drop against, and the r9 advisory
+    # showed the motivating sf10 clique itself (~4800 docs) exceeds
+    # BUCKET_PAIR_CAP, so a cap here silently loses exactly the pairs the
+    # fix targets. The self-join tier handles the hot case exactly
+    # (ns_graph_link_prediction proves the same tier at deg² scale); a
+    # giant bucket streams through shuffle spill instead of OOMing.
+    # Candidate volume is Θ(Σ bucket²/2) — inherent to 16-bit-chunk
+    # banding; at corpus sizes where N/65536 buckets stop discriminating,
+    # raise N_CHUNKS/N_SIMHASH_BITS rather than capping (a cap changes
+    # answers; wider signatures don't).
     sized = chunks.withColumn(
         "bsz", F.count("*").over(Window.partitionBy("chunk", "chunk_val"))
-    ).filter((F.col("bsz") > 1) & (F.col("bsz") <= BUCKET_PAIR_CAP))
+    ).filter(F.col("bsz") > 1)
 
     def _hamming(x, y):
         return F.aggregate(

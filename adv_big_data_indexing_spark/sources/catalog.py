@@ -57,16 +57,21 @@ def table_rows(sf_dir: str, name: str) -> int:
     """Row count of a catalog table from parquet FOOTERS, driver-side —
     no Spark job at all (routing decisions read this: the exact-vs-LSH
     dedup pair source, the brute-vs-ANN dense arm). On a parquet
-    directory the counts sum across part files; on a bare file it reads
-    the one footer. Equivalent to ``COUNT(*)`` (parquet footers store
-    exact row counts) at zero job-scheduling cost."""
+    directory the counts sum across part files — walked RECURSIVELY, so
+    a hive-partitioned or otherwise nested layout counts fully (ADVICE
+    r8: a top-level-only listing undercounts nested layouts and would
+    mis-route the routed paths toward the quadratic exact tiers at
+    scale); on a bare file it reads the one footer. Equivalent to
+    ``COUNT(*)`` (parquet footers store exact row counts) at zero
+    job-scheduling cost."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
         return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
+            pq.read_metadata(os.path.join(root, f)).num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files
             if f.endswith(".parquet")
         )
     return pq.read_metadata(path).num_rows

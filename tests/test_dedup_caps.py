@@ -90,3 +90,46 @@ def test_audit_reports_dropped_pairs(spark):
 
 def test_default_caps_sane():
     assert 1 < BUCKET_INROW_CAP < BUCKET_PAIR_CAP
+
+
+def test_simhash_degenerate_bucket_routes_not_drops(spark, tmp_path, monkeypatch):
+    """r9 advisory (medium): ns_dedup_simhash must NOT silently drop
+    chunk buckets above any size cap — the motivating sf10 case is a
+    ~4800-doc clique that EXCEEDS the old BUCKET_PAIR_CAP, so a drop cap
+    loses exactly the pairs the r8 tiering fix targeted. Degenerate
+    buckets route through the spill-safe equi self-join (exact, no cap);
+    with the caps forced tiny, a 12-doc identical clique must still
+    produce all C(12,2) hamming-0 pairs."""
+    from adv_big_data_indexing_spark.contract import registry
+    from adv_big_data_indexing_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "BUCKET_INROW_CAP", 4)
+    monkeypatch.setattr(D, "BUCKET_PAIR_CAP", 8)
+
+    rows = [(d, "lorem ipsum dolor sit amet consectetur", "en", "web", 38)
+            for d in range(12)]
+    rows += [(100 + d, f"solitary document number {d} with unique words {d}",
+              "en", "web", 40) for d in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = registry()["ns_dedup_simhash"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert len(pairs) == 66  # C(12,2) — nothing dropped
+    assert all(r.hamming == 0 for r in out)
+    assert all(a < 12 and b < 12 for a, b in pairs)
+
+
+def test_table_rows_counts_nested_parquet_layout(spark, tmp_path):
+    """ADVICE r8: routing decisions (exact-vs-LSH pair source, brute-vs-
+    ANN dense arm) read table_rows from parquet footers; a partition-
+    structured layout must count fully, not just top-level files —
+    an undercount routes the quadratic exact paths at scale."""
+    from adv_big_data_indexing_spark.sources.catalog import table_rows
+
+    df = spark.range(100).withColumn("k", F.col("id") % 4)
+    df.write.partitionBy("k").mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    assert table_rows(str(tmp_path), "documents") == 100

@@ -418,8 +418,14 @@ def test_machinery_parts_nonnumeric_conf_falls_back(spark):
 def test_lazy_reliable_checkpoint_releases_previous_cache(spark):
     """ADVICE r7: in reliable mode with eager=False (the per-layer BFS
     shape), each lazily-cached frame must be unpersisted at the NEXT
-    materialize call — not leak for the session lifetime."""
+    materialize call — not leak for the session lifetime. ADVICE r8:
+    the drain must FORCE the pending checkpoint write from the cache
+    before unpersisting, so a never-acted-on lazy frame's checkpoint
+    can no longer be recomputed from (possibly nondeterministic)
+    lineage after its cache is gone."""
     import shutil
+
+    from pyspark.sql import functions as F
 
     from adv_big_data_indexing_spark.operators import advanced as adv
 
@@ -431,17 +437,33 @@ def test_lazy_reliable_checkpoint_releases_previous_cache(spark):
         out1 = adv.lazy_consistent_materialize(spark.range(50))
         assert out1.count() == 50  # checkpoint job fires at first action
         assert len(adv._pending_lazy_caches) == 1
-        first = adv._pending_lazy_caches[0]
-        assert first.storageLevel.useMemory or first.storageLevel.useDisk
+        first_cached, _first_out = adv._pending_lazy_caches[0]
+        assert first_cached.storageLevel.useMemory or first_cached.storageLevel.useDisk
         out2 = adv.lazy_consistent_materialize(spark.range(30))
         assert out2.count() == 30
         # previous layer's cache released, only the new one pending
         assert len(adv._pending_lazy_caches) == 1
-        assert adv._pending_lazy_caches[0] is not first
-        assert not (first.storageLevel.useMemory or first.storageLevel.useDisk)
+        assert adv._pending_lazy_caches[0][0] is not first_cached
+        assert not (
+            first_cached.storageLevel.useMemory or first_cached.storageLevel.useDisk
+        )
+
+        # r8 barrier: a NONDETERMINISTIC lazy frame the caller never acted
+        # on is drained by the next materialize; its checkpoint must have
+        # been written from the cache, so every later read returns the
+        # same frozen values (under the old unpersist-first drain the
+        # writer recomputed rand() from lineage after the cache died).
+        adv._pending_lazy_caches.clear()
+        nd = adv.lazy_consistent_materialize(
+            spark.range(20).select("id", F.rand(seed=None).alias("r"))
+        )
+        adv.lazy_consistent_materialize(spark.range(10)).count()  # drains nd
+        v1 = sorted((r.id, r.r) for r in nd.collect())
+        v2 = sorted((r.id, r.r) for r in nd.collect())
+        assert v1 == v2
     finally:
         spark.conf.set("spark.advbdi.checkpoint", "local")
-        for c in adv._pending_lazy_caches:
+        for c, _o in adv._pending_lazy_caches:
             c.unpersist()
         adv._pending_lazy_caches.clear()
         shutil.rmtree(cp_dir, ignore_errors=True)

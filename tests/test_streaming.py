@@ -1072,6 +1072,161 @@ def test_streaming_rate_flags_match_batch(spark, tmp_path):
     assert [g[3] for g in got] == [7, 8, 9]  # counts exclude dropped e11
 
 
+def test_streaming_rate_flags_lateness_boundary_inclusive(spark, tmp_path):
+    """ADVICE r8 boundary fix: an event finalizes only once the user's
+    max event-time second advances STRICTLY past sec + delay_sec, so a
+    peer arriving at EXACTLY max_sec - delay_sec is still in tolerance —
+    buffered and counted, never dropped. Under the former
+    reaches-the-boundary finalization, e7 (at exactly the horizon
+    second) was dropped and the e6/e7 flags were silently lost."""
+    import time
+
+    rows_b1 = [
+        (1, "2024-01-01 10:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 10:01:00", 1, "click", 0.0),
+        (3, "2024-01-01 10:02:00", 1, "click", 0.0),
+        (4, "2024-01-01 10:03:00", 1, "click", 0.0),
+        (5, "2024-01-01 10:04:00", 1, "click", 0.0),
+        (6, "2024-01-01 10:05:00", 1, "click", 0.0),
+        # clock advance to exactly 10:05:00 + delay (3600 s): horizon
+        # lands exactly ON e6's second — e6 must stay pending
+        (50, "2024-01-01 11:05:00", 1, "click", 0.0),
+    ]
+    # arrives at exactly horizon (10:05:00): in tolerance, must count
+    rows_b2 = [(7, "2024-01-01 10:05:00", 1, "click", 0.0)]
+    # clock far past everything: finalizes e6/e7
+    rows_b3 = [(8, "2024-01-02 23:00:00", 1, "click", 0.0)]
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs,
+            "event_id long, ts_s string, user_id long, event_type string, value double",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    src = str(tmp_path / "rate_bnd_src")
+    for b in (rows_b1, rows_b2, rows_b3):
+        mk(b).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(mk(rows_b1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_memory(
+        spark, ev.rate_flag_monitor(stream), "t_rate_bnd", "append"
+    )
+    got = sorted((r.event_id, r.n_trailing) for r in out.collect())
+    # e6 and e7 share second 10:05:00 — each sees e1..e7 in its trailing
+    # window (7 > RATE_LIMIT=6); e1..e5 finalized earlier with counts <= 5;
+    # the 11:05 clock event e50 is itself within 24 h of the burst (count 8)
+    assert got == [(6, 7), (7, 7), (50, 8)]
+
+    # and the batch twin on the identical full input agrees exactly
+    from adv_big_data_indexing_spark.contract import registry
+
+    bdir = str(tmp_path / "rate_bnd_batch")
+    mk(rows_b1 + rows_b2 + rows_b3).withColumn(
+        "props", F.lit("{}")
+    ).coalesce(1).write.parquet(bdir + "/events.parquet")
+    exp = sorted(
+        (r.event_id, r.n_trailing)
+        for r in registry()["ts_sliding_rate_flags"].fn(spark, bdir).collect()
+    )
+    assert got == exp
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """VERDICT r8 item 5: the streaming funnel's folded rows must equal
+    the batch ts_funnel on the non-dropped input — including the
+    genuinely stateful case: a click arriving OUT OF ORDER (after a
+    later purchase was already buffered) retro-qualifies the purchase
+    when the fold runs in event-time order. Behind-horizon events drop;
+    a user's row is emitted incrementally as slots finalize (update
+    mode)."""
+    import time
+
+    base = [
+        # user 1: signup and purchase arrive first; the click BETWEEN
+        # them arrives in batch 2 (out-of-order, within tolerance)
+        (1, "2024-01-01 10:00:00", 1, "signup", 0.0),
+        (3, "2024-01-01 10:20:00", 1, "purchase", 0.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 0.0),
+        (4, "2024-01-02 12:00:00", 1, "view", 0.0),  # clock advance
+        # user 2: click BEFORE signup never qualifies
+        (10, "2024-01-01 09:00:00", 2, "click", 0.0),
+        (11, "2024-01-01 09:30:00", 2, "signup", 0.0),
+        (12, "2024-01-02 12:00:00", 2, "view", 0.0),
+        # user 3: signup only
+        (20, "2024-01-01 11:00:00", 3, "signup", 0.0),
+        (21, "2024-01-02 12:00:00", 3, "view", 0.0),
+        # user 4: signup finalizes and EMITS before the click exists;
+        # the later click upgrades the row (second update emission)
+        (30, "2024-01-01 10:00:00", 4, "signup", 0.0),
+        (31, "2024-01-01 12:00:00", 4, "view", 0.0),   # horizon 11:00
+        (32, "2024-01-01 11:30:00", 4, "click", 0.0),  # pending at first
+        (33, "2024-01-03 00:00:00", 4, "view", 0.0),   # finalizes click
+    ]
+    # arrives in batch 3 when user 1's horizon is already 11:00 day 2:
+    # dropped — must NOT become user 1's min signup
+    too_late = (5, "2024-01-01 05:00:00", 1, "signup", 0.0)
+
+    def mk(rs):
+        return spark.createDataFrame(
+            rs,
+            "event_id long, ts_s string, user_id long, event_type string, value double",
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+
+    ids = lambda *i: [r for r in base if r[0] in i]  # noqa: E731
+    batches = [
+        ids(1, 3, 10, 11, 20, 30, 31),
+        ids(2, 32),
+        ids(4, 12, 21, 33) + [too_late],
+    ]
+    src = str(tmp_path / "funnel_src")
+    for b in batches:
+        mk(b).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(mk(base).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = _run_stream_to_memory(
+        spark, ev.funnel_monitor(stream), "t_funnel", "update"
+    )
+    got = {
+        (r.user_id, r.signup_us, r.click_us, r.purchase_us,
+         r.reached_click, r.reached_purchase)
+        for r in out.collect()
+    }
+
+    # batch twin on the SAME input minus the dropped too-late signup
+    from adv_big_data_indexing_spark.contract import registry
+
+    bdir = str(tmp_path / "funnel_batch")
+    mk(base).withColumn("props", F.lit("{}")).coalesce(1).write.parquet(
+        bdir + "/events.parquet"
+    )
+    exp_final = {
+        (r.user_id, r.signup_us, r.click_us, r.purchase_us,
+         r.reached_click, r.reached_purchase)
+        for r in registry()["ts_funnel"].fn(spark, bdir).collect()
+    }
+    # user 4's intermediate emission (signup folded, click still pending)
+    sig4 = next(t for t in exp_final if t[0] == 4)[1]
+    exp = exp_final | {(4, sig4, None, None, False, False)}
+    assert got == exp
+    # the out-of-order click retro-qualified user 1's purchase
+    u1 = next(t for t in got if t[0] == 1)
+    assert u1[4] and u1[5]
+
+
 def test_streaming_markov_matches_batch(spark, tmp_path):
     """The incrementally-maintained transition matrix must equal the
     batch ts_markov_transitions after drain — including the transition

@@ -120,13 +120,19 @@ _DRIVER_WINDOW_R9 = (
     "ts_interval_join",
     "ts_session_window",
     "ts_tumbling_window",
-    # --- oldest-r5 back-fill / displacement budget (6 slots) ---
+    # --- implementation changed during round 9 (displaces r5 back-fill) ---
+    "ns_dedup_simhash",  # degenerate chunk buckets now ROUTE via self-join,
+    #                      never drop (ADVICE r9 medium — the old
+    #                      BUCKET_PAIR_CAP drop lost the sf10 clique's pairs)
+    "ns_dedup_ngram_jaccard",  # query surface now routes above the cap
+    #                      instead of refusing (VERDICT r8 item 7); below
+    #                      the cap (every driver SF) the plan is unchanged
+    "ns_semdedup_kmeans",  # blocked within-cluster pairwise kernel (r9
+    #                      degenerate-cluster probe, VERDICT r8 item 4)
+    "ns_semdedup_prune",  # same blocked kernel, greedy min-id rule
+    # --- oldest-r5 back-fill / displacement budget (2 slots left) ---
     "ext_ab_wilson_ci",
     "ext_benford_audit",
-    "ext_chi2_contingency",
-    "ext_column_stats",
-    "ext_dq_expectations",
-    "ext_k_anonymity_audit",
 )
 
 # ROUND-10 ROTATION PLAN: regenerate the ledger after CORRECTNESS_r09

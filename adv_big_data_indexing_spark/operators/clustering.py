@@ -18,9 +18,10 @@ corpus). This module implements the full loop as batch dataframes:
   negatives, so the offset removes the sign from the problem),
 - empty clusters carry their previous centroid forward (both engines,
   same rule),
-- a final within-cluster pairwise stage: one exact int64 numpy matmul
-  per cluster (Arrow ``applyInPandas``, the same vectorized backend and
-  correctly-rounded cosine op order as ``ns_dedup_embedding_cosine``).
+- a final within-cluster pairwise stage: a BLOCKED exact matmul per
+  cluster (Arrow ``applyInPandas``, the same vectorized backend and
+  correctly-rounded cosine op order as ``ns_dedup_embedding_cosine``;
+  see :func:`_cosine_row_blocks` for the r9 memory bound).
 
 Every intermediate is an integer (bit-portable, merge-order-free — so
 map-side partial aggregation is safe everywhere) except the final
@@ -52,6 +53,45 @@ _OFFSET = 2_000_000
 #: production SemDeDup uses ~0.95+ — the CONSTANT is policy, the
 #: machinery is the contract.
 SEMDEDUP_TAU = 0.45
+
+#: row-block budget for the within-cluster pairwise matmul: blocks of
+#: b×n cosines keep peak task memory ~256 MB at ANY cluster size. The
+#: r9 degenerate-cluster probe (VERDICT r8 item 4) is why: a corpus
+#: whose embeddings collapse into ONE k-means cell at sf10 density
+#: (200k members) would make the former whole-cluster ``mat @ mat.T``
+#: a 320 GB allocation in one task — the r8 hot-group OOM class with
+#: "cluster" as the hot group. Blocking bounds memory at O(b·n) while
+#: keeping results EXACT; work stays Θ(n²) per cluster, which is the
+#: SemDeDup contract's own bound (K grows with N, so a data-sized
+#: cluster is a degenerate input, not the design point — it now
+#: degrades to time, never to memory).
+_PAIRWISE_BLOCK_ELEMS = 1 << 25  # 32M float64 ≈ 256 MB per block
+
+
+def _cosine_row_blocks(mat_int, sq):
+    """Yield ``(i0, i1, cos)`` where ``cos[r, j]`` is the cosine between
+    rows ``i0 + r`` and ``j``, in row blocks of ``_PAIRWISE_BLOCK_ELEMS``.
+
+    The matmul runs in float64 BLAS when exact: quantized components are
+    ≤ ~4·10⁶, so a 64-dim integer dot is ≤ ~10¹⁵ < 2⁵³ and the float64
+    product-sum is bit-identical to the int64 matmul it replaces (every
+    intermediate is a representable integer) — at dgemm speed instead of
+    int64's scalar loop. A guard falls back to int64 blocks if a
+    pathological vector would break the bound."""
+    import numpy as np  # noqa: PLC0415
+
+    n, dim = mat_int.shape
+    b = max(1, _PAIRWISE_BLOCK_ELEMS // max(n, 1))
+    maxabs = float(np.abs(mat_int).max()) if n else 0.0
+    exact64 = dim * maxabs * maxabs < 2.0**53
+    matf = mat_int.astype(np.float64) if exact64 else None
+    for i0 in range(0, n, b):
+        i1 = min(n, i0 + b)
+        if exact64:
+            dot = matf[i0:i1] @ matf.T
+        else:
+            dot = (mat_int[i0:i1] @ mat_int.T).astype(np.float64)
+        yield i0, i1, (dot / sq[i0:i1, None]) / sq[None, :]
 
 
 def _dist2_sql(q: str, c: str) -> str:
@@ -174,13 +214,15 @@ def ns_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_members"),
         F.sum("d").cast("bigint").alias("inertia_q"),
     )
-    # Within-cluster pairwise as one exact int64 numpy matmul per cluster
+    # Within-cluster pairwise as a BLOCKED exact matmul per cluster
     # (applyInPandas, same Arrow backend pattern as
     # ns_dedup_embedding_cosine). A row-expression self-join on `cluster`
     # computes the same thing ~25× slower: K keys force a sort-merge join
     # whose per-group buffering dominates, while BLAS batches the 64-dim
-    # dots. Group size is bounded by the SemDeDup design (K grows with N),
-    # so the n_c² score matrix (~50 MB at n_c=2500) stays executor-local.
+    # dots. Blocked via _cosine_row_blocks (r9): the former whole-cluster
+    # n×n matrix OOMs on a degenerate corpus whose embeddings collapse
+    # into one cell (320 GB at sf10 density) — memory is now O(block)
+    # at any cluster size, results identical.
     def _cluster_stats(pdf):
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
@@ -190,21 +232,27 @@ def ns_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2 = (mat * mat).sum(axis=1)
         sq = np.sqrt(n2.astype(np.float64))
         cluster = int(pdf["cluster"].iloc[0])
-        if len(pdf) < 2:
+        n = len(pdf)
+        if n < 2:
             return pd.DataFrame(
                 {"cluster": [cluster], "max_intra_cosine": [None], "n_dup_pairs": [0]}
             )
-        dot = mat @ mat.T  # exact int64
         # rows sorted by vec_id, upper triangle i<j → the divisor order
         # (sqrt of the SMALLER id's norm first) matches the oracle
-        cos = (dot.astype(np.float64) / sq[:, None]) / sq[None, :]
-        iu = np.triu_indices(len(pdf), k=1)
-        vals = cos[iu]
+        best = -np.inf
+        n_dup = 0
+        cols = np.arange(n)
+        for i0, i1, cos in _cosine_row_blocks(mat, sq):
+            upper = cols[None, :] > np.arange(i0, i1)[:, None]
+            vals = cos[upper]
+            if len(vals):
+                best = max(best, float(vals.max()))
+                n_dup += int((vals >= SEMDEDUP_TAU).sum())
         return pd.DataFrame(
             {
                 "cluster": [cluster],
-                "max_intra_cosine": [float(vals.max())],
-                "n_dup_pairs": [int((vals >= SEMDEDUP_TAU).sum())],
+                "max_intra_cosine": [best],
+                "n_dup_pairs": [n_dup],
             }
         )
 
@@ -374,16 +422,25 @@ def ns_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["q"]), dtype=np.int64)
         sq = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-        dup_of = np.full(len(pdf), -1, dtype=np.int64)
-        if len(pdf) >= 2:
-            dot = mat @ mat.T  # exact int64
-            cos = (dot.astype(np.float64) / sq[:, None]) / sq[None, :]
+        n = len(pdf)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        if n >= 2:
             # rows sorted ascending by vec_id: for column j, candidate
-            # representatives are rows i<j (divisor order matches oracle)
-            for j in range(1, len(pdf)):
-                hits = np.nonzero(cos[:j, j] >= SEMDEDUP_TAU)[0]
-                if len(hits):
-                    dup_of[j] = ids[hits[0]]  # ids sorted → first hit is min
+            # representatives are rows i<j (divisor order matches oracle).
+            # Blocked over rows i ascending (r9 — see _cosine_row_blocks):
+            # the FIRST block whose row hits column j wins, and within a
+            # block argmax finds the first hitting row — so dup_of[j] is
+            # the minimum qualifying id, exactly the unblocked rule. In
+            # the degenerate one-cluster case every column resolves in
+            # block 0 and later blocks scan an all-False candidate mask.
+            cols = np.arange(n)
+            for i0, i1, cos in _cosine_row_blocks(mat, sq):
+                hit = (cos >= SEMDEDUP_TAU) & (
+                    cols[None, :] > np.arange(i0, i1)[:, None]
+                )
+                cand = np.nonzero(hit.any(axis=0) & (dup_of < 0))[0]
+                for j in cand:
+                    dup_of[j] = ids[i0 + int(hit[:, j].argmax())]
         return pd.DataFrame(
             {
                 "vec_id": ids,

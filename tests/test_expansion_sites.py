@@ -1,0 +1,224 @@
+"""Repo-wide hot-group-expansion invariant (VERDICT r8 item 3).
+
+The four real bugs the r8 sf10 campaign found were one class: a hot
+group's quadratic expansion materializing in one task/row (simhash
+chunk buckets OOM, link-prediction deg² OOM) or an inverted-index
+self-join quadratic in duplicate-group size (exact-jaccard ENOSPC,
+twice). test_plan_quality locks the rank-window class by scanning
+physical plans; this module locks the expansion class by scanning the
+SOURCE: every in-row group materialization (collect_list/collect_set),
+every in-row quadratic pair expansion (ordered_pairs_sql), and every
+pair self-join hot tier must appear in the classified inventory below
+AND in docs/EXPANSION_SITES.md — introducing a new expansion site
+without consciously picking a class (bounded / tiered / capped+audited
+/ routed) fails this test.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+
+import pytest
+
+PKG = os.path.join(os.path.dirname(__file__), "..", "adv_big_data_indexing_spark")
+DOC = os.path.join(os.path.dirname(__file__), "..", "docs", "EXPANSION_SITES.md")
+
+# (module-relative file, enclosing function) -> class, for every in-row
+# group materialization. Mirror of docs/EXPANSION_SITES.md §"In-row".
+EXPECTED_COLLECT_SITES = {
+    ("operators/advanced.py", "ext_listagg"): "bounded-filtered",
+    ("operators/clustering.py", "kmeans_assign"): "bounded-constant",
+    ("operators/dedup.py", "_banded"): "bounded-per-row",
+    ("operators/dedup.py", "_lsh_pair_stats"): "tiered",
+    ("operators/dedup.py", "ns_dedup_simhash"): "tiered",
+    ("operators/documents.py", "synth_plans"): "document-shape",
+    ("operators/mining.py", "ns_assoc_rules"): "bounded-per-row",
+    ("operators/mining.py", "ns_graph_link_prediction"): "linear-in-group",
+    ("operators/reconstruct.py", "reconstruct"): "document-shape",
+    ("operators/relational.py", "op_c1_reconstruct_nested"): "document-shape",
+    ("operators/relational.py", "ext_map_ops"): "bounded-domain",
+    ("operators/similarity.py", "_buckets"): "bounded-constant",
+    ("operators/similarity.py", "ns_ann_ivf"): "bounded-constant",
+    ("operators/similarity.py", "ns_embed_outliers"): "bounded-constant",
+    ("operators/sketches.py", "ext_bloom_semijoin"): "bounded-constant",
+    ("operators/text.py", "ns_text_token_entropy"): "bounded-per-row",
+}
+
+# Every in-row quadratic pair expansion (C(group,2) structs in one row).
+EXPECTED_PAIR_SQL_SITES = {
+    ("operators/mining.py", "ns_assoc_rules"),
+    ("operators/mining.py", "ns_graph_link_prediction"),
+}
+
+# Every pair self-join hot tier (x ⋈ y on the group key). These are the
+# SAFE mechanism (row-per-member, shuffle spills) — enumerated so a new
+# quadratic self-join still has to be classified.
+EXPECTED_SELF_JOIN_SITES = {
+    ("operators/dedup.py", "_lsh_pair_stats"),
+    ("operators/dedup.py", "ns_dedup_simhash"),
+    ("operators/mining.py", "ns_graph_link_prediction"),
+    # wedge join (x,y)⋈(y,z): no in-row pair arrays; Σdeg² streams
+    # through spillable shuffle — sf10-probed r8, exponent 0.31
+    ("operators/graph.py", "ext_triangle_count"),
+}
+
+# Functions whose tier-1 in-row expansion must sit behind the
+# BUCKET_INROW_CAP filter (the r8 OOM fixes, pinned at source level;
+# plan-level assertions live in test_plan_quality).
+TIERED_FUNCS = {
+    ("operators/dedup.py", "_lsh_pair_stats"),
+    ("operators/dedup.py", "ns_dedup_simhash"),
+    ("operators/mining.py", "ns_graph_link_prediction"),
+}
+
+
+def _walk_sites():
+    """Yield (relfile, func_name, call_name, func_source) for every
+    collect_list/collect_set/ordered_pairs_sql call and every
+    alias("x")/alias("y") self-join pattern in the package."""
+    for root, _dirs, files in os.walk(PKG):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
+            src = open(path).read()
+            tree = ast.parse(src)
+            lines = src.splitlines()
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+
+            def enclosing(lineno):
+                cands = [f for f in funcs if f[0] <= lineno <= f[1]]
+                return max(cands, key=lambda f: f[0]) if cands else None
+
+            for node in ast.walk(tree):
+                if not isinstance(node, ast.Call):
+                    continue
+                f = node.func
+                name = (
+                    f.attr
+                    if isinstance(f, ast.Attribute)
+                    else (f.id if isinstance(f, ast.Name) else None)
+                )
+                if name in ("collect_list", "collect_set", "ordered_pairs_sql"):
+                    enc = enclosing(node.lineno)
+                    fn_name = enc[2] if enc else "<module>"
+                    fn_src = (
+                        "\n".join(lines[enc[0] - 1 : enc[1]]) if enc else src
+                    )
+                    yield rel, fn_name, name, fn_src
+
+
+def _found():
+    collect, pair_sql, sources = {}, set(), {}
+    for rel, fn, call, fn_src in _walk_sites():
+        key = (rel, fn)
+        sources[key] = fn_src
+        if call == "ordered_pairs_sql":
+            pair_sql.add(key)
+        else:
+            collect[key] = call
+    return collect, pair_sql, sources
+
+
+def test_every_inrow_group_materialization_is_classified():
+    collect, _pair_sql, _src = _found()
+    found = set(collect)
+    expected = set(EXPECTED_COLLECT_SITES)
+    new = found - expected
+    assert not new, (
+        f"NEW in-row group materialization site(s) {sorted(new)} — a "
+        "collect_list/collect_set whose group might be data-sized is the "
+        "exact mechanism behind the r8 sf10 OOMs. Classify each site in "
+        "docs/EXPANSION_SITES.md (bounded / tiered / capped+audited / "
+        "routed) and add it to EXPECTED_COLLECT_SITES."
+    )
+    gone = expected - found
+    assert not gone, f"classified sites no longer in source: {sorted(gone)}"
+
+
+def test_every_inrow_pair_expansion_is_classified():
+    _collect, pair_sql, _src = _found()
+    assert pair_sql == EXPECTED_PAIR_SQL_SITES, (
+        f"in-row quadratic pair expansions changed: "
+        f"new={sorted(pair_sql - EXPECTED_PAIR_SQL_SITES)} "
+        f"gone={sorted(EXPECTED_PAIR_SQL_SITES - pair_sql)} — classify in "
+        "docs/EXPANSION_SITES.md first."
+    )
+
+
+def test_every_pair_self_join_hot_tier_is_classified():
+    found = set()
+    pat = re.compile(r"\.alias\(\"x\"\).*\.alias\(\"y\"\)")
+    for root, _dirs, files in os.walk(PKG):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
+            src = open(path).read()
+            tree = ast.parse(src)
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for i, line in enumerate(src.splitlines(), 1):
+                if pat.search(line):
+                    cands = [f for f in funcs if f[0] <= i <= f[1]]
+                    fn = max(cands, key=lambda f: f[0])[2] if cands else "<module>"
+                    found.add((rel, fn))
+    assert found == EXPECTED_SELF_JOIN_SITES, (
+        f"pair self-join hot tiers changed: "
+        f"new={sorted(found - EXPECTED_SELF_JOIN_SITES)} "
+        f"gone={sorted(EXPECTED_SELF_JOIN_SITES - found)}"
+    )
+
+
+def test_tiered_sites_filter_on_inrow_cap_before_collect():
+    """Each tiered site's in-row branch must be gated by the
+    BUCKET_INROW_CAP filter — removing the gate re-creates the exact
+    r8 OOM (one collect_list row holding a hot bucket)."""
+    _collect, _pair_sql, sources = _found()
+    for key in TIERED_FUNCS:
+        src = sources[key]
+        assert "BUCKET_INROW_CAP" in src, f"{key}: in-row tier gate missing"
+
+
+def test_simhash_has_no_silent_drop_cap():
+    """ADVICE r9 (medium): ns_dedup_simhash must not exclude buckets by
+    an upper size cap — degenerate buckets route through the self-join
+    tier, keeping the pigeonhole exactness claim true at every size."""
+    _collect, _pair_sql, sources = _found()
+    src = sources[("operators/dedup.py", "ns_dedup_simhash")]
+    code_lines = [
+        line.split("#", 1)[0] for line in src.splitlines()
+    ]  # comments may (and do) explain the removed cap by name
+    assert not any(
+        "BUCKET_PAIR_CAP" in line for line in code_lines
+    ), "simhash re-grew a drop cap — pairs above it vanish with no audit"
+
+
+def test_doc_lists_every_site():
+    doc = open(DOC).read()
+    for _rel, fn in (
+        set(EXPECTED_COLLECT_SITES)
+        | EXPECTED_PAIR_SQL_SITES
+        | EXPECTED_SELF_JOIN_SITES
+    ):
+        assert f"`{fn}`" in doc, f"docs/EXPANSION_SITES.md missing site {fn}"
+
+
+@pytest.mark.parametrize(
+    "cls",
+    sorted(set(EXPECTED_COLLECT_SITES.values())),
+)
+def test_doc_defines_every_class(cls):
+    doc = open(DOC).read()
+    assert f"**{cls}**" in doc, f"class {cls} undefined in docs/EXPANSION_SITES.md"

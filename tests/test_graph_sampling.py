@@ -281,3 +281,45 @@ def test_exact_jaccard_guard_refuses_with_routing_hint():
     _guard_exact_jaccard(MAX_EXACT_JACCARD_DOCS, "x")  # at cap: allowed
     with pytest.raises(ValueError, match="ns_dedup_minhash_lsh"):
         _guard_exact_jaccard(MAX_EXACT_JACCARD_DOCS + 1, "ns_dedup_ngram_jaccard")
+
+
+def test_ngram_jaccard_query_surface_routes_above_cap(spark):
+    """VERDICT r8 item 7: the ns_dedup_ngram_jaccard QUERY surface (not
+    just the internal near_dup_edges) must be usable at 100 TB — above
+    the corpus cap it returns the LSH pipeline's exact-threshold-verified
+    pairs with the SAME 4-column schema; exact_only=True restores the
+    refuse-loudly guard."""
+    import pytest
+
+    from adv_big_data_indexing_spark.contract import registry
+    from adv_big_data_indexing_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        ns_dedup_ngram_jaccard,
+    )
+
+    spec = registry()["ns_dedup_ngram_jaccard"]
+    exact_df = spec.fn(spark, SF_CORRECTNESS)  # below cap: exact path
+    exact = {(r.doc_a, r.doc_b) for r in exact_df.collect()}
+
+    routed_df = ns_dedup_ngram_jaccard(spark, SF_CORRECTNESS, exact_cap=0)
+    assert routed_df.columns == exact_df.columns == [
+        "doc_a", "doc_b", "n_inter", "jaccard"
+    ]
+    routed = routed_df.collect()
+    assert all(r.jaccard >= JACCARD_THRESHOLD for r in routed)
+    routed_pairs_set = {(r.doc_a, r.doc_b) for r in routed}
+    # LSH candidates are exact-verified: can miss (recall), never invent
+    assert routed_pairs_set <= exact
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in registry()["ns_dedup_minhash_lsh"]
+        .fn(spark, SF_CORRECTNESS)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert routed_pairs_set == lsh
+
+    with pytest.raises(ValueError, match="ns_dedup_minhash_lsh"):
+        ns_dedup_ngram_jaccard(
+            spark, SF_CORRECTNESS, exact_only=True, exact_cap=0
+        ).collect()

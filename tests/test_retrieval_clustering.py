@@ -371,3 +371,64 @@ def test_cusum_replay(spark):
     got = {(r.user_id, r.event_id): r.s_q for r in rows}
     assert got == want
     assert len(want) > 0  # calibrated to actually fire on this corpus
+
+
+def test_cosine_row_blocks_matches_unblocked(monkeypatch):
+    """r9 (VERDICT r8 item 4): the blocked within-cluster pairwise kernel
+    must reproduce the whole-matrix results exactly — max cosine, ≥τ pair
+    count, AND the greedy min-id dup_of rule — including with the block
+    width forced to ONE ROW, and on the int64 fallback path when a
+    pathological magnitude breaks the float64-exactness bound."""
+    import numpy as np
+
+    from adv_big_data_indexing_spark.operators import clustering as C
+
+    rng = np.random.RandomState(7)
+
+    def naive(mat):
+        sq = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        cos = ((mat @ mat.T).astype(np.float64) / sq[:, None]) / sq[None, :]
+        n = len(mat)
+        iu = np.triu_indices(n, k=1)
+        vals = cos[iu]
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for j in range(1, n):
+            hits = np.nonzero(cos[:j, j] >= C.SEMDEDUP_TAU)[0]
+            if len(hits):
+                dup_of[j] = hits[0]
+        return float(vals.max()), int((vals >= C.SEMDEDUP_TAU).sum()), dup_of
+
+    def blocked(mat):
+        sq = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        n = len(mat)
+        cols = np.arange(n)
+        best, n_dup = -np.inf, 0
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i0, i1, cos in C._cosine_row_blocks(mat, sq):
+            upper = cols[None, :] > np.arange(i0, i1)[:, None]
+            vals = cos[upper]
+            if len(vals):
+                best = max(best, float(vals.max()))
+                n_dup += int((vals >= C.SEMDEDUP_TAU).sum())
+            hit = (cos >= C.SEMDEDUP_TAU) & upper
+            cand = np.nonzero(hit.any(axis=0) & (dup_of < 0))[0]
+            for j in cand:
+                dup_of[j] = i0 + int(hit[:, j].argmax())
+        return best, n_dup, dup_of
+
+    monkeypatch.setattr(C, "_PAIRWISE_BLOCK_ELEMS", 64)  # b=1 at n=50
+
+    # near-duplicate-heavy matrix so τ-hits and dup chains exist
+    base = rng.randint(-1000, 1000, size=(10, 8)).astype(np.int64)
+    mat = np.repeat(base, 5, axis=0) + rng.randint(-2, 3, size=(50, 8))
+    exp, got = naive(mat), blocked(mat)
+    assert got[0] == exp[0] and got[1] == exp[1]
+    assert (got[2] == exp[2]).all()
+
+    # int64 fallback window: dim·max² between 2^53 (float64 stops being
+    # exact → guard fires) and 2^63 (int64 itself would wrap)
+    big = mat * (1 << 18)
+    assert 2.0**53 <= big.shape[1] * float(np.abs(big).max()) ** 2 < 2.0**63
+    exp_b, got_b = naive(big), blocked(big)
+    assert got_b[0] == exp_b[0] and got_b[1] == exp_b[1]
+    assert (got_b[2] == exp_b[2]).all()

@@ -130,9 +130,11 @@ _DRIVER_WINDOW_R9 = (
     "ns_semdedup_kmeans",  # blocked within-cluster pairwise kernel (r9
     #                      degenerate-cluster probe, VERDICT r8 item 4)
     "ns_semdedup_prune",  # same blocked kernel, greedy min-id rule
-    # --- oldest-r5 back-fill / displacement budget (2 slots left) ---
+    "ns_negative_sampling",  # DISK_ONLY checkpoint blocks for the edge
+    #                      frame (r9 sf10 find #5: the MEMORY_AND_DISK
+    #                      unroll starved the distinct's own hash-agg)
+    # --- oldest-r5 back-fill / displacement budget (1 slot left) ---
     "ext_ab_wilson_ci",
-    "ext_benford_audit",
 )
 
 # ROUND-10 ROTATION PLAN: regenerate the ledger after CORRECTNESS_r09

@@ -1225,7 +1225,9 @@ def _parse_partitions_conf(raw) -> int | None:
         return None
 
 
-def consistent_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+def consistent_materialize(
+    df: DataFrame, eager: bool = True, storage_level=None
+) -> DataFrame:
     """THE repo-wide checkpoint point: every operator that truncates
     lineage (rank-machinery boundary consistency, iterative frontiers,
     quantized-embedding reuse, BPE merge chains) calls this — usually
@@ -1251,6 +1253,17 @@ def consistent_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
       ``spark.sparkContext.setCheckpointDir`` — survives executor loss
       and doesn't size local disks by the data. The cluster-grade
       setting (docs/RANK_MACHINERY.md §Checkpoint modes).
+
+    ``storage_level`` (local mode) overrides the checkpoint block store
+    level. Pass ``StorageLevel.DISK_ONLY`` — via
+    :func:`disk_consistent_materialize` — for DATA-SIZED frames: the
+    default MEMORY_AND_DISK unrolls every block through the storage
+    pool in the same tasks that are still aggregating, and at sf10 the
+    24M-row negative-sampling edge frame's unroll starved its own
+    distinct's final hash-agg to literally zero grantable execution
+    memory ([UNABLE_TO_ACQUIRE_MEMORY] got 0 — r9 probe). Disk-only
+    streams blocks straight out, removing the contention; consumers
+    re-read at disk bandwidth, which a data-sized frame pays anyway.
     """
     mode = df.sparkSession.conf.get("spark.advbdi.checkpoint", "local")
     if mode == "reliable":
@@ -1290,7 +1303,7 @@ def consistent_materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         else:
             _pending_lazy_caches.append((cached, out))
         return out
-    return df.localCheckpoint(eager=eager)
+    return df.localCheckpoint(eager=eager, storageLevel=storage_level)
 
 
 # (cached, checkpointed) frame pairs awaiting their reliable-mode lazy
@@ -1304,6 +1317,16 @@ def lazy_consistent_materialize(df: DataFrame) -> DataFrame:
     ``.transform(...)``-friendly shape (for reuse hints that should not
     force a materialization barrier of their own)."""
     return consistent_materialize(df, eager=False)
+
+
+def disk_consistent_materialize(df: DataFrame) -> DataFrame:
+    """``consistent_materialize`` with DISK_ONLY checkpoint blocks, in a
+    ``.transform(...)``-friendly shape — for data-sized frames whose
+    in-memory unroll would starve the very aggregation producing them
+    (see consistent_materialize's storage_level note; r9 sf10 find)."""
+    from pyspark.storagelevel import StorageLevel  # noqa: PLC0415
+
+    return consistent_materialize(df, storage_level=StorageLevel.DISK_ONLY)
 
 
 def release_superseded_materializations(spark) -> None:

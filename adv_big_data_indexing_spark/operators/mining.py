@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.operators.advanced import (
     consistent_materialize,
+    disk_consistent_materialize,
     lazy_consistent_materialize,
 )
 from adv_big_data_indexing_spark.sources.catalog import load_table
@@ -520,10 +521,16 @@ def ns_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     li = load_table(spark, sf_dir, "lineitem")
+    # DISK_ONLY checkpoint blocks (r9 sf10 find): edges is data-sized
+    # (~24M rows at sf10), and the default MEMORY_AND_DISK unroll ran in
+    # the same tasks as the distinct's final hash-agg — the unroll held
+    # the execution pool at zero and the agg died UNABLE_TO_ACQUIRE_MEMORY
+    # under local[32]@8g. Disk blocks stream out; the 3 downstream
+    # consumers re-read at disk bandwidth.
     edges = (
         li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
-        .transform(consistent_materialize)
+        .transform(disk_consistent_materialize)
     )
     # vocab indexing via the distributed global_row_number (one range
     # shuffle) — a catalog-scale vocabulary must not rank through a

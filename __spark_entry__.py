@@ -138,9 +138,13 @@ _DRIVER_WINDOW_R9 = (
 )
 
 # ROUND-10 ROTATION PLAN: regenerate the ledger after CORRECTNESS_r09
-# lands, then fill with the oldest r5 rows (36 remain after this window's
-# 6 back-fill slots go green), then oldest r6. Verify displacement math
-# against the REGENERATED ledger, never this comment (r8 lesson).
+# lands, then fill with the oldest r5 rows — 41 should remain (42 r5
+# rows minus ext_ab_wilson_ci going green here; mid-round impl changes
+# displaced the other 5 planned r5 back-fills: ext_benford_audit,
+# ext_chi2_contingency, ext_column_stats, ext_dq_expectations,
+# ext_k_anonymity_audit — they lead the r10 back-fill) — then oldest
+# r6. Verify displacement math against the REGENERATED ledger, never
+# this comment (r8 lesson).
 
 def _driver_name(name: str) -> str:
     return f"a_{name}" if name in _DRIVER_WINDOW_R9 else name

@@ -1202,6 +1202,150 @@ def funnel_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming cohort retention (signed-delta maintenance, no lateness drops)
+# ---------------------------------------------------------------------------
+
+RETENTION_DELTA_OUTPUT = "cohort_day bigint, day_offset bigint, delta bigint"
+RETENTION_STATE = "cohort_day bigint, seen_days array<bigint>"
+
+_US_PER_DAY = 86_400_000_000
+
+
+def retention_cohort_deltas(events: DataFrame) -> DataFrame:
+    """Per-user SIGNED (cohort_day, day_offset, ±1) delta rows for the
+    cohort-retention rollup (batch twin: ``ts_retention_cohort``).
+
+    The stateful piece is the cohort assignment: a user's cohort is
+    their MINIMUM active day, so an out-of-order event from an EARLIER
+    day does not merely add a row — it shifts the user's cohort and
+    re-bases every previously-emitted day_offset. Instead of a lateness
+    drop contract, this operator is EXACT under any reordering: when a
+    batch changes a user's (cohort, seen-days) contribution set, it
+    emits retractions (delta −1) for rows that left the set and
+    assertions (+1) for rows that entered it; the additive fold
+    downstream (``run_streaming_retention``) nets them out. After any
+    drain, summed deltas equal the batch operator's distinct-user
+    counts exactly — no tolerance horizon, no dropped events, no
+    double-count on duplicate days (state keeps the distinct-day set).
+
+    State per user: cohort scalar + the distinct active-day array
+    (bounded by the stream's age in days). Deltas are emitted
+    UNFILTERED by offset — the ≤7 retention window is applied by the
+    result view, so a cohort shift that moves a day into or out of the
+    window stays exact."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            s = state.get
+            cohort_old = int(s[0])
+            seen_old = set(int(d) for d in s[1])
+        else:
+            cohort_old, seen_old = None, set()
+
+        days = set()
+        for pdf in pdf_iter:
+            days.update(int(v) // _US_PER_DAY for v in pdf["ts"].astype("int64") // 1000)
+        new_days = days - seen_old
+
+        out = {"cohort_day": [], "day_offset": [], "delta": []}
+        if new_days:
+            seen_new = seen_old | new_days
+            cohort_new = min(seen_new) if cohort_old is None else min(
+                cohort_old, *new_days
+            )
+            old_contrib = {(cohort_old, d - cohort_old) for d in seen_old}
+            new_contrib = {(cohort_new, d - cohort_new) for d in seen_new}
+            for c, o in sorted(old_contrib - new_contrib):
+                out["cohort_day"].append(c)
+                out["day_offset"].append(o)
+                out["delta"].append(-1)
+            for c, o in sorted(new_contrib - old_contrib):
+                out["cohort_day"].append(c)
+                out["day_offset"].append(o)
+                out["delta"].append(1)
+            state.update((int(cohort_new), sorted(seen_new)))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RETENTION_DELTA_OUTPUT,
+        stateStructType=RETENTION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_retention(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+) -> "StreamingQuery":
+    """Incremental maintenance of the (cohort_day, day_offset) active-user
+    counts: the stateful stage emits signed deltas, this stage folds them
+    ADDITIVELY into a parquet state table with the exactly-once batch_id
+    guard of ``run_streaming_cms`` (a signed-delta merge is not
+    idempotent, so replays must skip). Counts stay exact under
+    out-of-order arrival because cohort shifts arrive as retraction/
+    assertion pairs — see retention_cohort_deltas."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # Materialize the stateful stage FIRST, unconditionally — the
+        # state-store commit protocol requires every partition of the
+        # applyInPandasWithState operator to execute per micro-batch
+        # (see run_streaming_markov).
+        batch = batch.localCheckpoint(eager=True)
+        prev = _read_state(spark, state_dir)
+        if batch_id <= _applied_batch(prev):
+            return  # replay of an already-applied batch: skip the fold
+        delta = batch.groupBy("cohort_day", "day_offset").agg(
+            F.sum("delta").cast("bigint").alias("n")
+        )
+        if prev is not None:
+            merged = (
+                prev.drop("batch_id")
+                .withColumnRenamed("n", "prev_n")
+                .join(
+                    delta.withColumnRenamed("n", "delta_n"),
+                    ["cohort_day", "day_offset"],
+                    "full_outer",
+                )
+                .select(
+                    "cohort_day",
+                    "day_offset",
+                    (
+                        F.coalesce(F.col("prev_n"), F.lit(0))
+                        + F.coalesce(F.col("delta_n"), F.lit(0))
+                    ).alias("n"),
+                )
+            )
+        else:
+            merged = delta
+        _commit_state(merged.withColumn("batch_id", F.lit(batch_id)), state_dir)
+
+    return (
+        retention_cohort_deltas(events)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_retention_result(spark, state_dir: str) -> DataFrame:
+    """The batch-comparable view of the maintained counts: retention
+    window ≤7 days, zero/negative-netted rows dropped (a fully-retracted
+    (cohort, offset) nets to 0, matching the batch operator's absence of
+    that row)."""
+    t = spark.read.parquet(state_dir).drop("batch_id")
+    return (
+        t.filter((F.col("day_offset") <= 7) & (F.col("n") > 0))
+        .select("cohort_day", "day_offset", F.col("n").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming STL-style seasonal decomposition (incremental index maintenance)
 # ---------------------------------------------------------------------------
 

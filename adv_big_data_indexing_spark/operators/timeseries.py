@@ -1633,9 +1633,9 @@ DECOMP_HALF = 12
 #: (e + OFF*n) DIV n - OFF == floor(e/n) for any e > -OFF*n. Both
 #: engines TRUNCATE signed integer division toward zero (measured:
 #: DuckDB BIGINT `-27965 // 4 = -6991`, same as Spark DIV — see
-#: _HW_OFF and .claude/skills/verify/SKILL.md), so the shift is not
-#: papering over an engine mismatch; it pins FLOOR semantics so the
-#: result stays stable even against a flooring dialect.
+#: _HW_OFF), so the shift is not papering over an engine mismatch; it
+#: pins FLOOR semantics so the result stays stable even against a
+#: flooring dialect.
 _DEC_OFF = 1 << 40
 
 

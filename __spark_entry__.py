@@ -133,18 +133,21 @@ _DRIVER_WINDOW_R9 = (
     "ns_negative_sampling",  # DISK_ONLY checkpoint blocks for the edge
     #                      frame (r9 sf10 find #5: the MEMORY_AND_DISK
     #                      unroll starved the distinct's own hash-agg)
-    # --- oldest-r5 back-fill / displacement budget (1 slot left) ---
-    "ext_ab_wilson_ci",
+    "ext_fuzzy_join_levenshtein",  # PassJoin segment-pigeonhole rewrite
+    #                      (r9 sf10 sweep find #6: fixed-cardinality
+    #                      blocks made the old self-join n²/1250)
+    # (the 6 planned r5 back-fill slots were all displaced by mid-round
+    #  impl changes — ext_ab_wilson_ci and the other oldest-r5 rows lead
+    #  the r10 back-fill instead)
 )
 
 # ROUND-10 ROTATION PLAN: regenerate the ledger after CORRECTNESS_r09
-# lands, then fill with the oldest r5 rows — 41 should remain (42 r5
-# rows minus ext_ab_wilson_ci going green here; mid-round impl changes
-# displaced the other 5 planned r5 back-fills: ext_benford_audit,
-# ext_chi2_contingency, ext_column_stats, ext_dq_expectations,
-# ext_k_anonymity_audit — they lead the r10 back-fill) — then oldest
-# r6. Verify displacement math against the REGENERATED ledger, never
-# this comment (r8 lesson).
+# lands, then fill with the oldest r5 rows — 42 should remain (all six
+# planned r5 back-fills were displaced by mid-round impl changes:
+# ext_ab_wilson_ci, ext_benford_audit, ext_chi2_contingency,
+# ext_column_stats, ext_dq_expectations, ext_k_anonymity_audit — they
+# lead the r10 back-fill) — then oldest r6. Verify displacement math
+# against the REGENERATED ledger, never this comment (r8 lesson).
 
 def _driver_name(name: str) -> str:
     return f"a_{name}" if name in _DRIVER_WINDOW_R9 else name

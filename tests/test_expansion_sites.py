@@ -222,3 +222,61 @@ def test_doc_lists_every_site():
 def test_doc_defines_every_class(cls):
     doc = open(DOC).read()
     assert f"**{cls}**" in doc, f"class {cls} undefined in docs/EXPANSION_SITES.md"
+
+
+def test_fuzzy_join_passjoin_matches_bruteforce(spark, tmp_path):
+    """r9 sf10 sweep find: the (brand,size) blocks have FIXED cardinality,
+    so the old in-block self-join was n²/1250 — quadratic (810 s at
+    sf10). The PassJoin rewrite must stay EXACT: segment pigeonhole with
+    ±k positional windows, short-string fallback branch. Checked against
+    a brute-force in-block reference on crafted edge cases: a front
+    insertion (shifts every segment), exactly-k and k+1 distances, short
+    strings (< k+4 chars), identical names, cross-block twins."""
+    from adv_big_data_indexing_spark.contract import registry
+
+    rows = [
+        (1, "abcdefghijkl", "B1", 1),
+        (2, "Xabcdefghijkl", "B1", 1),   # 1 front insertion: all segments shift
+        (3, "aXcdeYghijkZ", "B1", 1),    # 3 substitutions: dist == k
+        (4, "WXcdeYghijkZV", "B1", 1),   # beyond k
+        (5, "ab", "B1", 1),              # short branch
+        (6, "abc", "B1", 1),             # short branch (dist 1 to "ab")
+        (7, "abcdefghijkl", "B2", 1),    # identical name, different block
+        (8, "abcdefghijkl", "B1", 2),    # identical name, different size
+        (9, "abcdefghijkl", "B1", 1),    # identical name, same block (dist 0 excluded)
+        (10, "abcdefghijkm", "B1", 1),   # dist 1 to 1/9
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_size int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+
+    got = {
+        (r.key_a, r.key_b, r.edit_dist)
+        for r in registry()["ext_fuzzy_join_levenshtein"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exp = set()
+    for ka, na, ba, sa in rows:
+        for kb, nb, bb, sb in rows:
+            if ka < kb and ba == bb and sa == sb and na != nb:
+                d = lev(na, nb)
+                if d <= 3:
+                    exp.add((ka, kb, d))
+    assert got == exp
+    # the crafted cases really exercise their branches
+    assert (1, 2, 1) in exp and (1, 3, 3) in exp and (5, 6, 1) in exp
+    assert (3, 4, 2) in exp  # a front-sub + tail-insert pair, dist 2
+    assert (1, 4) not in {t[:2] for t in exp}  # 4 edits from key 1
+    # identical-name twins in OTHER blocks never pair with anyone
+    assert not any(k in (7, 8) for t in exp for k in t[:2])

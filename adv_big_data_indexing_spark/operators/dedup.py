@@ -779,6 +779,30 @@ COSINE_DUP_THRESHOLD = 0.98
 #: route (band-collision candidates) instead of an unbounded collect.
 MAX_EXACT_CANDIDATES = 1 << 18
 
+#: row-block budget for the per-batch (batch × candidates) matmul in the
+#: exact embedding ops. The broadcast cap above bounds the CANDIDATE
+#: side, but the un-blocked form also materialized the full
+#: (batch_rows × n) dot/cos matrices per task — at sf10 (200k vectors,
+#: just under the cap) that is ~10 GB × 3 arrays × 32 concurrent tasks,
+#: and the r9 sf10 sweep's kernel OOM-kill landed exactly here (find
+#: #7, the blocked-semdedup class in rectangular form). Blocks keep
+#: per-task peak ≈ 3 × 128 MB at any n under the cap.
+_RECT_BLOCK_ELEMS = 1 << 24
+
+
+def _cosine_blocks_vs_broadcast(a_mat, a_sqrt, b_mat, b_sqrt):
+    """Yield ``(i0, i1, cos)`` — cosines of a_mat rows [i0, i1) against
+    every broadcast row — in blocks of ``_RECT_BLOCK_ELEMS``. int64
+    matmul (exact), same correctly-rounded divisor order as the oracle."""
+    import numpy as np  # noqa: PLC0415
+
+    n_b = b_mat.shape[0]
+    blk = max(1, _RECT_BLOCK_ELEMS // max(n_b, 1))
+    for i0 in range(0, a_mat.shape[0], blk):
+        i1 = min(a_mat.shape[0], i0 + blk)
+        dot = a_mat[i0:i1] @ b_mat.T  # exact int64
+        yield i0, i1, (dot.astype(np.float64) / a_sqrt[i0:i1, None]) / b_sqrt[None, :]
+
 _DUCK_QVEC_CTE = f"""
   qv AS (SELECT vec_id, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings),
   nrm AS (
@@ -851,13 +875,23 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue  # empty Arrow batch: np.array(list(...)) is 1-D
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf["q"]), dtype=np.int64)
-            a_n2 = (a_mat * a_mat).sum(axis=1)
-            dot = a_mat @ b_mat.T  # exact int64
-            cos = (dot.astype(np.float64) / np.sqrt(a_n2.astype(np.float64))[:, None]) / b_sqrt[None, :]
-            ai, bi = np.nonzero((cos >= COSINE_DUP_THRESHOLD) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai], "vec_b": b_ids[bi], "cosine": cos[ai, bi]}
-            )
+            a_sqrt = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
+            # blocked (r9 find #7): the whole-batch (rows × n) matrices
+            # were ~10 GB/task at sf10 — see _RECT_BLOCK_ELEMS
+            for i0, i1, cos in _cosine_blocks_vs_broadcast(
+                a_mat, a_sqrt, b_mat, b_sqrt
+            ):
+                ai, bi = np.nonzero(
+                    (cos >= COSINE_DUP_THRESHOLD)
+                    & (a_ids[i0:i1, None] < b_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[i0:i1][ai],
+                        "vec_b": b_ids[bi],
+                        "cosine": cos[ai, bi],
+                    }
+                )
 
     return e.mapInPandas(gen, schema="vec_a long, vec_b long, cosine double")
 
@@ -921,19 +955,27 @@ def ns_dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue  # empty Arrow batch: np.array(list(...)) is 1-D
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf["q"]), dtype=np.int64)
-            a_n2 = (a_mat * a_mat).sum(axis=1)
-            dot = a_mat @ b_mat.T  # exact int64
-            cos = (dot.astype(np.float64) / np.sqrt(a_n2.astype(np.float64))[:, None]) / b_sqrt[None, :]
-            ai, bi = np.nonzero(a_ids[:, None] < b_ids[None, :])
-            if len(ai) == 0:
-                continue
-            c = cos[ai, bi]
-            # local top-k in the GLOBAL total order (-cosine, vec_a, vec_b)
-            # so per-batch truncation can never drop a global top-k pair
-            order = np.lexsort((b_ids[bi], a_ids[ai], -c))[:TOPK_PAIRS]
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ai][order], "vec_b": b_ids[bi][order], "cosine": c[order]}
-            )
+            a_sqrt = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
+            # blocked like the cosine op (r9 find #7); each block emits
+            # its LOCAL top-k in the GLOBAL total order (-cosine, vec_a,
+            # vec_b) so truncation can never drop a global top-k pair —
+            # the global TakeOrdered sees n_blocks·k rows
+            for i0, i1, cos in _cosine_blocks_vs_broadcast(
+                a_mat, a_sqrt, b_mat, b_sqrt
+            ):
+                ai, bi = np.nonzero(a_ids[i0:i1, None] < b_ids[None, :])
+                if len(ai) == 0:
+                    continue
+                c = cos[ai, bi]
+                ids_blk = a_ids[i0:i1][ai]
+                order = np.lexsort((b_ids[bi], ids_blk, -c))[:TOPK_PAIRS]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": ids_blk[order],
+                        "vec_b": b_ids[bi][order],
+                        "cosine": c[order],
+                    }
+                )
 
     local = e.mapInPandas(gen, schema="vec_a long, vec_b long, cosine double")
     return local.orderBy(F.desc("cosine"), "vec_a", "vec_b").limit(TOPK_PAIRS)

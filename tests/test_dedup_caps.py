@@ -133,3 +133,28 @@ def test_table_rows_counts_nested_parquet_layout(spark, tmp_path):
         f"{tmp_path}/documents.parquet"
     )
     assert table_rows(str(tmp_path), "documents") == 100
+
+
+def test_rect_cosine_blocks_match_whole_matrix(monkeypatch):
+    """r9 find #7: the exact embedding ops' per-batch (batch × candidates)
+    matmul must be blocked — the whole-batch matrices were ~10 GB/task at
+    sf10. Blocked blocks (forced to one row) must reproduce the
+    whole-matrix cosines exactly."""
+    import numpy as np
+
+    from adv_big_data_indexing_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "_RECT_BLOCK_ELEMS", 8)  # blk=1 at n_b=8
+    rng = np.random.RandomState(3)
+    a = rng.randint(-(10**6), 10**6, size=(5, 16)).astype(np.int64)
+    b = rng.randint(-(10**6), 10**6, size=(8, 16)).astype(np.int64)
+    a_sqrt = np.sqrt((a * a).sum(axis=1).astype(np.float64))
+    b_sqrt = np.sqrt((b * b).sum(axis=1).astype(np.float64))
+    whole = ((a @ b.T).astype(np.float64) / a_sqrt[:, None]) / b_sqrt[None, :]
+    got = np.full_like(whole, np.nan)
+    spans = []
+    for i0, i1, cos in D._cosine_blocks_vs_broadcast(a, a_sqrt, b, b_sqrt):
+        got[i0:i1] = cos
+        spans.append((i0, i1))
+    assert spans == [(i, i + 1) for i in range(5)]  # truly multi-block
+    assert (got == whole).all()  # bit-identical, not approx

@@ -1,11 +1,13 @@
 """Execute every registry query at sf1 (no oracle compare) to surface
 ANSI overflow / scale bugs that sf0.01 can't reach.
 
-Usage: python tools/run_all_sf.py [SF_DIR] [checkpoint_mode]
+Usage: python tools/run_all_sf.py [SF_DIR] [checkpoint_mode] [start_from]
   checkpoint_mode: local (default) | reliable — "reliable" certifies the
   cluster-grade checkpoint path (spark.advbdi.checkpoint=reliable routed
   through consistent_materialize) end-to-end across the whole registry
-  (VERDICT r7 item 4)."""
+  (VERDICT r7 item 4).
+  start_from: resume the alphabetical sweep at this query name
+  (inclusive) — for continuing after a mid-sweep kernel OOM kill (r9)."""
 import os
 import shutil
 import sys
@@ -29,9 +31,12 @@ if mode == "reliable":
     ckpt_dir = f"/tmp/advbdi_ckpt_{os.getpid()}"
     spark.sparkContext.setCheckpointDir(ckpt_dir)
     spark.conf.set("spark.advbdi.checkpoint", "reliable")
-print(f"sweep: sf_dir={sf} checkpoint={mode}", flush=True)
+start_from = sys.argv[3] if len(sys.argv) > 3 else None
+print(f"sweep: sf_dir={sf} checkpoint={mode} start_from={start_from}", flush=True)
 fails = []
 for name, spec in sorted(registry().items()):
+    if start_from is not None and name < start_from:
+        continue
     t0 = time.time()
     try:
         spec.fn(spark, sf).write.format("noop").mode("overwrite").save()

@@ -158,3 +158,18 @@ def test_rect_cosine_blocks_match_whole_matrix(monkeypatch):
         spans.append((i0, i1))
     assert spans == [(i, i + 1) for i in range(5)]  # truly multi-block
     assert (got == whole).all()  # bit-identical, not approx
+
+    # int64 fallback window: dim·max² in [2^53, 2^63) — float64 BLAS
+    # stops being exact, int64 doesn't wrap yet; must still match the
+    # int64 whole-matrix form bit-for-bit
+    ab, bb = a * (1 << 9), b * (1 << 9)
+    assert 2.0**53 <= 16 * float(np.abs(np.vstack([ab, bb])).max()) ** 2 < 2.0**63
+    as_, bs_ = (
+        np.sqrt((ab * ab).sum(axis=1).astype(np.float64)),
+        np.sqrt((bb * bb).sum(axis=1).astype(np.float64)),
+    )
+    whole_b = ((ab @ bb.T).astype(np.float64) / as_[:, None]) / bs_[None, :]
+    got_b = np.vstack(
+        [cos for _i0, _i1, cos in D._cosine_blocks_vs_broadcast(ab, as_, bb, bs_)]
+    )
+    assert (got_b == whole_b).all()

@@ -937,10 +937,12 @@ TOPK_PAIRS = 20
     "cosine threshold before a dedup run (on this synthetic corpus the "
     "thresholded operator correctly returns zero pairs, which this "
     "variant proves non-vacuously: the exact pair cosines hash-match "
-    "the oracle). Scale shape: each Arrow batch emits only its LOCAL "
-    "top-20 against the broadcast matrix (the combiner pattern — every "
-    "unordered pair is scored in exactly one batch), then one tiny "
-    "global TakeOrdered over n_batches*20 rows.",
+    "the oracle). Scale shape: each TASK keeps one running top-20 "
+    "across its blocked matmuls against the broadcast matrix (the "
+    "combiner pattern — every unordered pair is scored in exactly one "
+    "block — with a kth-best prune so only the first block pays a full "
+    "pair sort; r9), then one tiny global TakeOrdered over "
+    "n_tasks*20 rows.",
 )
 def ns_dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -966,32 +968,40 @@ def ns_dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(batches):
         b_ids, b_mat, b_n2 = bc.value
         b_sqrt = np.sqrt(b_n2.astype(np.float64))
+        # Blocked like the cosine op (r9 find #7), with a RUNNING kth-best
+        # prune: the task keeps one top-k across all its blocks/batches
+        # and each new block first masks cosines >= the running kth value
+        # (>= keeps boundary TIES so the full (-cosine, vec_a, vec_b)
+        # order decides them — exact even on an all-ties corpus, where
+        # the mask simply keeps everything). Without the prune, every
+        # block lexsorted ALL its ~blk·n pair keys — ~hours at sf10; with
+        # it only the first block pays a full sort. The task emits ONE
+        # k-row frame; the global TakeOrdered sees n_tasks·k rows.
+        top = None  # (vec_a, vec_b, cosine) arrays, k rows, globally sorted
         for pdf in batches:
             if not len(pdf):
                 continue  # empty Arrow batch: np.array(list(...)) is 1-D
             a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf["q"]), dtype=np.int64)
             a_sqrt = np.sqrt((a_mat * a_mat).sum(axis=1).astype(np.float64))
-            # blocked like the cosine op (r9 find #7); each block emits
-            # its LOCAL top-k in the GLOBAL total order (-cosine, vec_a,
-            # vec_b) so truncation can never drop a global top-k pair —
-            # the global TakeOrdered sees n_blocks·k rows
             for i0, i1, cos in _cosine_blocks_vs_broadcast(
                 a_mat, a_sqrt, b_mat, b_sqrt
             ):
-                ai, bi = np.nonzero(a_ids[i0:i1, None] < b_ids[None, :])
+                mask = a_ids[i0:i1, None] < b_ids[None, :]
+                if top is not None and len(top[2]) >= TOPK_PAIRS:
+                    mask &= cos >= top[2][-1]  # running kth-best, ties kept
+                ai, bi = np.nonzero(mask)
                 if len(ai) == 0:
                     continue
-                c = cos[ai, bi]
-                ids_blk = a_ids[i0:i1][ai]
-                order = np.lexsort((b_ids[bi], ids_blk, -c))[:TOPK_PAIRS]
-                yield pd.DataFrame(
-                    {
-                        "vec_a": ids_blk[order],
-                        "vec_b": b_ids[bi][order],
-                        "cosine": c[order],
-                    }
-                )
+                va, vb, c = a_ids[i0:i1][ai], b_ids[bi], cos[ai, bi]
+                if top is not None:
+                    va = np.concatenate([top[0], va])
+                    vb = np.concatenate([top[1], vb])
+                    c = np.concatenate([top[2], c])
+                order = np.lexsort((vb, va, -c))[:TOPK_PAIRS]
+                top = (va[order], vb[order], c[order])
+        if top is not None:
+            yield pd.DataFrame({"vec_a": top[0], "vec_b": top[1], "cosine": top[2]})
 
     local = e.mapInPandas(gen, schema="vec_a long, vec_b long, cosine double")
     return local.orderBy(F.desc("cosine"), "vec_a", "vec_b").limit(TOPK_PAIRS)

@@ -491,7 +491,11 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ns_dedup_lsh_pair_recall",
     oracle=f"""
-    WITH {_DUCK_SHINGLE_CTE},
+    WITH docs_sample AS (
+      SELECT * FROM documents
+      WHERE doc_id % (SELECT GREATEST(1, CAST(CEIL(count(*) / {MAX_EXACT_JACCARD_DOCS}.0) AS BIGINT)) FROM documents) = 0
+    ),
+    {duck_shingle_cte("docs_sample")},
     {_DUCK_LSH_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -528,14 +532,26 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster-stats away from the guarded exact path above "
     "MAX_EXACT_JACCARD_DOCS (r8; the exact path ENOSPC'd at sf10). Both "
     "sets are deterministic, so the recall fraction reproduces "
-    "bit-for-bit in the oracle. At 100 TB this runs on a sampled corpus "
-    "slice while production routes through LSH; the per-bucket losses "
-    "are itemized by ns_dedup_lsh_bucket_audit.",
+    "bit-for-bit in the oracle. The ground-truth side is the exact "
+    "self-join, so above MAX_EXACT_JACCARD_DOCS the contract measures "
+    "on a DETERMINISTIC 1-in-m doc slice (m = ceil(n/cap), doc_id % m "
+    "— mirrored in the oracle, r9: the unsliced form ENOSPC'd at sf10 "
+    "exactly like the exact path it exists to price); below the cap "
+    "m = 1 and the slice is the whole corpus, so calibration-SF rows "
+    "are unchanged. Per-bucket losses are itemized by "
+    "ns_dedup_lsh_bucket_audit.",
 )
 def ns_dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic corpus slice above the exact-jaccard cap (see doc);
+    # footer count only — no Spark job
+    n_docs = table_rows(sf_dir, "documents")
+    m = max(1, -(-n_docs // MAX_EXACT_JACCARD_DOCS))  # ceil div
+    d = load_table(spark, sf_dir, "documents")
+    if m > 1:
+        d = d.filter(F.col("doc_id") % m == 0)
     # one shingle pass feeds BOTH pipelines (exact self-join + LSH
     # signature build) — checkpoint it instead of re-tokenizing 3×
-    sh = _shingle_df(spark, sf_dir).transform(consistent_materialize)
+    sh = shingles_of(d).transform(consistent_materialize)
     exact = _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b"
     )

@@ -173,3 +173,40 @@ def test_rect_cosine_blocks_match_whole_matrix(monkeypatch):
         [cos for _i0, _i1, cos in D._cosine_blocks_vs_broadcast(ab, as_, bb, bs_)]
     )
     assert (got_b == whole_b).all()
+
+
+def test_pair_recall_slices_above_cap(spark, tmp_path, monkeypatch):
+    """r9 sf10 sweep find: the recall contract's ground-truth side is the
+    exact jaccard self-join, so above MAX_EXACT_JACCARD_DOCS it must
+    measure on the deterministic 1-in-m doc slice instead of spilling
+    quadratically (ENOSPC at sf10). With the cap forced below the corpus
+    size, the result must equal running the contract directly on the
+    sliced corpus."""
+    from adv_big_data_indexing_spark.contract import registry
+    from adv_big_data_indexing_spark.operators import dedup as D
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different content about parquet shuffle partitions",
+        "completely different content about parquet shuffle partition sizing",
+    ]
+    rows = [
+        (i, texts[i % 4] + (" extra" if i >= 12 else ""), "en", "web", 60)
+        for i in range(20)
+    ]
+    all_dir, even_dir = str(tmp_path / "all"), str(tmp_path / "even")
+    mk = lambda rs, d: spark.createDataFrame(  # noqa: E731
+        rs, "doc_id: long, text: string, lang: string, source: string, n_chars: long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    mk(rows, all_dir)
+    mk([r for r in rows if r[0] % 2 == 0], even_dir)
+
+    fn = registry()["ns_dedup_lsh_pair_recall"].fn
+    expected = fn(spark, even_dir).collect()[0]  # m=1 on the slice itself
+    monkeypatch.setattr(D, "MAX_EXACT_JACCARD_DOCS", 10)  # 20 docs -> m=2
+    sliced = fn(spark, all_dir).collect()[0]
+    assert (sliced.n_exact, sliced.n_hit, sliced.recall) == (
+        expected.n_exact, expected.n_hit, expected.recall,
+    )
+    assert sliced.n_exact > 0  # non-vacuous: the slice still has dups

@@ -743,117 +743,41 @@ FUZZY_MAX_DIST = 3
     WHERE a.p_name <> b.p_name
       AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
     """,
-    doc="EXT similarity (fuzzy) join — the entity-resolution shape. "
-    "Blocking keys (brand, size) restrict candidates, but their "
-    "cardinality is FIXED (25×50), so the in-block pair count is n²/1250 "
-    "— still quadratic (the r9 sf10 sweep measured the block self-join at "
-    "810 s, 1.6G levenshtein calls). The rewrite generates candidates by "
-    "the edit-distance pigeonhole instead (PassJoin, Li et al., "
-    "VLDB 2011): split each name into k+1=4 segments — a pair at edit "
-    "distance ≤ k must contain one of them UNEDITED, shifted by at most "
-    "k — join name-segments to position-windowed substrings on (block, "
-    "target-length, segment-index, text), then verify survivors with one "
-    "exact levenshtein. Candidate volume is Θ(n · 196) rows + true "
-    "near-matches, never Θ(Σ block²); names shorter than k+4 chars pair "
-    "through a direct (tiny) short-side block join for exactness. Exact "
-    "results — the oracle stays the naive in-block form.",
+    doc="EXT similarity (fuzzy) join — the entity-resolution shape: "
+    "blocking keys (brand, size) restrict candidates to same-block "
+    "pairs; the edit-distance verify (integer, bit-identical across "
+    "engines) runs only inside blocks, as a perfectly-parallel "
+    "spillable equi-join (AQE splits skewed blocks). SCALE HONESTY "
+    "(r9, measured): on this corpus the ANSWER ITSELF is Θ(n²/c) — "
+    "qualifying pairs are 7.8k / 778.1k / ~78M at sf0.1/sf1/sf10, an "
+    "exact n² progression — so any exact algorithm is output-bound "
+    "quadratic here; the r9 PassJoin segment-pigeonhole experiment "
+    "produced 6.7M distinct candidates at sf1 vs the block join's 16M "
+    "(bounded 92-word name vocabulary keeps segment buckets dense) and "
+    "ran SLOWER at every SF, so the simple join stays. At a 100 TB "
+    "corpus with diverse strings, segment/LSH blocking on a key whose "
+    "cardinality GROWS with n is the route — the fixed-cardinality "
+    "block key is the documented constraint, not the join strategy.",
 )
 def ext_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k, m = FUZZY_MAX_DIST, FUZZY_MAX_DIST + 1  # edits allowed, segments
-
-    def seg_len(L: str, i: str) -> str:
-        # last (L % m) segments absorb the remainder — deterministic,
-        # shared by both generation sides
-        return f"(({L}) DIV {m} + CASE WHEN ({i}) >= {m} - (({L}) % {m}) THEN 1 ELSE 0 END)"
-
-    def seg_start(L: str, i: str) -> str:  # 0-indexed
-        return f"(({i}) * (({L}) DIV {m}) + GREATEST(0, ({i}) - ({m} - (({L}) % {m}))))"
-
-    p = load_table(spark, sf_dir, "part").select(
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
         F.col("p_brand").alias("brand"),
         F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("key"),
-        F.col("p_name").alias("name"),
-        F.length("p_name").alias("len"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
     )
-    # --- segment side: m rows per name (its own partition's segments)
-    segs = p.filter(F.col("len") >= m).selectExpr(
-        "brand",
-        "size",
-        "key",
-        "name",
-        "len AS target_len",
-        f"posexplode(transform(sequence(0, {m - 1}), i -> "
-        f"named_struct('pos', {seg_start('len', 'i')}, "
-        f"'seg', substring(name, {seg_start('len', 'i')} + 1, {seg_len('len', 'i')})))) AS (i, s)",
-    ).selectExpr("brand", "size", "key", "name", "target_len", "i", "s.pos", "s.seg")
-    # --- substring side: for each name, every substring that could BE an
-    # unedited segment of a partner with length within ±k — per target
-    # length, per segment index, starts within ±k of the segment's home
-    # position (clamped into the name). ≤ (2k+1)·m·(2k+1) = 196 rows/name.
-    subs = (
-        p.selectExpr(
-            "brand", "size", "key", "name", "len",
-            f"explode(sequence(GREATEST({m}, len - {k}), len + {k})) AS target_len",
-        )
-        .selectExpr(
-            "brand", "size", "key", "name", "len", "target_len",
-            f"explode(sequence(0, {m - 1})) AS i",
-        )
-        .selectExpr(
-            "brand", "size", "key", "name", "target_len", "i",
-            f"{seg_len('target_len', 'i')} AS sl",
-            f"{seg_start('target_len', 'i')} AS sp",
-            "len",
-        )
-        .selectExpr(
-            "brand", "size", "key", "name", "target_len", "i",
-            # valid starts: within ±k of the home position AND in-bounds
-            f"explode_outer(sequence(GREATEST(0, sp - {k}), LEAST(len - sl, sp + {k}))) AS st",
-            "sl",
-        )
-        .filter(F.col("st").isNotNull())
-        .selectExpr(
-            "brand", "size", "key", "name", "target_len", "i",
-            "substring(name, st + 1, sl) AS seg",
-        )
-    )
-    segs = segs.withColumnsRenamed({"key": "key_x", "name": "name_x"})
-    subs = subs.withColumnsRenamed({"key": "key_y", "name": "name_y"})
-    cand = (
-        segs.join(subs, ["brand", "size", "target_len", "i", "seg"])
-        .filter(F.col("key_x") != F.col("key_y"))
-        .select(
-            F.least("key_x", "key_y").alias("key_a"),
-            F.greatest("key_x", "key_y").alias("key_b"),
-            F.when(F.col("key_x") < F.col("key_y"), F.col("name_x"))
-            .otherwise(F.col("name_y"))
-            .alias("name_a"),
-            F.when(F.col("key_x") < F.col("key_y"), F.col("name_y"))
-            .otherwise(F.col("name_x"))
-            .alias("name_b"),
-        )
-    )
-    # --- exactness fallback: a pair with a side shorter than m chars has
-    # BOTH sides shorter than m+k (length gap ≤ k) — pair those few
-    # directly in-block (empty on the TPC-H corpus, cheap on any corpus)
-    shorts = p.filter(F.col("len") < m + k)
-    sa, sb = shorts.alias("sa"), shorts.alias("sb")
-    short_cand = sa.join(
-        sb,
-        (F.col("sa.brand") == F.col("sb.brand"))
-        & (F.col("sa.size") == F.col("sb.size"))
-        & (F.col("sa.key") < F.col("sb.key")),
-    ).select(
-        F.col("sa.key").alias("key_a"),
-        F.col("sb.key").alias("key_b"),
-        F.col("sa.name").alias("name_a"),
-        F.col("sb.name").alias("name_b"),
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
     )
     return (
-        cand.unionByName(short_cand)
-        .distinct()
-        .filter(F.col("name_a") != F.col("name_b"))
+        a.join(b, ["brand", "size"])
+        .filter(
+            (F.col("key_a") < F.col("key_b")) & (F.col("name_a") != F.col("name_b"))
+        )
         .select(
             "key_a",
             "key_b",

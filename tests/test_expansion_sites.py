@@ -225,13 +225,14 @@ def test_doc_defines_every_class(cls):
 
 
 def test_fuzzy_join_passjoin_matches_bruteforce(spark, tmp_path):
-    """r9 sf10 sweep find: the (brand,size) blocks have FIXED cardinality,
-    so the old in-block self-join was n²/1250 — quadratic (810 s at
-    sf10). The PassJoin rewrite must stay EXACT: segment pigeonhole with
-    ±k positional windows, short-string fallback branch. Checked against
-    a brute-force in-block reference on crafted edge cases: a front
-    insertion (shifts every segment), exactly-k and k+1 distances, short
-    strings (< k+4 chars), identical names, cross-block twins."""
+    """r9 sf10 sweep find follow-up: ext_fuzzy_join_levenshtein must
+    stay EXACT whatever candidate strategy it uses (the r9 PassJoin
+    experiment was reverted after measurement — the corpus's answer is
+    itself Θ(n²/c), see the op's docstring — but this behavioral test
+    is strategy-agnostic). Checked against a brute-force in-block
+    reference on crafted edge cases: a front insertion (shifts every
+    aligned segment), exactly-k and k+1 distances, short strings
+    (< k+4 chars), identical names, cross-block twins."""
     from adv_big_data_indexing_spark.contract import registry
 
     rows = [

@@ -1262,8 +1262,9 @@ def consistent_materialize(
       and doesn't size local disks by the data. The cluster-grade
       setting (docs/RANK_MACHINERY.md §Checkpoint modes).
 
-    ``storage_level`` (local mode) overrides the checkpoint block store
-    level. Pass ``StorageLevel.DISK_ONLY`` — via
+    ``storage_level`` (both modes: the local checkpoint's block store,
+    or the reliable path's pre-checkpoint persist) overrides the block
+    store level. Pass ``StorageLevel.DISK_ONLY`` — via
     :func:`disk_consistent_materialize` — for DATA-SIZED frames: the
     default MEMORY_AND_DISK unrolls every block through the storage
     pool in the same tasks that are still aggregating, and at sf10 the
@@ -1304,7 +1305,14 @@ def consistent_materialize(
                 pass  # frame's session/plan gone — nothing left to protect
             prev_cached.unpersist()
         _pending_lazy_caches.clear()
-        cached = df.persist()
+        # honor the storage-level override here too: the reliable path's
+        # pre-checkpoint persist runs in the same tasks as the frame's
+        # producing aggregate, so a data-sized frame has the identical
+        # unroll-starvation hazard the local branch fixes (r9 find #5)
+        if storage_level is not None:
+            cached = df.persist(storage_level)
+        else:
+            cached = df.persist()
         out = cached.checkpoint(eager=eager)
         if eager:
             cached.unpersist()

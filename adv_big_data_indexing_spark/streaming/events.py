@@ -1520,3 +1520,109 @@ def streaming_seasonal_result(
             )
             dt = dt.unionByName(tail)
     return seasonalize(dt)
+
+
+def run_streaming_hll(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":
+    """Streaming portable-HLL maintenance: live distinct-user counts per
+    event type. Each micro-batch folds its (event_type, user_id) rows
+    into per-bucket max-rho registers (the md5-derived m=256 sketch of
+    ``ext_approx_distinct_portable``, operators/udfs.py) with a MAX
+    merge into the parquet state table.
+
+    This is the repo's third state-merge discipline, and the easiest
+    one: a register MAX is IDEMPOTENT AND COMMUTATIVE, so an
+    at-least-once redelivery — even a whole-stream replay from batch 0
+    against warm state — converges to the identical registers with NO
+    exactly-once machinery at all. Contrast ``run_streaming_cms``
+    (additive merge, needs the batch_id guard) and
+    ``run_streaming_retention`` (signed deltas, needs the guard plus
+    retraction pairs). ``batch_id`` is kept on the state table as
+    provenance only; the fold never reads it. State is ≤ m rows per
+    group forever, and the per-batch update is one map-side-combined
+    aggregate of the batch — live cardinality dashboards over a
+    100 TB/day stream without re-scanning history.
+    """
+    from adv_big_data_indexing_spark.operators.udfs import (
+        _SPARK_BUCKET,
+        _SPARK_HEX,
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = _read_state(spark, state_dir)
+        delta = (
+            batch.selectExpr(
+                "event_type AS g", "md5(CAST(user_id AS STRING)) AS h"
+            )
+            .selectExpr(
+                "g",
+                f"({_SPARK_BUCKET}) AS bucket",
+                f"({_SPARK_HEX}) AS hv",
+            )
+            .selectExpr(
+                "g",
+                "bucket",
+                "CASE WHEN hv = 0 THEN 53"
+                " ELSE 53 - length(trim(LEADING '0' FROM bin(hv))) END AS rho",
+            )
+            .groupBy("g", "bucket")
+            .agg(F.max("rho").alias("mj"))
+        )
+        if prev is not None:
+            merged = (
+                prev.select("g", "bucket", F.col("mj").alias("prev_mj"))
+                .join(
+                    delta.withColumnRenamed("mj", "delta_mj"),
+                    ["g", "bucket"],
+                    "full_outer",
+                )
+                .select(
+                    "g",
+                    "bucket",
+                    F.greatest(
+                        F.coalesce(F.col("prev_mj"), F.lit(0)),
+                        F.coalesce(F.col("delta_mj"), F.lit(0)),
+                    ).alias("mj"),
+                )
+            )
+        else:
+            merged = delta
+        _commit_state(merged.withColumn("batch_id", F.lit(batch_id)), state_dir)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_hll_result(spark, state_dir: str) -> DataFrame:
+    """Distinct-user estimate per event type from the maintained
+    registers — the identical estimator expression as the batch
+    portable sketch, so on the same data the streaming and batch
+    estimates agree bit-for-bit (tests/test_streaming.py)."""
+    from adv_big_data_indexing_spark.operators.udfs import _HLL_ESTIMATE, HLL_M
+
+    st = _read_state(spark, state_dir)
+    if st is None:
+        return spark.createDataFrame([], "event_type string, approx_nd double")
+    agg = st.groupBy("g").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN mj <= 50 THEN shiftleft(CAST(1 AS BIGINT), 50 - mj)"
+                " ELSE 0 END"
+            )
+        ).alias("s_present"),
+        F.count("*").alias("n_buckets"),
+    )
+    return agg.selectExpr(
+        "g AS event_type",
+        f"s_present + ({HLL_M} - n_buckets)"
+        " * shiftleft(CAST(1 AS BIGINT), 50) AS sum_total",
+        f"{HLL_M} - n_buckets AS zeros",
+    ).selectExpr("event_type", _HLL_ESTIMATE)

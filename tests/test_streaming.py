@@ -1582,3 +1582,95 @@ def test_streaming_cms_survives_empty_batch(spark, tmp_path):
     got = spark.read.parquet(state)
     assert got.agg(F.max("batch_id")).collect()[0][0] == 1
     assert got.agg(F.sum("cnt")).collect()[0][0] == 40 * 4
+
+
+def test_streaming_hll_matches_batch_and_is_replay_idempotent(spark, tmp_path):
+    """The streaming portable-HLL registers after draining the source
+    yield the bit-identical distinct estimate as the batch sketch on
+    the same data, and — the discipline this twin exists to show — a
+    WHOLE-STREAM replay against warm state (fresh checkpoint, same
+    state dir, every batch redelivered) leaves the registers unchanged:
+    a register MAX is idempotent, so no batch_id guard is needed
+    (contrast run_streaming_cms, whose additive fold would double)."""
+    from adv_big_data_indexing_spark.operators.udfs import (
+        _HLL_ESTIMATE,
+        _SPARK_BUCKET,
+        _SPARK_HEX,
+        HLL_M,
+    )
+
+    src = str(tmp_path / "hll_src")
+    state = str(tmp_path / "hll_state")
+    schema = "event_id long, user_id long, event_type string"
+    batch_df = spark.createDataFrame(
+        [(i, i % 137, ["click", "view", "error"][i % 3]) for i in range(600)],
+        schema,
+    )
+    batch_df.coalesce(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ev.run_streaming_hll(stream, state, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.approx_nd)
+        for r in ev.streaming_hll_result(spark, state).collect()
+    }
+    expect = {
+        (r.event_type, r.approx_nd)
+        for r in (
+            batch_df.selectExpr(
+                "event_type AS g", "md5(CAST(user_id AS STRING)) AS h"
+            )
+            .selectExpr("g", f"({_SPARK_BUCKET}) AS bucket", f"({_SPARK_HEX}) AS hv")
+            .selectExpr(
+                "g",
+                "bucket",
+                "CASE WHEN hv = 0 THEN 53"
+                " ELSE 53 - length(trim(LEADING '0' FROM bin(hv))) END AS rho",
+            )
+            .groupBy("g", "bucket")
+            .agg(F.max("rho").alias("mj"))
+            .groupBy("g")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN mj <= 50 THEN"
+                        " shiftleft(CAST(1 AS BIGINT), 50 - mj) ELSE 0 END"
+                    )
+                ).alias("s_present"),
+                F.count("*").alias("n_buckets"),
+            )
+            .selectExpr(
+                "g AS event_type",
+                f"s_present + ({HLL_M} - n_buckets)"
+                " * shiftleft(CAST(1 AS BIGINT), 50) AS sum_total",
+                f"{HLL_M} - n_buckets AS zeros",
+            )
+            .selectExpr("event_type", _HLL_ESTIMATE)
+        ).collect()
+    }
+    assert got == expect
+    # estimates are sane: 137 distinct users appear under every type
+    for _, nd in got:
+        assert 100 < nd < 180
+
+    registers = sorted(
+        (r.g, r.bucket, r.mj) for r in spark.read.parquet(state).collect()
+    )
+    # full-stream replay: fresh checkpoint ⇒ ALL batches redeliver into
+    # the warm state table; max-merge must leave every register as-is
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = ev.run_streaming_hll(stream2, state, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert (
+        sorted((r.g, r.bucket, r.mj) for r in spark.read.parquet(state).collect())
+        == registers
+    )

@@ -1626,3 +1626,113 @@ def streaming_hll_result(spark, state_dir: str) -> DataFrame:
         " * shiftleft(CAST(1 AS BIGINT), 50) AS sum_total",
         f"{HLL_M} - n_buckets AS zeros",
     ).selectExpr("event_type", _HLL_ESTIMATE)
+
+
+def run_streaming_survival(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> "StreamingQuery":
+    """Streaming Kaplan-Meier churn maintenance: the state is the
+    SEMANTIC MINIMUM for the survival curve — each user's event-time
+    frontier (latest event day), nothing else. Each micro-batch's
+    per-user max day folds in with a MAX merge (idempotent — a
+    whole-stream replay against warm state is a no-op, same algebra as
+    ``run_streaming_hll``), and the curve itself derives from the
+    frontier table at READ time (``streaming_survival_result``): a late
+    event that moves a user's churn day forward needs no retraction
+    machinery, because the day histogram, risk sets, and log-survival
+    sum are never materialized as incremental state — only the
+    irreducible per-user frontier is. The frontier is one row per user
+    (the same cardinality the batch operator's first aggregate
+    produces), and the per-batch update is one map-side-combined
+    aggregate of the batch joined against state on the user key.
+    """
+    from adv_big_data_indexing_spark.functions.exact import epoch_us
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = _read_state(spark, state_dir)
+        delta = batch.groupBy("user_id").agg(
+            (
+                (epoch_us(F.max("ts")) - epoch_us(F.max("ts")) % 86_400_000_000)
+                / 86_400_000_000
+            )
+            .cast("bigint")
+            .alias("day")
+        )
+        if prev is not None:
+            merged = (
+                prev.select("user_id", F.col("day").alias("prev_day"))
+                .join(
+                    delta.withColumnRenamed("day", "delta_day"),
+                    ["user_id"],
+                    "full_outer",
+                )
+                .select(
+                    "user_id",
+                    F.greatest(
+                        F.coalesce(F.col("prev_day"), F.lit(-1)),
+                        F.coalesce(F.col("delta_day"), F.lit(-1)),
+                    ).alias("day"),
+                )
+            )
+        else:
+            merged = delta
+        _commit_state(merged.withColumn("batch_id", F.lit(batch_id)), state_dir)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_survival_result(spark, state_dir: str) -> DataFrame:
+    """KM survival curve from the maintained per-user frontier — the
+    identical day/risk/term expressions as the batch ``ts_survival_km``
+    (operators/timeseries.py), so on the same data the streaming and
+    batch curves agree exactly (tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    from adv_big_data_indexing_spark.functions.exact import ilog2_q4
+
+    churn = _read_state(spark, state_dir)
+    if churn is None:
+        return spark.createDataFrame(
+            [], "day bigint, n_risk bigint, n_churn bigint, log_s_q4 bigint"
+        )
+    days = churn.groupBy("day").agg(F.count("*").alias("n_churn"))
+    n_users = churn.select(F.count("*").alias("n_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = days.crossJoin(F.broadcast(n_users)).select(
+        "day",
+        "n_churn",
+        (
+            F.col("n_users") - (F.sum("n_churn").over(w) - F.col("n_churn"))
+        ).alias("n_risk"),
+    )
+    alive = F.col("n_risk") > F.col("n_churn")
+    terms = risk.select(
+        "day",
+        "n_risk",
+        "n_churn",
+        F.when(
+            alive,
+            ilog2_q4(F.col("n_risk") - F.col("n_churn"))
+            - ilog2_q4(F.col("n_risk")),
+        )
+        .otherwise(0)
+        .alias("term"),
+    )
+    return terms.select(
+        "day",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_churn").cast("bigint").alias("n_churn"),
+        F.when(alive, F.sum("term").over(w).cast("bigint"))
+        .otherwise(F.lit(None))
+        .alias("log_s_q4"),
+    )

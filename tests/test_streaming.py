@@ -1674,3 +1674,76 @@ def test_streaming_hll_matches_batch_and_is_replay_idempotent(spark, tmp_path):
         sorted((r.g, r.bucket, r.mj) for r in spark.read.parquet(state).collect())
         == registers
     )
+
+
+def test_streaming_survival_matches_batch_and_late_churn_shift(spark, tmp_path):
+    """The KM curve derived from the streaming per-user frontier state
+    equals the batch ts_survival_km on the same events at every stage:
+    after the first chunk, and after a second chunk that (a) moves one
+    user's churn day FORWARD (late-arriving newer event) and (b)
+    delivers an OLDER event for another user (frontier unmoved). The
+    frontier max-merge is idempotent, so a whole-stream replay against
+    warm state leaves the curve unchanged — no batch_id guard."""
+    import datetime as dt
+
+    from adv_big_data_indexing_spark.operators.timeseries import ts_survival_km
+
+    def ev_rows(rows):
+        return [
+            (i, dt.datetime(2024, 1, 1 + d, 12, 0, 0), u, "click", 1.0, "{}")
+            for i, (u, d) in enumerate(rows)
+        ]
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # chunk 1: users 1-4 with frontiers on days 0,1,2,3
+    chunk1 = ev_rows([(1, 0), (2, 0), (2, 1), (3, 2), (4, 3), (4, 1)])
+    # chunk 2: user 3's frontier MOVES 2→4 (late newer event); user 4
+    # gets an OLDER day-0 event (frontier stays 3); new user 5 churns day 4
+    chunk2 = ev_rows([(3, 4), (4, 0), (5, 4)])
+
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "part1")
+    src = f"{full_dir}/events.parquet"
+    state = str(tmp_path / "km_state")
+    ck = str(tmp_path / "km_ck")
+
+    spark.createDataFrame(chunk1, schema).coalesce(1).write.parquet(
+        f"{part_dir}/events.parquet"
+    )
+    spark.createDataFrame(chunk1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def curve(df):
+        return sorted(
+            (r.day, r.n_risk, r.n_churn, r.log_s_q4) for r in df.collect()
+        )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    ev.run_streaming_survival(stream, state, ck).awaitTermination(120)
+    assert curve(ev.streaming_survival_result(spark, state)) == curve(
+        ts_survival_km(spark, part_dir)
+    )
+
+    import time
+
+    time.sleep(1.1)
+    spark.createDataFrame(chunk2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    ev.run_streaming_survival(stream2, state, ck).awaitTermination(120)
+    got = curve(ev.streaming_survival_result(spark, state))
+    assert got == curve(ts_survival_km(spark, full_dir))
+    # user 3's churn moved off day 2 entirely: day 2 no longer in the table
+    D0 = 19723  # 2024-01-01 as an epoch day
+    assert [r[0] for r in got] == [D0, D0 + 1, D0 + 3, D0 + 4]
+    # frontier state is exact: user 4 still day 3, user 3 now day 4
+    frontier = {r.user_id: r.day for r in spark.read.parquet(state).collect()}
+    assert frontier == {1: D0, 2: D0 + 1, 3: D0 + 4, 4: D0 + 3, 5: D0 + 4}
+
+    # whole-stream replay against warm state: curve and state unchanged
+    stream3 = spark.readStream.schema(schema).parquet(src)
+    ev.run_streaming_survival(stream3, state, str(tmp_path / "km_ck2")).awaitTermination(
+        120
+    )
+    assert curve(ev.streaming_survival_result(spark, state)) == got

@@ -1628,10 +1628,39 @@ def streaming_hll_result(spark, state_dir: str) -> DataFrame:
     ).selectExpr("event_type", _HLL_ESTIMATE)
 
 
+#: Hash buckets for data-sized streaming state (the survival frontier).
+#: Sized to the shuffle-partition count at real scale; tests override.
+SURVIVAL_STATE_BUCKETS = 32
+
+
+def _read_bucket_states(spark, state_dir: str):
+    """Union of all per-bucket state tables under ``state_dir`` (each
+    bucket directory carries its own tmp-swap crash protocol via
+    ``_read_state``), or None when no bucket exists yet."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None
+    parts = []
+    for name in sorted(os.listdir(state_dir)):
+        if not name.startswith("bucket="):
+            continue
+        sub = _read_state(spark, os.path.join(state_dir, name))
+        if sub is not None:
+            parts.append(sub)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def run_streaming_survival(
     events: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
+    n_buckets: int = SURVIVAL_STATE_BUCKETS,
 ) -> "StreamingQuery":
     """Streaming Kaplan-Meier churn maintenance: the state is the
     SEMANTIC MINIMUM for the survival curve — each user's event-time
@@ -1643,43 +1672,77 @@ def run_streaming_survival(
     event that moves a user's churn day forward needs no retraction
     machinery, because the day histogram, risk sets, and log-survival
     sum are never materialized as incremental state — only the
-    irreducible per-user frontier is. The frontier is one row per user
-    (the same cardinality the batch operator's first aggregate
-    produces), and the per-batch update is one map-side-combined
-    aggregate of the batch joined against state on the user key.
+    irreducible per-user frontier is.
+
+    WRITE AMPLIFICATION AT SCALE: unlike the constant-size sketch
+    states (CMS's d×w counters, HLL's m registers), the frontier is one
+    row per user — data-sized — so rewriting the whole state table per
+    micro-batch would cost Θ(total users) per batch however small the
+    batch. The state is therefore HASH-BUCKETED: ``n_buckets``
+    directories keyed by ``pmod(hash(user_id), n_buckets)``, and a
+    batch rewrites ONLY the buckets its users hash into — per-batch
+    write cost is Θ(users/bucket × touched buckets), independent of
+    total user count for a fixed batch. Idempotence is what makes this
+    sound with NO cross-bucket atomicity: buckets commit independently
+    (each under its own tmp-swap crash protocol), and a crash that
+    committed only some buckets is repaired by redelivery, because
+    re-folding a batch into an already-updated bucket is a no-op. The
+    guarded additive folds (CMS, retention, Markov) could not split
+    their commits this way without per-bucket batch_id tracking —
+    their single-table commit IS their atomicity.
     """
     from adv_big_data_indexing_spark.functions.exact import epoch_us
 
     def fold(batch: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch.sparkSession
-        prev = _read_state(spark, state_dir)
-        delta = batch.groupBy("user_id").agg(
-            (
-                (epoch_us(F.max("ts")) - epoch_us(F.max("ts")) % 86_400_000_000)
-                / 86_400_000_000
+        delta = (
+            batch.groupBy("user_id")
+            .agg(
+                (
+                    (
+                        epoch_us(F.max("ts"))
+                        - epoch_us(F.max("ts")) % 86_400_000_000
+                    )
+                    / 86_400_000_000
+                )
+                .cast("bigint")
+                .alias("day")
             )
-            .cast("bigint")
-            .alias("day")
+            .withColumn("bucket", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
         )
-        if prev is not None:
-            merged = (
-                prev.select("user_id", F.col("day").alias("prev_day"))
-                .join(
-                    delta.withColumnRenamed("day", "delta_day"),
-                    ["user_id"],
-                    "full_outer",
-                )
-                .select(
-                    "user_id",
-                    F.greatest(
-                        F.coalesce(F.col("prev_day"), F.lit(-1)),
-                        F.coalesce(F.col("delta_day"), F.lit(-1)),
-                    ).alias("day"),
-                )
+        delta = delta.localCheckpoint(eager=True)  # batch-sized, reused per bucket
+        try:
+            # bounded collect: ≤ n_buckets rows (a compile-time constant)
+            touched = sorted(
+                r.bucket for r in delta.select("bucket").distinct().collect()
             )
-        else:
-            merged = delta
-        _commit_state(merged.withColumn("batch_id", F.lit(batch_id)), state_dir)
+            for b in touched:
+                sub = delta.filter(F.col("bucket") == b).drop("bucket")
+                bdir = os.path.join(state_dir, f"bucket={b}")
+                prev = _read_state(spark, bdir)
+                if prev is not None:
+                    merged = (
+                        prev.select("user_id", F.col("day").alias("prev_day"))
+                        .join(
+                            sub.withColumnRenamed("day", "delta_day"),
+                            ["user_id"],
+                            "full_outer",
+                        )
+                        .select(
+                            "user_id",
+                            F.greatest(
+                                F.coalesce(F.col("prev_day"), F.lit(-1)),
+                                F.coalesce(F.col("delta_day"), F.lit(-1)),
+                            ).alias("day"),
+                        )
+                    )
+                else:
+                    merged = sub
+                _commit_state(merged.withColumn("batch_id", F.lit(batch_id)), bdir)
+        finally:
+            delta.unpersist()
 
     return (
         events.writeStream.foreachBatch(fold)
@@ -1698,7 +1761,7 @@ def streaming_survival_result(spark, state_dir: str) -> DataFrame:
 
     from adv_big_data_indexing_spark.functions.exact import ilog2_q4
 
-    churn = _read_state(spark, state_dir)
+    churn = _read_bucket_states(spark, state_dir)
     if churn is None:
         return spark.createDataFrame(
             [], "day bigint, n_risk bigint, n_churn bigint, log_s_q4 bigint"

@@ -1726,7 +1726,33 @@ def test_streaming_survival_matches_batch_and_late_churn_shift(spark, tmp_path):
         ts_survival_km(spark, part_dir)
     )
 
+    import os
     import time
+
+    def bucket_snapshot():
+        """(bucket dir → sorted (file, mtime_ns) list) for every bucket."""
+        out = {}
+        for name in os.listdir(state):
+            if name.startswith("bucket="):
+                d = os.path.join(state, name)
+                out[name] = sorted(
+                    (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+                    for f in os.listdir(d)
+                )
+        return out
+
+    snap1 = bucket_snapshot()
+    bucket_of = {
+        r.user_id: r.b
+        for r in spark.createDataFrame(
+            [(u,) for u in (1, 2, 3, 4, 5)], "user_id long"
+        )
+        .select(
+            "user_id",
+            F.pmod(F.hash("user_id"), F.lit(ev.SURVIVAL_STATE_BUCKETS)).alias("b"),
+        )
+        .collect()
+    }
 
     time.sleep(1.1)
     spark.createDataFrame(chunk2, schema).coalesce(1).write.mode("append").parquet(src)
@@ -1738,8 +1764,22 @@ def test_streaming_survival_matches_batch_and_late_churn_shift(spark, tmp_path):
     D0 = 19723  # 2024-01-01 as an epoch day
     assert [r[0] for r in got] == [D0, D0 + 1, D0 + 3, D0 + 4]
     # frontier state is exact: user 4 still day 3, user 3 now day 4
-    frontier = {r.user_id: r.day for r in spark.read.parquet(state).collect()}
+    frontier = {
+        r.user_id: r.day
+        for r in ev._read_bucket_states(spark, state).collect()
+    }
     assert frontier == {1: D0, 2: D0 + 1, 3: D0 + 4, 4: D0 + 3, 5: D0 + 4}
+
+    # bounded write amplification: chunk 2 touched only users 3/4/5, so
+    # every bucket holding only chunk-1 users must be byte-untouched
+    snap2 = bucket_snapshot()
+    touched2 = {f"bucket={bucket_of[u]}" for u in (3, 4, 5)}
+    untouched = {f"bucket={bucket_of[u]}" for u in (1, 2)} - touched2
+    assert untouched, "fixture degenerated: pick users hashing to distinct buckets"
+    for b in untouched:
+        assert snap2[b] == snap1[b], f"{b} rewritten by a batch that never touched it"
+    for b in touched2:
+        assert snap2[b] != snap1.get(b), f"{b} should have been rewritten"
 
     # whole-stream replay against warm state: curve and state unchanged
     stream3 = spark.readStream.schema(schema).parquet(src)

@@ -1628,47 +1628,46 @@ def streaming_hll_result(spark, state_dir: str) -> DataFrame:
     ).selectExpr("event_type", _HLL_ESTIMATE)
 
 
-#: Hash buckets for data-sized streaming state (the survival frontier).
-#: Sized to the shuffle-partition count at real scale; tests override.
-SURVIVAL_STATE_BUCKETS = 32
+#: Compact the survival frontier's delta log into its base table once
+#: this many delta files accumulate (bounds read-side merge fan-in; the
+#: amortized compaction cost is Θ(users)/fanin per batch).
+SURVIVAL_COMPACT_FANIN = 8
 
 
-def _read_bucket_states(spark, state_dir: str):
-    """Union of all per-bucket state tables under ``state_dir`` (each
-    bucket directory carries its own tmp-swap crash protocol via
-    ``_read_state``), or None when no bucket exists yet."""
+def _survival_frontier(spark, state_dir: str):
+    """The per-user frontier from the log-structured survival state:
+    max(day) over the compacted base table plus every appended delta
+    file. Duplicate rows (replayed appends) cannot change a max, so
+    the merge needs no dedup bookkeeping. None when no state exists."""
     import os
 
-    if not os.path.isdir(state_dir):
-        return None
     parts = []
-    for name in sorted(os.listdir(state_dir)):
-        if not name.startswith("bucket="):
-            continue
-        sub = _read_state(spark, os.path.join(state_dir, name))
-        if sub is not None:
-            parts.append(sub)
+    base = _read_state(spark, os.path.join(state_dir, "base"))
+    if base is not None:
+        parts.append(base.select("user_id", "day"))
+    deltas_dir = os.path.join(state_dir, "deltas")
+    if os.path.isdir(deltas_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(deltas_dir)
+    ):
+        parts.append(spark.read.parquet(deltas_dir).select("user_id", "day"))
     if not parts:
         return None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out.groupBy("user_id").agg(F.max("day").alias("day"))
 
 
 def run_streaming_survival(
     events: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
-    n_buckets: int = SURVIVAL_STATE_BUCKETS,
+    compact_fanin: int = SURVIVAL_COMPACT_FANIN,
 ) -> "StreamingQuery":
     """Streaming Kaplan-Meier churn maintenance: the state is the
     SEMANTIC MINIMUM for the survival curve — each user's event-time
-    frontier (latest event day), nothing else. Each micro-batch's
-    per-user max day folds in with a MAX merge (idempotent — a
-    whole-stream replay against warm state is a no-op, same algebra as
-    ``run_streaming_hll``), and the curve itself derives from the
-    frontier table at READ time (``streaming_survival_result``): a late
+    frontier (latest event day), nothing else. The curve derives from
+    the frontier at READ time (``streaming_survival_result``): a late
     event that moves a user's churn day forward needs no retraction
     machinery, because the day histogram, risk sets, and log-survival
     sum are never materialized as incremental state — only the
@@ -1676,73 +1675,55 @@ def run_streaming_survival(
 
     WRITE AMPLIFICATION AT SCALE: unlike the constant-size sketch
     states (CMS's d×w counters, HLL's m registers), the frontier is one
-    row per user — data-sized — so rewriting the whole state table per
-    micro-batch would cost Θ(total users) per batch however small the
-    batch. The state is therefore HASH-BUCKETED: ``n_buckets``
-    directories keyed by ``pmod(hash(user_id), n_buckets)``, and a
-    batch rewrites ONLY the buckets its users hash into — per-batch
-    write cost is Θ(users/bucket × touched buckets), independent of
-    total user count for a fixed batch. Idempotence is what makes this
-    sound with NO cross-bucket atomicity: buckets commit independently
-    (each under its own tmp-swap crash protocol), and a crash that
-    committed only some buckets is repaired by redelivery, because
-    re-folding a batch into an already-updated bucket is a no-op. The
-    guarded additive folds (CMS, retention, Markov) could not split
-    their commits this way without per-bucket batch_id tracking —
-    their single-table commit IS their atomicity.
+    row per user — data-sized — so an overwrite-the-table commit (the
+    sketch folds' protocol) would cost Θ(total users) per micro-batch
+    however small the batch. The state is therefore LOG-STRUCTURED,
+    the same shape production state stores (LSM trees) use: each batch
+    APPENDS one Θ(batch)-sized delta file of per-user batch maxima —
+    never rewriting existing state — and the frontier derives as
+    max(day) over base + deltas. Once ``compact_fanin`` delta files
+    accumulate, they fold into the base table (tmp-swap protocol) and
+    the delta log resets — amortized Θ(users)/fanin per batch, and the
+    read-side merge fan-in stays bounded. Idempotence of MAX is what
+    makes the log sound with zero exactly-once machinery: a replayed
+    batch appends a DUPLICATE delta file, and duplicate rows cannot
+    change a max; a crash between the base commit and the delta-log
+    reset leaves absorbed deltas in the log, which re-absorb
+    harmlessly. The guarded additive folds (CMS, retention, Markov)
+    could not append-without-guard this way — a duplicate delta file
+    would double-count; their single-table guarded commit IS their
+    correctness.
     """
+    import shutil
+
     from adv_big_data_indexing_spark.functions.exact import epoch_us
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         import os
 
         spark = batch.sparkSession
-        delta = (
-            batch.groupBy("user_id")
-            .agg(
-                (
-                    (
-                        epoch_us(F.max("ts"))
-                        - epoch_us(F.max("ts")) % 86_400_000_000
-                    )
-                    / 86_400_000_000
-                )
-                .cast("bigint")
-                .alias("day")
+        delta = batch.groupBy("user_id").agg(
+            (
+                (epoch_us(F.max("ts")) - epoch_us(F.max("ts")) % 86_400_000_000)
+                / 86_400_000_000
             )
-            .withColumn("bucket", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+            .cast("bigint")
+            .alias("day")
         )
-        delta = delta.localCheckpoint(eager=True)  # batch-sized, reused per bucket
-        try:
-            # bounded collect: ≤ n_buckets rows (a compile-time constant)
-            touched = sorted(
-                r.bucket for r in delta.select("bucket").distinct().collect()
+        deltas_dir = os.path.join(state_dir, "deltas")
+        delta.coalesce(1).write.mode("append").parquet(deltas_dir)
+        n_files = sum(
+            1 for f in os.listdir(deltas_dir) if f.endswith(".parquet")
+        )
+        if n_files >= compact_fanin:
+            merged = _survival_frontier(spark, state_dir)
+            _commit_state(
+                merged.withColumn("batch_id", F.lit(batch_id)),
+                os.path.join(state_dir, "base"),
             )
-            for b in touched:
-                sub = delta.filter(F.col("bucket") == b).drop("bucket")
-                bdir = os.path.join(state_dir, f"bucket={b}")
-                prev = _read_state(spark, bdir)
-                if prev is not None:
-                    merged = (
-                        prev.select("user_id", F.col("day").alias("prev_day"))
-                        .join(
-                            sub.withColumnRenamed("day", "delta_day"),
-                            ["user_id"],
-                            "full_outer",
-                        )
-                        .select(
-                            "user_id",
-                            F.greatest(
-                                F.coalesce(F.col("prev_day"), F.lit(-1)),
-                                F.coalesce(F.col("delta_day"), F.lit(-1)),
-                            ).alias("day"),
-                        )
-                    )
-                else:
-                    merged = sub
-                _commit_state(merged.withColumn("batch_id", F.lit(batch_id)), bdir)
-        finally:
-            delta.unpersist()
+            # absorbed deltas removed only AFTER the base commit — a
+            # crash in between re-absorbs them (max is idempotent)
+            shutil.rmtree(deltas_dir, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(fold)
@@ -1761,7 +1742,7 @@ def streaming_survival_result(spark, state_dir: str) -> DataFrame:
 
     from adv_big_data_indexing_spark.functions.exact import ilog2_q4
 
-    churn = _read_bucket_states(spark, state_dir)
+    churn = _survival_frontier(spark, state_dir)
     if churn is None:
         return spark.createDataFrame(
             [], "day bigint, n_risk bigint, n_churn bigint, log_s_q4 bigint"

@@ -1729,30 +1729,19 @@ def test_streaming_survival_matches_batch_and_late_churn_shift(spark, tmp_path):
     import os
     import time
 
-    def bucket_snapshot():
-        """(bucket dir → sorted (file, mtime_ns) list) for every bucket."""
-        out = {}
-        for name in os.listdir(state):
-            if name.startswith("bucket="):
-                d = os.path.join(state, name)
-                out[name] = sorted(
-                    (f, os.stat(os.path.join(d, f)).st_mtime_ns)
-                    for f in os.listdir(d)
-                )
-        return out
+    def state_snapshot(sub):
+        d = os.path.join(state, sub)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
 
-    snap1 = bucket_snapshot()
-    bucket_of = {
-        r.user_id: r.b
-        for r in spark.createDataFrame(
-            [(u,) for u in (1, 2, 3, 4, 5)], "user_id long"
-        )
-        .select(
-            "user_id",
-            F.pmod(F.hash("user_id"), F.lit(ev.SURVIVAL_STATE_BUCKETS)).alias("b"),
-        )
-        .collect()
-    }
+    snap1_deltas = state_snapshot("deltas")
+    assert len(snap1_deltas) == 1  # one Θ(batch) append so far
+    assert state_snapshot("base") == []  # below the compaction fan-in
 
     time.sleep(1.1)
     spark.createDataFrame(chunk2, schema).coalesce(1).write.mode("append").parquet(src)
@@ -1765,25 +1754,39 @@ def test_streaming_survival_matches_batch_and_late_churn_shift(spark, tmp_path):
     assert [r[0] for r in got] == [D0, D0 + 1, D0 + 3, D0 + 4]
     # frontier state is exact: user 4 still day 3, user 3 now day 4
     frontier = {
-        r.user_id: r.day
-        for r in ev._read_bucket_states(spark, state).collect()
+        r.user_id: r.day for r in ev._survival_frontier(spark, state).collect()
     }
     assert frontier == {1: D0, 2: D0 + 1, 3: D0 + 4, 4: D0 + 3, 5: D0 + 4}
 
-    # bounded write amplification: chunk 2 touched only users 3/4/5, so
-    # every bucket holding only chunk-1 users must be byte-untouched
-    snap2 = bucket_snapshot()
-    touched2 = {f"bucket={bucket_of[u]}" for u in (3, 4, 5)}
-    untouched = {f"bucket={bucket_of[u]}" for u in (1, 2)} - touched2
-    assert untouched, "fixture degenerated: pick users hashing to distinct buckets"
-    for b in untouched:
-        assert snap2[b] == snap1[b], f"{b} rewritten by a batch that never touched it"
-    for b in touched2:
-        assert snap2[b] != snap1.get(b), f"{b} should have been rewritten"
+    # log-structured write cost: the second batch APPENDED one delta
+    # file and left the first batch's file byte-untouched (Θ(batch)
+    # write, never Θ(total users))
+    snap2_deltas = state_snapshot("deltas")
+    assert len(snap2_deltas) == 2
+    assert snap1_deltas[0] in snap2_deltas
 
-    # whole-stream replay against warm state: curve and state unchanged
+    # whole-stream replay against warm state: duplicate delta files
+    # appear in the log, and the max-merge makes them invisible
     stream3 = spark.readStream.schema(schema).parquet(src)
     ev.run_streaming_survival(stream3, state, str(tmp_path / "km_ck2")).awaitTermination(
         120
     )
     assert curve(ev.streaming_survival_result(spark, state)) == got
+    # the replay APPENDED (one availableNow batch → one more file) —
+    # duplicates live in the log and the max-merge hides them
+    assert len(state_snapshot("deltas")) == 3
+
+    # compaction: fan-in 1 forces the next batch to fold base+deltas
+    # into the base table and reset the log; the curve is unchanged
+    time.sleep(1.1)
+    extra = ev_rows([(1, 2)])  # user 1's frontier moves 0→2
+    spark.createDataFrame(extra, schema).coalesce(1).write.mode("append").parquet(src)
+    stream4 = spark.readStream.schema(schema).parquet(src)
+    ev.run_streaming_survival(
+        stream4, state, ck, compact_fanin=1
+    ).awaitTermination(120)
+    assert state_snapshot("deltas") == []  # log absorbed into base
+    assert state_snapshot("base") != []
+    assert curve(ev.streaming_survival_result(spark, state)) == curve(
+        ts_survival_km(spark, full_dir)  # src accumulated every chunk
+    )

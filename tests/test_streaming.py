@@ -1790,3 +1790,119 @@ def test_streaming_survival_matches_batch_and_late_churn_shift(spark, tmp_path):
     assert curve(ev.streaming_survival_result(spark, state)) == curve(
         ts_survival_km(spark, full_dir)  # src accumulated every chunk
     )
+
+
+def test_streaming_survival_crash_between_compaction_steps(spark, tmp_path):
+    """The LSM docstring's crash claim, executed: a compaction that
+    commits the base table but dies BEFORE resetting the delta log
+    leaves absorbed deltas in the log; the next read and the next
+    compaction re-absorb them with no change (max is idempotent), and
+    later batches keep folding exactly."""
+    import datetime as dt
+    import os
+
+    from adv_big_data_indexing_spark.operators.timeseries import ts_survival_km
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def ev_rows(rows, base_id=0):
+        return [
+            (base_id + i, dt.datetime(2024, 1, 1 + d, 12, 0, 0), u, "click", 1.0, "{}")
+            for i, (u, d) in enumerate(rows)
+        ]
+
+    full_dir = str(tmp_path / "full")
+    src = f"{full_dir}/events.parquet"
+    state = str(tmp_path / "st")
+    chunk1 = ev_rows([(1, 0), (2, 1), (3, 2)])
+    spark.createDataFrame(chunk1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    ev.run_streaming_survival(stream, state, str(tmp_path / "ck")).awaitTermination(120)
+
+    def curve(df):
+        return sorted((r.day, r.n_risk, r.n_churn, r.log_s_q4) for r in df.collect())
+
+    # simulate the torn compaction: commit the merged frontier to base,
+    # then "crash" — the delta log is NOT reset
+    merged = ev._survival_frontier(spark, state)
+    ev._commit_state(merged.withColumn("batch_id", F.lit(0)), os.path.join(state, "base"))
+    assert os.path.isdir(os.path.join(state, "deltas"))  # log survived the crash
+    before = curve(ev.streaming_survival_result(spark, state))
+    assert before == curve(ts_survival_km(spark, full_dir))
+
+    # recovery needs nothing: further batches fold over base + stale log
+    import time
+
+    time.sleep(1.1)
+    chunk2 = ev_rows([(2, 4), (4, 3)], base_id=100)  # shift user 2, add user 4
+    spark.createDataFrame(chunk2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    # fan-in 1: the recovery batch also COMPACTS base + stale log + new delta
+    ev.run_streaming_survival(
+        stream2, state, str(tmp_path / "ck"), compact_fanin=1
+    ).awaitTermination(120)
+    assert curve(ev.streaming_survival_result(spark, state)) == curve(
+        ts_survival_km(spark, full_dir)
+    )
+    assert not os.path.isdir(os.path.join(state, "deltas")) or not any(
+        f.endswith(".parquet") for f in os.listdir(os.path.join(state, "deltas"))
+    )
+
+
+def test_streaming_survival_chunking_invariance(spark, tmp_path):
+    """Frontier algebra is associative/commutative/idempotent, so the
+    final curve must be invariant to HOW the same events are chunked
+    into micro-batches — including duplicated events across chunks.
+    Three adversarial chunkings of one random-ish corpus, one batch
+    oracle."""
+    import datetime as dt
+
+    from adv_big_data_indexing_spark.operators.timeseries import ts_survival_km
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # deterministic pseudo-random corpus: 60 events over 12 users / 9 days
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i * 7 + i * i) % 9, 8, 0, 0),
+         (i * 5 + 3) % 12, "click", 1.0, "{}")
+        for i in range(60)
+    ]
+    full_dir = str(tmp_path / "full")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{full_dir}/events.parquet"
+    )
+
+    def curve(df):
+        return sorted((r.day, r.n_risk, r.n_churn, r.log_s_q4) for r in df.collect())
+
+    oracle = curve(ts_survival_km(spark, full_dir))
+
+    import time
+
+    chunkings = [
+        [rows],  # one batch
+        [rows[i::3] for i in range(3)],  # strided thirds
+        [rows[:40], rows[20:]],  # OVERLAPPING halves (20 duplicate events)
+    ]
+    for ci, chunks in enumerate(chunkings):
+        src = str(tmp_path / f"src{ci}")
+        for ch in chunks:
+            spark.createDataFrame(ch, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = str(tmp_path / f"st{ci}")
+        ev.run_streaming_survival(
+            stream, state, str(tmp_path / f"ck{ci}"), compact_fanin=2
+        ).awaitTermination(120)
+        assert curve(ev.streaming_survival_result(spark, state)) == oracle, ci

@@ -1016,8 +1016,15 @@ def run_streaming_markov(
         # execute and commit per micro-batch — both the skip path
         # (returning without an action) and the coalesce(1) inside
         # _commit_state (which folds the stateful stage into one task)
-        # fail Spark's commit validation otherwise.
-        batch = batch.localCheckpoint(eager=True)
+        # fail Spark's commit validation otherwise. DISK_ONLY blocks:
+        # a micro-batch is data-sized at production scale, and a
+        # MEMORY_AND_DISK unroll runs in the SAME tasks as the stage
+        # producing the frame — the unroll-starves-execution hazard
+        # disk_consistent_materialize (operators/advanced.py) exists
+        # for; blocks stream to disk instead of holding the pool.
+        from pyspark import StorageLevel
+
+        batch = batch.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         prev = _read_state(spark, state_dir)
         if batch_id <= _applied_batch(prev):
             return  # replay of an already-applied batch: skip the fold
@@ -1293,9 +1300,12 @@ def run_streaming_retention(
         spark = batch.sparkSession
         # Materialize the stateful stage FIRST, unconditionally — the
         # state-store commit protocol requires every partition of the
-        # applyInPandasWithState operator to execute per micro-batch
-        # (see run_streaming_markov).
-        batch = batch.localCheckpoint(eager=True)
+        # applyInPandasWithState operator to execute per micro-batch;
+        # DISK_ONLY blocks for the data-sized frame (see
+        # run_streaming_markov).
+        from pyspark import StorageLevel
+
+        batch = batch.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         prev = _read_state(spark, state_dir)
         if batch_id <= _applied_batch(prev):
             return  # replay of an already-applied batch: skip the fold

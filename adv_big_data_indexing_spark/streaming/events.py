@@ -344,19 +344,28 @@ def _applied_batch(prev) -> int:
     return -1 if v is None else int(v)
 
 
-def _commit_state(df, path: str) -> None:
+def _commit_state(df, path: str, single_file: bool = True) -> None:
     """tmp-write → read-back → overwrite main → remove tmp. The df
     typically derives from reading ``path`` itself, so writing directly
     would delete its own input mid-plan; the read-back breaks lineage.
     The tmp copy survives until the main overwrite finishes, so a crash
     during the overwrite loses nothing (_read_state restores main from
     tmp before reading — by then no live lineage points at tmp, so the
-    next commit's tmp overwrite is safe)."""
+    next commit's tmp overwrite is safe).
+
+    ``single_file=True`` (the default) coalesces to one file — right for
+    the constant-size sketch states. DATA-SIZED state (the survival
+    frontier base) passes False: coalesce(1) would funnel the whole
+    table through one write task, and AQE already right-sizes the
+    upstream shuffle's partitions."""
     import shutil  # noqa: PLC0415
 
     tmp = path + ".tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    df.sparkSession.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").parquet(tmp)
+    back = df.sparkSession.read.parquet(tmp)
+    back = back.coalesce(1) if single_file else back
+    back.write.mode("overwrite").parquet(path)
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -1721,7 +1730,10 @@ def run_streaming_survival(
             .alias("day")
         )
         deltas_dir = os.path.join(state_dir, "deltas")
-        delta.coalesce(1).write.mode("append").parquet(deltas_dir)
+        # natural partitioning: AQE right-sizes the groupBy's output, so
+        # a big batch appends several right-sized files in parallel and a
+        # small one appends one — no single-task write funnel
+        delta.write.mode("append").parquet(deltas_dir)
         n_files = sum(
             1 for f in os.listdir(deltas_dir) if f.endswith(".parquet")
         )
@@ -1730,6 +1742,7 @@ def run_streaming_survival(
             _commit_state(
                 merged.withColumn("batch_id", F.lit(batch_id)),
                 os.path.join(state_dir, "base"),
+                single_file=False,  # data-sized: never one write task
             )
             # absorbed deltas removed only AFTER the base commit — a
             # crash in between re-absorbs them (max is idempotent)

@@ -1,0 +1,127 @@
+"""Streaming incremental dedup index (streaming/corpus.py): the
+accumulated verified pair set equals the full-corpus batch operator
+under any chunking, replays are invisible (set idempotence), and
+compaction preserves the set."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.streaming import corpus as sc
+
+SF_SMOKE = "/root/testdata/sf0.001"
+DOC_SCHEMA = None  # resolved from the table in the fixture
+
+
+@pytest.fixture(scope="module")
+def batch_pairs(spark):
+    from adv_big_data_indexing_spark.operators.dedup import ns_dedup_minhash_lsh
+
+    rows = sorted(
+        (r.doc_a, r.doc_b, r.n_inter, r.jaccard)
+        for r in ns_dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) > 0  # non-vacuous oracle
+    return rows
+
+
+def _stream_pairs(spark, tmp_path, chunks, tag, compact_fanin=99):
+    """Write doc chunks as separate files, drain them as micro-batches,
+    return the accumulated sorted pair set."""
+    src = str(tmp_path / f"src_{tag}")
+    state = str(tmp_path / f"state_{tag}")
+    ck = str(tmp_path / f"ck_{tag}")
+    schema = chunks[0].schema
+    for ch in chunks:
+        ch.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sc.run_streaming_dedup_index(stream, state, ck, compact_fanin=compact_fanin)
+    q.awaitTermination(600)
+    return (
+        sorted(
+            (r.doc_a, r.doc_b, r.n_inter, r.jaccard)
+            for r in sc.streaming_dedup_pairs(spark, state).collect()
+        ),
+        state,
+        ck,
+        stream.schema if hasattr(stream, "schema") else schema,
+        src,
+    )
+
+
+def test_streaming_dedup_index_matches_batch_any_chunking(
+    spark, tmp_path, batch_pairs
+):
+    """Three chunkings of the same corpus — thirds by id, interleaved
+    stripes, one shot — all converge to the batch LSH pair set: a pair
+    is found in whichever batch completes it."""
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+    chunkings = {
+        "thirds": [
+            docs.filter(F.col("doc_id") % 3 == k) for k in range(3)
+        ],
+        "oneshot": [docs],
+    }
+    for tag, chunks in chunkings.items():
+        got, *_ = _stream_pairs(spark, tmp_path, chunks, tag)
+        assert got == batch_pairs, tag
+
+
+def test_streaming_dedup_index_replay_and_compaction(spark, tmp_path, batch_pairs):
+    """A whole-stream replay against the warm index appends duplicate
+    rows that distinct-at-read removes; a forced compaction afterwards
+    (fan-in 1 on one more tiny batch) absorbs every log into its base
+    with the pair set unchanged."""
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    halves = [docs.filter(F.col("doc_id") % 2 == k) for k in range(2)]
+    got, state, ck, schema, src = _stream_pairs(spark, tmp_path, halves, "replay")
+    assert got == batch_pairs
+
+    # replay: fresh checkpoint, same state — every batch redelivers
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sc.run_streaming_dedup_index(
+        stream2, state, str(tmp_path / "ck_replay2")
+    ).awaitTermination(600)
+    got2 = sorted(
+        (r.doc_a, r.doc_b, r.n_inter, r.jaccard)
+        for r in sc.streaming_dedup_pairs(spark, state).collect()
+    )
+    assert got2 == batch_pairs
+
+    # compaction: stream one duplicate-of-existing doc with fan-in 1 —
+    # logs fold into their bases, pair set unchanged
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") == 0).coalesce(1).write.mode("append").parquet(src)
+    stream3 = spark.readStream.schema(docs.schema).parquet(src)
+    sc.run_streaming_dedup_index(
+        stream3, state, ck, compact_fanin=1
+    ).awaitTermination(600)
+    for log in ("pairs", "sigs", "bands"):
+        dd = os.path.join(state, log, "deltas")
+        assert not os.path.isdir(dd) or not any(
+            f.endswith(".parquet") for f in os.listdir(dd)
+        ), log
+        assert os.path.isdir(os.path.join(state, log, "base")), log
+    got3 = sorted(
+        (r.doc_a, r.doc_b, r.n_inter, r.jaccard)
+        for r in sc.streaming_dedup_pairs(spark, state).collect()
+    )
+    assert got3 == batch_pairs

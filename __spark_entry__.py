@@ -142,12 +142,23 @@ _DRIVER_WINDOW_R9 = (
 )
 
 # ROUND-10 ROTATION PLAN: regenerate the ledger after CORRECTNESS_r09
-# lands, then fill with the oldest r5 rows — 42 should remain (all six
-# planned r5 back-fills were displaced by mid-round impl changes:
-# ext_ab_wilson_ci, ext_benford_audit, ext_chi2_contingency,
-# ext_column_stats, ext_dq_expectations, ext_k_anonymity_audit — they
-# lead the r10 back-fill) — then oldest r6. Verify displacement math
-# against the REGENERATED ledger, never this comment (r8 lesson).
+# lands, then fill in this priority order:
+#   1. the _lsh_pair_stats consumers whose shared helper changed LATE
+#      in r9 (route-never-drop: degenerate buckets now expand through
+#      the self-join tier instead of being excluded — results
+#      bit-identical at every calibration SF, max bucket 3/4/40 at
+#      sf0.01/0.1/1 vs the removed 4096 cap; local oracle parity green)
+#      but could not displace into the full r9 window (its 44 r3/r4
+#      rows are displacement-protected): ns_dedup_minhash_lsh,
+#      ns_dedup_incremental, ns_dedup_lsh_pair_recall,
+#      ns_dedup_components, ns_dedup_cluster_stats, ns_corpus_curation,
+#      plus ns_dedup_lsh_bucket_audit (doc-only, same family);
+#   2. the oldest r5 rows — all six planned r5 back-fills were
+#      displaced by mid-r9 impl changes: ext_ab_wilson_ci,
+#      ext_benford_audit, ext_chi2_contingency, ext_column_stats,
+#      ext_dq_expectations, ext_k_anonymity_audit — they lead;
+#   3. then oldest r6. Verify displacement math against the
+#      REGENERATED ledger, never this comment (r8 lesson).
 
 def _driver_name(name: str) -> str:
     return f"a_{name}" if name in _DRIVER_WINDOW_R9 else name

@@ -1294,16 +1294,23 @@ def consistent_materialize(
         # nondeterministic lineage, can produce files that diverge from
         # what the caller's first action observed (ADVICE r8; the exact
         # boundary-consistency hazard this function exists to prevent).
-        # The count is a no-op-priced cache/checkpoint scan when the
-        # caller already acted (the iterative loops act every iteration —
-        # lazy callers SHOULD act before the next materialize call; the
-        # barrier just makes forgetting safe rather than wrong).
+        # COST, stated honestly (code-review r9): when the caller
+        # already acted the count is NOT free — it is one full read of
+        # the cached/checkpointed layer per materialize call, paid only
+        # by reliable+lazy iterative loops. A skip would need the JVM
+        # checkpoint-state of the PLAN's RDD (DataFrame.rdd builds a
+        # fresh conversion RDD whose isCheckpointed() is always false),
+        # and poking that internal risks the boundary-consistency
+        # guarantee this barrier certifies — the scan is the price of
+        # making a forgotten action safe rather than wrong.
         for prev_cached, prev_out in _pending_lazy_caches:
             try:
                 prev_out.count()
+                prev_cached.unpersist()
             except Exception:
-                pass  # frame's session/plan gone — nothing left to protect
-            prev_cached.unpersist()
+                pass  # frame's session/plan gone (the unpersist would
+                #       raise the same dead-session error) — nothing
+                #       left to protect or release
         _pending_lazy_caches.clear()
         # honor the storage-level override here too: the reliable path's
         # pre-checkpoint persist runs in the same tasks as the frame's

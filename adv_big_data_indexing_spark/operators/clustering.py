@@ -77,7 +77,11 @@ def _cosine_row_blocks(mat_int, sq):
     product-sum is bit-identical to the int64 matmul it replaces (every
     intermediate is a representable integer) — at dgemm speed instead of
     int64's scalar loop. A guard falls back to int64 blocks if a
-    pathological vector would break the bound."""
+    pathological vector would break the bound.
+
+    KEEP THE GUARD IN SYNC with dedup._cosine_blocks_vs_broadcast — the
+    rectangular twin of this kernel carries the identical 2^53 bound
+    and in-place normalization (code-review r9)."""
     import numpy as np  # noqa: PLC0415
 
     n, dim = mat_int.shape
@@ -91,7 +95,13 @@ def _cosine_row_blocks(mat_int, sq):
             dot = matf[i0:i1] @ matf.T
         else:
             dot = (mat_int[i0:i1] @ mat_int.T).astype(np.float64)
-        yield i0, i1, (dot / sq[i0:i1, None]) / sq[None, :]
+        # in-place: (dot / a) / b allocates two extra block-sized
+        # temporaries — ~3× the documented budget per task (dot is
+        # always float64 here, so /= is the same correctly-rounded op
+        # in the same order)
+        dot /= sq[i0:i1, None]
+        dot /= sq[None, :]
+        yield i0, i1, dot
 
 
 def _dist2_sql(q: str, c: str) -> str:

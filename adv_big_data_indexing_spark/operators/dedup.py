@@ -306,7 +306,6 @@ def _lsh_pair_stats(
     sh: DataFrame,
     with_mhs: bool = False,
     inrow_cap: int = BUCKET_INROW_CAP,
-    pair_cap: int = BUCKET_PAIR_CAP,
 ) -> DataFrame:
     """(doc_a, doc_b, n_inter, n_a, n_b) for every LSH-colliding doc pair —
     ONE pipeline over the corpus, no second pass for the verify.
@@ -318,17 +317,22 @@ def _lsh_pair_stats(
        distinct shingle-hash set, carried along so the exact-overlap
        verify never re-reads the corpus;
     3. posexplode 4 band keys, count bucket sizes, and expand in-bucket
-       pairs along THREE size-tiered paths:
+       pairs along two size-tiered paths:
        - size ≤ ``inrow_cap``: collect_list + array transforms — one
          bucket per row, cheapest (a self-join would execute the
          signature build twice when exchange reuse misses);
-       - ``inrow_cap`` < size ≤ ``pair_cap``: equi self-join on the band
-         key — one row per member, so a hot bucket never materializes as
-         a single collect_list row (the r5-flagged OOM);
-       - size > ``pair_cap``: degenerate bucket (band key stopped
-         discriminating — empty/boilerplate cluster); excluded from
-         expansion and REPORTED by ns_dedup_lsh_bucket_audit, never
-         silently;
+       - size > ``inrow_cap``: equi self-join on the band key — one row
+         per member, so a hot bucket never materializes as a single
+         collect_list row (the r5-flagged OOM), and its pairs stream
+         through spillable shuffle pages at ANY bucket size. Degenerate
+         buckets ROUTE through this tier too — never dropped: the
+         adversarial case (a true near-identical clique shares every
+         band key) is exactly the one a drop cap would silently lose,
+         the same class the r9 simhash fix removed (code-review r9; the
+         DuckDB oracle enumerates every colliding pair, so a drop would
+         also diverge from this function's own oracle above the cap).
+         ns_dedup_lsh_bucket_audit still itemizes bucket-size tiers so
+         a boilerplate cluster is visible and can be re-keyed;
     4. per pair: n_inter = |array_intersect| of the two carried hash sets.
 
     Overlap counts are over 48-bit shingle hashes (collision odds ~2^-48
@@ -347,7 +351,7 @@ def _lsh_pair_stats(
     # disk instead of OOMing an executor.
     sized = bands.withColumn(
         "bsz", F.count("*").over(Window.partitionBy("band", "band_key"))
-    ).filter((F.col("bsz") > 1) & (F.col("bsz") <= pair_cap))
+    ).filter(F.col("bsz") > 1)
 
     # ---- tier 1: in-row expansion of small buckets
     grouped = (
@@ -538,8 +542,10 @@ def ns_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— mirrored in the oracle, r9: the unsliced form ENOSPC'd at sf10 "
     "exactly like the exact path it exists to price); below the cap "
     "m = 1 and the slice is the whole corpus, so calibration-SF rows "
-    "are unchanged. Per-bucket losses are itemized by "
-    "ns_dedup_lsh_bucket_audit.",
+    "are unchanged. Since the r9 route-never-drop change the only "
+    "recall loss is banding misses (pairs whose 4×4 minhash bands "
+    "never collide) — no bucket size forgoes pairs; bucket-size "
+    "pressure is itemized by ns_dedup_lsh_bucket_audit.",
 )
 def ns_dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic corpus slice above the exact-jaccard cap (see doc);
@@ -592,14 +598,17 @@ def ns_dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(bsz * (bsz - 1) // 2) AS BIGINT) AS n_pairs
     FROM bsz GROUP BY 1
     """,
-    doc="NS LSH bucket-size audit — the 'no silent caps' observable for "
-    "the tiered pair expansion in _lsh_pair_stats: per tier (singleton / "
-    "in-row ≤64 / overflow self-join ≤4096 / DROPPED degenerate) the "
+    doc="NS LSH bucket-size audit — the degenerate-bucket observable for "
+    "the tiered pair expansion in _lsh_pair_stats: per size tier "
+    "(singleton / in-row ≤64 / overflow self-join ≤4096 / beyond) the "
     "bucket count, member rows, hottest bucket, and the band-pair count "
-    "the tier generates — for 'dropped', the pairs FORGONE by the cap. "
-    "A nonzero dropped row is the signal to re-key or pre-filter the "
-    "boilerplate cluster. Scale shape: one corpus pass + a bucket-sized "
-    "aggregate (map-side combined).",
+    "the tier generates. The top tier's label 'dropped' is HISTORICAL "
+    "(kept for result stability): since the r9 route-never-drop change "
+    "those buckets stream through the same spill-safe self-join as the "
+    "overflow tier — the row now prices the pairs a degenerate bucket "
+    "CONTRIBUTES, the signal to re-key or pre-filter a boilerplate "
+    "cluster rather than pay its quadratic pair volume. Scale shape: "
+    "one corpus pass + a bucket-sized aggregate (map-side combined).",
 )
 def ns_dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, _ = _banded(_shingle_df(spark, sf_dir))
@@ -817,7 +826,11 @@ def _cosine_blocks_vs_broadcast(a_mat, a_sqrt, b_mat, b_sqrt):
     every float64 intermediate is a representable integer —
     bit-identical to the int64 product (the `_cosine_row_blocks`
     guard, rectangular form). Falls back to int64 blocks when a
-    pathological magnitude would break the bound."""
+    pathological magnitude would break the bound.
+
+    KEEP THE GUARD IN SYNC with clustering._cosine_row_blocks — the
+    square twin of this kernel carries the identical 2^53 bound and
+    in-place normalization (code-review r9)."""
     import numpy as np  # noqa: PLC0415
 
     n_b, dim = b_mat.shape
@@ -833,7 +846,12 @@ def _cosine_blocks_vs_broadcast(a_mat, a_sqrt, b_mat, b_sqrt):
             dot = a_mat[i0:i1].astype(np.float64) @ bT
         else:
             dot = (a_mat[i0:i1] @ b_mat.T).astype(np.float64)
-        yield i0, i1, (dot / a_sqrt[i0:i1, None]) / b_sqrt[None, :]
+        # in-place normalization: the chained (dot / a) / b form kept
+        # two extra block-sized temporaries alive (dot is float64 on
+        # both branches; same op order, same correctly-rounded result)
+        dot /= a_sqrt[i0:i1, None]
+        dot /= b_sqrt[None, :]
+        yield i0, i1, dot
 
 _DUCK_QVEC_CTE = f"""
   qv AS (SELECT vec_id, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings),

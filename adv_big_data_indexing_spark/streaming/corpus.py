@@ -28,56 +28,34 @@ Scale notes (the 100 TB story):
   bucketed-join discipline tests/test_partitioning.py pins for the
   batch tiers);
 - the verify joins prune the sig log to candidate doc_ids;
-- bucket-degeneracy boundary: the batch operator's size-tiered
-  expansion retrospectively EXCLUDES degenerate buckets (> pair_cap
-  members, reported by the bucket audit). An incremental index cannot
-  retract pairs it emitted before a bucket later degenerated, so above
-  that boundary the streaming pair set is a SUPERSET of the batch
-  result restricted to early arrivals. Calibration corpora sit far
-  below the cap; a production deployment would freeze (stop probing)
-  buckets at the cap and report them, mirroring the audit.
+- bucket-degeneracy boundary: since the r9 route-never-drop change the
+  batch tier expands EVERY bucket through the spill-safe self-join, so
+  the streaming pair set equals the batch result at any bucket size;
+  a degenerate (boilerplate) bucket costs its quadratic pair volume in
+  both shapes, and the bucket audit is the signal to re-key it.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from adv_big_data_indexing_spark.streaming.events import (
-    _commit_state,
-    _read_state,
-)
+from adv_big_data_indexing_spark.streaming import statelog
 
-#: compact a set log's delta files into its base once this many
+#: compact a set log's delta batches into its base once this many
 #: accumulate (same knob shape as events.SURVIVAL_COMPACT_FANIN).
 CORPUS_COMPACT_FANIN = 8
 
 _PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, n_inter bigint, jaccard double"
 
 
-def _delta_dir(log_dir: str) -> str:
-    return os.path.join(log_dir, "deltas")
-
-
-def _append_set_log(df: DataFrame, log_dir: str) -> None:
-    """Θ(batch) append at AQE's natural partitioning — never rewrites
-    existing state; duplicate appends are harmless (set semantics)."""
-    df.write.mode("append").parquet(_delta_dir(log_dir))
-
-
 def _read_set_log(spark, log_dir: str, schema: str):
-    """base ∪ deltas with duplicates removed — the set the log denotes.
-    Returns an empty frame of ``schema`` when the log does not exist."""
-    parts = []
-    base = _read_state(spark, os.path.join(log_dir, "base"))
-    if base is not None:
-        parts.append(base.drop("batch_id"))
-    dd = _delta_dir(log_dir)
-    if os.path.isdir(dd) and any(f.endswith(".parquet") for f in os.listdir(dd)):
-        parts.append(spark.read.parquet(dd))
+    """base ∪ deltas with duplicates removed — the set the log denotes
+    (the shared statelog layout with distinct() as the merge). Returns
+    an empty frame of ``schema`` when the log does not exist."""
+    parts = statelog.read_parts(spark, log_dir)
     if not parts:
         return spark.createDataFrame([], schema)
     out = parts[0]
@@ -89,23 +67,12 @@ def _read_set_log(spark, log_dir: str, schema: str):
 def _maybe_compact_set_log(
     spark, log_dir: str, schema: str, batch_id: int, fanin: int
 ) -> None:
-    """Fold the delta files into the base once ``fanin`` accumulate.
-    Crash between the base commit and the delta reset leaves absorbed
-    deltas in the log — re-absorbed invisibly (set union is idempotent),
+    """Fold the delta batches into the base once ``fanin`` accumulate —
     the survival log's protocol with distinct() in place of max()."""
-    dd = _delta_dir(log_dir)
-    if not os.path.isdir(dd):
-        return
-    n_files = sum(1 for f in os.listdir(dd) if f.endswith(".parquet"))
-    if n_files < fanin:
-        return
-    merged = _read_set_log(spark, log_dir, schema)
-    _commit_state(
-        merged.withColumn("batch_id", F.lit(batch_id)),
-        os.path.join(log_dir, "base"),
-        single_file=False,  # the sig/band logs are data-sized
-    )
-    shutil.rmtree(dd, ignore_errors=True)
+    if statelog.delta_batches(log_dir) >= fanin:
+        statelog.compact(
+            spark, log_dir, _read_set_log(spark, log_dir, schema), batch_id
+        )
 
 
 def run_streaming_dedup_index(
@@ -142,10 +109,13 @@ def run_streaming_dedup_index(
         spark = batch.sparkSession
         banded_new, _carry = _banded(shingles_of(batch))
         # reused by the probe join, both verify sides and both appends;
-        # DISK_ONLY: batch-sized frame (see run_streaming_markov)
-        banded_new = banded_new.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        )
+        # persist, NOT localCheckpoint: reuse is all that is needed
+        # (_banded is deterministic md5 arithmetic, so a cache-miss
+        # recompute cannot diverge), unpersist() actually releases a
+        # persisted frame (it is a no-op on a checkpointed one), and
+        # DISK_ONLY keeps the batch-sized blocks out of the storage
+        # pool (the unroll-starvation class, r9 find #5)
+        banded_new = banded_new.persist(StorageLevel.DISK_ONLY)
         sig_new = banded_new.filter(F.col("band") == 0).select("doc_id", "hs")
         bands_new = banded_new.select("doc_id", "band", "band_key")
 
@@ -208,9 +178,9 @@ def run_streaming_dedup_index(
             .distinct()
         )
 
-        _append_set_log(pairs, pairs_log)
-        _append_set_log(sig_new, sigs_log)
-        _append_set_log(bands_new, bands_log)
+        statelog.append_delta(pairs, pairs_log, batch_id)
+        statelog.append_delta(sig_new, sigs_log, batch_id)
+        statelog.append_delta(bands_new, bands_log, batch_id)
         for log_dir, schema in (
             (pairs_log, _PAIRS_SCHEMA),
             (sigs_log, "doc_id bigint, hs array<bigint>"),

@@ -326,8 +326,11 @@ def _read_state(spark, path: str):
                 "recovery copy exists — refusing to read possibly-"
                 "truncated state"
             )
-    # main absent/torn but tmp intact: restore main from tmp, read main
-    spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
+    # main absent/torn but tmp intact: restore main from tmp, read main.
+    # No coalesce: tmp keeps whatever file layout its commit chose, so a
+    # data-sized base (committed with single_file=False) is not funneled
+    # through one restore task.
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -1656,19 +1659,12 @@ SURVIVAL_COMPACT_FANIN = 8
 def _survival_frontier(spark, state_dir: str):
     """The per-user frontier from the log-structured survival state:
     max(day) over the compacted base table plus every appended delta
-    file. Duplicate rows (replayed appends) cannot change a max, so
-    the merge needs no dedup bookkeeping. None when no state exists."""
-    import os
+    (streaming/statelog.py). Duplicate rows (replayed appends) cannot
+    change a max, so the merge needs no dedup bookkeeping. None when
+    no state exists."""
+    from adv_big_data_indexing_spark.streaming import statelog
 
-    parts = []
-    base = _read_state(spark, os.path.join(state_dir, "base"))
-    if base is not None:
-        parts.append(base.select("user_id", "day"))
-    deltas_dir = os.path.join(state_dir, "deltas")
-    if os.path.isdir(deltas_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(deltas_dir)
-    ):
-        parts.append(spark.read.parquet(deltas_dir).select("user_id", "day"))
+    parts = [p.select("user_id", "day") for p in statelog.read_parts(spark, state_dir)]
     if not parts:
         return None
     out = parts[0]
@@ -1698,28 +1694,25 @@ def run_streaming_survival(
     sketch folds' protocol) would cost Θ(total users) per micro-batch
     however small the batch. The state is therefore LOG-STRUCTURED,
     the same shape production state stores (LSM trees) use: each batch
-    APPENDS one Θ(batch)-sized delta file of per-user batch maxima —
-    never rewriting existing state — and the frontier derives as
-    max(day) over base + deltas. Once ``compact_fanin`` delta files
-    accumulate, they fold into the base table (tmp-swap protocol) and
-    the delta log resets — amortized Θ(users)/fanin per batch, and the
-    read-side merge fan-in stays bounded. Idempotence of MAX is what
-    makes the log sound with zero exactly-once machinery: a replayed
-    batch appends a DUPLICATE delta file, and duplicate rows cannot
-    change a max; a crash between the base commit and the delta-log
-    reset leaves absorbed deltas in the log, which re-absorb
-    harmlessly. The guarded additive folds (CMS, retention, Markov)
+    APPENDS one Θ(batch)-sized delta of per-user batch maxima — never
+    rewriting existing state — and the frontier derives as max(day)
+    over base + deltas (the shared streaming/statelog.py protocol).
+    Once ``compact_fanin`` delta BATCHES accumulate, they fold into
+    the base table (tmp-swap protocol) and the delta log resets —
+    amortized Θ(users)/fanin per batch, and the read-side merge fan-in
+    stays bounded. Idempotence of MAX is what makes the log sound with
+    zero exactly-once machinery: a replayed batch re-appends DUPLICATE
+    delta rows, and duplicate rows cannot change a max; a crash
+    between the base commit and the delta-log reset leaves absorbed
+    deltas in the log, which re-absorb harmlessly. The guarded additive folds (CMS, retention, Markov)
     could not append-without-guard this way — a duplicate delta file
     would double-count; their single-table guarded commit IS their
     correctness.
     """
-    import shutil
-
     from adv_big_data_indexing_spark.functions.exact import epoch_us
+    from adv_big_data_indexing_spark.streaming import statelog
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch.sparkSession
         delta = batch.groupBy("user_id").agg(
             (
@@ -1729,24 +1722,13 @@ def run_streaming_survival(
             .cast("bigint")
             .alias("day")
         )
-        deltas_dir = os.path.join(state_dir, "deltas")
-        # natural partitioning: AQE right-sizes the groupBy's output, so
-        # a big batch appends several right-sized files in parallel and a
-        # small one appends one — no single-task write funnel
-        delta.write.mode("append").parquet(deltas_dir)
-        n_files = sum(
-            1 for f in os.listdir(deltas_dir) if f.endswith(".parquet")
-        )
-        if n_files >= compact_fanin:
-            merged = _survival_frontier(spark, state_dir)
-            _commit_state(
-                merged.withColumn("batch_id", F.lit(batch_id)),
-                os.path.join(state_dir, "base"),
-                single_file=False,  # data-sized: never one write task
+        # Θ(batch) append at AQE's natural partitioning; the compaction
+        # trigger counts delta BATCHES, not part files (statelog.py)
+        statelog.append_delta(delta, state_dir, batch_id)
+        if statelog.delta_batches(state_dir) >= compact_fanin:
+            statelog.compact(
+                spark, state_dir, _survival_frontier(spark, state_dir), batch_id
             )
-            # absorbed deltas removed only AFTER the base commit — a
-            # crash in between re-absorbs them (max is idempotent)
-            shutil.rmtree(deltas_dir, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(fold)

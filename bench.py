@@ -96,7 +96,8 @@ def main() -> None:
         while load_before > _QUIET and time.monotonic() < deadline:
             time.sleep(15.0)
             settle_wait += 15.0
-            load_before = _loadavg() or load_before
+            fresh = _loadavg()  # 0.0 is a REAL quiet reading, not a miss
+            load_before = load_before if fresh is None else fresh
         print(
             f"NOTE: waited {settle_wait:.0f}s for load to settle "
             f"({load_at_invocation} -> {load_before}).",

@@ -1,6 +1,8 @@
-"""Tiered LSH bucket expansion (VERDICT r5 item 5): hot buckets must
-take the row-per-member self-join path (no single collect_list row),
-degenerate buckets must be dropped — and reported, never silently."""
+"""Tiered LSH bucket expansion (VERDICT r5 item 5; r9 route-never-drop):
+hot buckets must take the row-per-member self-join path (no single
+collect_list row), and degenerate buckets must ROUTE through that same
+spill-safe tier — a drop cap would silently lose exactly the
+adversarial clique's pairs (the class the r9 simhash fix removed)."""
 
 from __future__ import annotations
 
@@ -41,22 +43,26 @@ def test_hot_bucket_self_join_path_matches_inrow_path(spark):
     in-row tier produces with default caps."""
     sh = _synthetic_sh(spark, n_hot=10)
     default = _pairset(_lsh_pair_stats(sh))
-    forced_hot = _pairset(_lsh_pair_stats(sh, inrow_cap=4, pair_cap=100))
+    forced_hot = _pairset(_lsh_pair_stats(sh, inrow_cap=4))
     assert default == forced_hot
     assert len(default) == 45  # C(10,2): the hot cluster, fully paired
 
 
-def test_degenerate_bucket_dropped(spark):
-    """Buckets above pair_cap contribute no pairs; small buckets are
-    unaffected."""
+def test_degenerate_bucket_routed_never_dropped(spark):
+    """A bucket far above the in-row cap (the degenerate/clique shape)
+    still pairs FULLY through the self-join tier — no size drops the
+    cluster's pairs (r9; formerly a pair_cap excluded it silently)."""
     sh = _synthetic_sh(spark, n_hot=12)
-    dropped = _pairset(_lsh_pair_stats(sh, inrow_cap=4, pair_cap=8))
-    assert dropped == set()  # the only colliding cluster exceeded the cap
+    routed = _pairset(_lsh_pair_stats(sh, inrow_cap=4))
+    assert len(routed) == 66  # C(12,2): the clique, fully paired
 
 
-def test_audit_reports_dropped_pairs(spark):
-    """The bucket audit must account for every bucket and report the
-    pairs forgone by the degenerate cap (no silent caps)."""
+def test_audit_reports_degenerate_bucket_pairs(spark):
+    """The bucket audit must account for every bucket and price the
+    pair volume each size tier contributes — the top ('dropped'-labeled,
+    historical name) tier's buckets ROUTE through the self-join since
+    r9, so its n_pairs is what a degenerate cluster COSTS, the signal
+    to re-key it."""
     from adv_big_data_indexing_spark.functions.text import base_hash48  # noqa: F401
     from adv_big_data_indexing_spark.operators import dedup as D
 
@@ -80,8 +86,8 @@ def test_audit_reports_dropped_pairs(spark):
         )
         .collect()
     }
-    # the hot cluster: 12 docs colliding in all 4 bands → 4 dropped
-    # buckets, each forgoing C(12,2)=66 band-pairs
+    # the hot cluster: 12 docs colliding in all 4 bands → 4 top-tier
+    # buckets, each contributing C(12,2)=66 band-pairs
     assert audit["dropped"].n_buckets == 4
     assert audit["dropped"].n_pairs == 4 * 66
     # the 3 unique docs: 4 bands × 3 singleton buckets

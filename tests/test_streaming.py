@@ -1730,17 +1730,22 @@ def test_streaming_survival_matches_batch_and_late_churn_shift(spark, tmp_path):
     import time
 
     def state_snapshot(sub):
+        """sorted (relpath, mtime_ns) of every parquet under state/<sub>
+        — delta files live under per-batch subdirs (statelog layout)."""
         d = os.path.join(state, sub)
         if not os.path.isdir(d):
             return []
         return sorted(
-            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
-            for f in os.listdir(d)
+            (os.path.relpath(os.path.join(root, f), d),
+             os.stat(os.path.join(root, f)).st_mtime_ns)
+            for root, _dirs, files in os.walk(d)
+            for f in files
             if f.endswith(".parquet")
         )
 
     snap1_deltas = state_snapshot("deltas")
     assert len(snap1_deltas) == 1  # one Θ(batch) append so far
+    assert snap1_deltas[0][0].startswith("batch=0/")
     assert state_snapshot("base") == []  # below the compaction fan-in
 
     time.sleep(1.1)
@@ -1758,23 +1763,25 @@ def test_streaming_survival_matches_batch_and_late_churn_shift(spark, tmp_path):
     }
     assert frontier == {1: D0, 2: D0 + 1, 3: D0 + 4, 4: D0 + 3, 5: D0 + 4}
 
-    # log-structured write cost: the second batch APPENDED one delta
-    # file and left the first batch's file byte-untouched (Θ(batch)
+    # log-structured write cost: the second batch APPENDED its own
+    # batch=1 delta and left batch=0's file byte-untouched (Θ(batch)
     # write, never Θ(total users))
     snap2_deltas = state_snapshot("deltas")
     assert len(snap2_deltas) == 2
     assert snap1_deltas[0] in snap2_deltas
+    assert any(p.startswith("batch=1/") for p, _ in snap2_deltas)
 
-    # whole-stream replay against warm state: duplicate delta files
-    # appear in the log, and the max-merge makes them invisible
+    # whole-stream replay against warm state: duplicate delta rows
+    # appear in the log (the fresh checkpoint re-runs as batch 0, so
+    # batch=0 gains a file), and the max-merge makes them invisible
     stream3 = spark.readStream.schema(schema).parquet(src)
     ev.run_streaming_survival(stream3, state, str(tmp_path / "km_ck2")).awaitTermination(
         120
     )
     assert curve(ev.streaming_survival_result(spark, state)) == got
-    # the replay APPENDED (one availableNow batch → one more file) —
-    # duplicates live in the log and the max-merge hides them
-    assert len(state_snapshot("deltas")) == 3
+    snap3_deltas = state_snapshot("deltas")
+    assert len(snap3_deltas) == 3
+    assert sum(1 for p, _ in snap3_deltas if p.startswith("batch=0/")) == 2
 
     # compaction: fan-in 1 forces the next batch to fold base+deltas
     # into the base table and reset the log; the curve is unchanged

@@ -1,0 +1,91 @@
+"""Log-structured streaming state: the shared append/compact protocol
+for DATA-SIZED state tables (the survival frontier's max semantics,
+the corpus dedup index's set semantics). Constant-size sketch states
+keep the single-table ``_commit_state`` protocol — this layout exists
+only where rewriting the table per micro-batch would cost Θ(state).
+
+Layout:
+
+    <log_dir>/base/              compacted table (tmp-swap protocol)
+    <log_dir>/deltas/batch=<id>/ one subdirectory per applied batch
+
+Writes are Θ(batch): each micro-batch appends its delta under its own
+``batch=<id>`` subdirectory at AQE's natural partitioning. The
+compaction trigger counts DELTA BATCHES (subdirectories), never part
+files — a large batch legitimately produces many right-sized files,
+and a file-count trigger would compact every such batch,
+reintroducing the Θ(state) write amplification the layout avoids.
+
+Crash windows, all idempotence-covered (callers' merges are max() or
+distinct()): a replayed batch re-appends into its own subdirectory
+(duplicate rows, invisible under the merge); a crash between the base
+commit and the delta reset leaves absorbed deltas in the log, which
+re-absorb invisibly on the next read or compaction.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from adv_big_data_indexing_spark.streaming.events import (
+    _commit_state,
+    _read_state,
+)
+
+
+def _deltas_dir(log_dir: str) -> str:
+    return os.path.join(log_dir, "deltas")
+
+
+def append_delta(df: DataFrame, log_dir: str, batch_id: int) -> None:
+    """Θ(batch) append under the batch's own subdirectory."""
+    df.write.mode("append").parquet(
+        os.path.join(_deltas_dir(log_dir), f"batch={batch_id}")
+    )
+
+
+def delta_batches(log_dir: str) -> int:
+    """Number of delta batches in the log (subdirectory count)."""
+    dd = _deltas_dir(log_dir)
+    if not os.path.isdir(dd):
+        return 0
+    return sum(1 for f in os.listdir(dd) if f.startswith("batch="))
+
+
+def read_parts(spark, log_dir: str) -> list[DataFrame]:
+    """[base?, deltas?] as raw frames (no merge applied — the caller
+    owns the max()/distinct() semantics). Empty list = log absent."""
+    parts = []
+    base = _read_state(spark, os.path.join(log_dir, "base"))
+    if base is not None:
+        parts.append(base.drop("batch_id"))
+    dd = _deltas_dir(log_dir)
+    has_files = os.path.isdir(dd) and any(
+        f.endswith(".parquet")
+        for _root, _dirs, files in os.walk(dd)
+        for f in files
+    )
+    if has_files:
+        # recursiveFileLookup: batch=<id> stays a directory name, not a
+        # partition column — delta schema is exactly what was appended
+        parts.append(
+            spark.read.option("recursiveFileLookup", "true").parquet(dd)
+        )
+    return parts
+
+
+def compact(spark, log_dir: str, merged: DataFrame, batch_id: int) -> None:
+    """Commit the caller-merged table as the new base (natural
+    partitioning — the base is data-sized), then reset the delta log.
+    Order matters: deltas are removed only AFTER the base commit, so a
+    crash in between re-absorbs them harmlessly."""
+    _commit_state(
+        merged.withColumn("batch_id", F.lit(batch_id)),
+        os.path.join(log_dir, "base"),
+        single_file=False,
+    )
+    shutil.rmtree(_deltas_dir(log_dir), ignore_errors=True)

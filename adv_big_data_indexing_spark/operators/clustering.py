@@ -70,38 +70,16 @@ _PAIRWISE_BLOCK_ELEMS = 1 << 25  # 32M float64 ≈ 256 MB per block
 
 def _cosine_row_blocks(mat_int, sq):
     """Yield ``(i0, i1, cos)`` where ``cos[r, j]`` is the cosine between
-    rows ``i0 + r`` and ``j``, in row blocks of ``_PAIRWISE_BLOCK_ELEMS``.
+    rows ``i0 + r`` and ``j``, in row blocks of ``_PAIRWISE_BLOCK_ELEMS``
+    — the square (a = b) instance of the ONE shared exact-cosine kernel
+    (functions/cosine_kernel.py; the 2^53 BLAS-exactness guard and the
+    in-place normalization live there, shared with the rectangular
+    dedup embedding tier)."""
+    from adv_big_data_indexing_spark.functions.cosine_kernel import (  # noqa: PLC0415
+        cosine_blocks_exact,
+    )
 
-    The matmul runs in float64 BLAS when exact: quantized components are
-    ≤ ~4·10⁶, so a 64-dim integer dot is ≤ ~10¹⁵ < 2⁵³ and the float64
-    product-sum is bit-identical to the int64 matmul it replaces (every
-    intermediate is a representable integer) — at dgemm speed instead of
-    int64's scalar loop. A guard falls back to int64 blocks if a
-    pathological vector would break the bound.
-
-    KEEP THE GUARD IN SYNC with dedup._cosine_blocks_vs_broadcast — the
-    rectangular twin of this kernel carries the identical 2^53 bound
-    and in-place normalization (code-review r9)."""
-    import numpy as np  # noqa: PLC0415
-
-    n, dim = mat_int.shape
-    b = max(1, _PAIRWISE_BLOCK_ELEMS // max(n, 1))
-    maxabs = float(np.abs(mat_int).max()) if n else 0.0
-    exact64 = dim * maxabs * maxabs < 2.0**53
-    matf = mat_int.astype(np.float64) if exact64 else None
-    for i0 in range(0, n, b):
-        i1 = min(n, i0 + b)
-        if exact64:
-            dot = matf[i0:i1] @ matf.T
-        else:
-            dot = (mat_int[i0:i1] @ mat_int.T).astype(np.float64)
-        # in-place: (dot / a) / b allocates two extra block-sized
-        # temporaries — ~3× the documented budget per task (dot is
-        # always float64 here, so /= is the same correctly-rounded op
-        # in the same order)
-        dot /= sq[i0:i1, None]
-        dot /= sq[None, :]
-        yield i0, i1, dot
+    yield from cosine_blocks_exact(mat_int, sq, mat_int, sq, _PAIRWISE_BLOCK_ELEMS)
 
 
 def _dist2_sql(q: str, c: str) -> str:

@@ -818,40 +818,16 @@ _RECT_BLOCK_ELEMS = 1 << 24
 def _cosine_blocks_vs_broadcast(a_mat, a_sqrt, b_mat, b_sqrt):
     """Yield ``(i0, i1, cos)`` — cosines of a_mat rows [i0, i1) against
     every broadcast row — in blocks of ``_RECT_BLOCK_ELEMS``, with the
-    same correctly-rounded divisor order as the oracle.
+    same correctly-rounded divisor order as the oracle: the
+    rectangular instance of the ONE shared exact-cosine kernel
+    (functions/cosine_kernel.py; the 2^53 BLAS-exactness guard and the
+    in-place normalization live there, shared with the square
+    SemDeDup tier)."""
+    from adv_big_data_indexing_spark.functions.cosine_kernel import (  # noqa: PLC0415
+        cosine_blocks_exact,
+    )
 
-    The matmul runs in float64 BLAS when exact (numpy's int64 matmul
-    has no BLAS kernel — ~50× slower scalar loops): quantized
-    components are ≤ ~4·10⁶, so each 64-dim dot is ≤ ~10¹⁵ < 2⁵³ and
-    every float64 intermediate is a representable integer —
-    bit-identical to the int64 product (the `_cosine_row_blocks`
-    guard, rectangular form). Falls back to int64 blocks when a
-    pathological magnitude would break the bound.
-
-    KEEP THE GUARD IN SYNC with clustering._cosine_row_blocks — the
-    square twin of this kernel carries the identical 2^53 bound and
-    in-place normalization (code-review r9)."""
-    import numpy as np  # noqa: PLC0415
-
-    n_b, dim = b_mat.shape
-    blk = max(1, _RECT_BLOCK_ELEMS // max(n_b, 1))
-    maxabs = 0.0
-    if len(a_mat) and n_b:
-        maxabs = max(float(np.abs(a_mat).max()), float(np.abs(b_mat).max()))
-    exact64 = dim * maxabs * maxabs < 2.0**53
-    bT = b_mat.T.astype(np.float64) if exact64 else None
-    for i0 in range(0, a_mat.shape[0], blk):
-        i1 = min(a_mat.shape[0], i0 + blk)
-        if exact64:
-            dot = a_mat[i0:i1].astype(np.float64) @ bT
-        else:
-            dot = (a_mat[i0:i1] @ b_mat.T).astype(np.float64)
-        # in-place normalization: the chained (dot / a) / b form kept
-        # two extra block-sized temporaries alive (dot is float64 on
-        # both branches; same op order, same correctly-rounded result)
-        dot /= a_sqrt[i0:i1, None]
-        dot /= b_sqrt[None, :]
-        yield i0, i1, dot
+    yield from cosine_blocks_exact(a_mat, a_sqrt, b_mat, b_sqrt, _RECT_BLOCK_ELEMS)
 
 _DUCK_QVEC_CTE = f"""
   qv AS (SELECT vec_id, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings),

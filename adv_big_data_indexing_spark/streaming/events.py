@@ -1726,9 +1726,13 @@ def run_streaming_survival(
         # trigger counts delta BATCHES, not part files (statelog.py)
         statelog.append_delta(delta, state_dir, batch_id)
         if statelog.delta_batches(state_dir) >= compact_fanin:
-            statelog.compact(
-                spark, state_dir, _survival_frontier(spark, state_dir), batch_id
-            )
+            merged = _survival_frontier(spark, state_dir)
+            # None: every delta batch was EMPTY (zero part files
+            # written) and no base exists — nothing to fold; leave the
+            # empty log for the next trigger rather than committing a
+            # base from nothing
+            if merged is not None:
+                statelog.compact(spark, state_dir, merged, batch_id)
 
     return (
         events.writeStream.foreachBatch(fold)

@@ -1913,3 +1913,83 @@ def test_streaming_survival_chunking_invariance(spark, tmp_path):
             stream, state, str(tmp_path / f"ck{ci}"), compact_fanin=2
         ).awaitTermination(120)
         assert curve(ev.streaming_survival_result(spark, state)) == oracle, ci
+
+
+def test_streaming_survival_survives_empty_batches(spark, tmp_path):
+    """Empty micro-batches (the None-unsafe class that wedged the CMS
+    fold pre-r7): an empty FIRST batch appends an empty delta, an
+    all-empty log at the compaction trigger folds nothing (no crash,
+    no phantom base), and real data arriving later still yields the
+    exact curve."""
+    import datetime as dt
+    import time
+
+    from adv_big_data_indexing_spark.operators.timeseries import ts_survival_km
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    full_dir = str(tmp_path / "full")
+    src = f"{full_dir}/events.parquet"
+    state = str(tmp_path / "st")
+    ck = str(tmp_path / "ck")
+
+    spark.createDataFrame([], schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([], schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    # fan-in 1: every batch trips the compaction trigger on an
+    # empty-or-absent frontier
+    ev.run_streaming_survival(stream, state, ck, compact_fanin=1).awaitTermination(120)
+    assert ev.streaming_survival_result(spark, state).count() == 0
+
+    time.sleep(1.1)
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (u % 3), 9, 0, 0), u, "click", 1.0, "{}")
+        for i, u in enumerate([1, 2, 3, 1, 2])
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ev.run_streaming_survival(stream2, state, ck, compact_fanin=1).awaitTermination(120)
+    got = sorted(
+        (r.day, r.n_risk, r.n_churn, r.log_s_q4)
+        for r in ev.streaming_survival_result(spark, state).collect()
+    )
+    expect = sorted(
+        (r.day, r.n_risk, r.n_churn, r.log_s_q4)
+        for r in ts_survival_km(spark, full_dir).collect()
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_streaming_hll_survives_empty_batch(spark, tmp_path):
+    """An empty first micro-batch commits an empty (schema-complete)
+    register table; later batches merge into it and the estimate is
+    unaffected (the CMS None-guard class, idempotent-fold variant)."""
+    import time
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = "event_id long, user_id long, event_type string"
+    spark.createDataFrame([], schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(i, i % 7, "click") for i in range(50)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ev.run_streaming_hll(stream, state, ck).awaitTermination(120)
+    got = {
+        (r.event_type, r.approx_nd)
+        for r in ev.streaming_hll_result(spark, state).collect()
+    }
+    assert len(got) == 1
+    ((etype, nd),) = got
+    assert etype == "click" and 5 < nd < 10  # 7 distinct users

@@ -125,3 +125,48 @@ def test_streaming_dedup_index_replay_and_compaction(spark, tmp_path, batch_pair
         for r in sc.streaming_dedup_pairs(spark, state).collect()
     )
     assert got3 == batch_pairs
+
+
+def test_streaming_dedup_index_survives_empty_batches(spark, tmp_path):
+    """Empty micro-batches append empty deltas and even trigger
+    compaction of an empty/absent log without failing; documents
+    arriving afterwards still index and pair exactly."""
+    import time
+
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    empty = docs.filter(F.lit(False))
+    empty.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    empty.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sc.run_streaming_dedup_index(stream, state, ck, compact_fanin=1).awaitTermination(
+        600
+    )
+    assert sc.streaming_dedup_pairs(spark, state).count() == 0
+
+    time.sleep(1.1)
+    docs.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(docs.schema).parquet(src)
+    sc.run_streaming_dedup_index(stream2, state, ck, compact_fanin=1).awaitTermination(
+        600
+    )
+    from adv_big_data_indexing_spark.operators.dedup import ns_dedup_minhash_lsh
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.n_inter, r.jaccard)
+        for r in sc.streaming_dedup_pairs(spark, state).collect()
+    )
+    expect = sorted(
+        (r.doc_a, r.doc_b, r.n_inter, r.jaccard)
+        for r in ns_dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    )
+    assert got == expect and len(got) > 0

@@ -62,106 +62,86 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs/ROTATION_LEDGER.md (tools/rotation_ledger.py) records each query's
 # last driver-green round so staleness is auditable.
 #
-# Round 9 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r08
-# FIRST — the r8 window comment over-claimed "ALL 26 r3-stale rows" when 31
-# existed; the VERDICT r8 residual #1 lists the 5 ts_* rows displaced by
-# mid-round impl changes). Priority order per VERDICT r8 item 2:
-#   1. ALL 5 remaining r3-stale rows (the displaced ts_* set);
-#   2. ALL 39 remaining r4-stale rows (includes the 4 the r8 plan comment
-#      named: ext_agg_groupby, ext_asof_join, ext_skew_profile, ns_ann_ivf);
-#   3. 6 oldest-r5 alphabetical rows as back-fill — these are the
-#      displacement budget: any query whose implementation changes during
-#      round 9 replaces an r5 back-fill row (never an r3/r4 row).
-# After this round no green row is older than r5.
-_DRIVER_WINDOW_R9 = (
-    # --- all 5 remaining r3-stale rows (displaced from the r8 window) ---
-    "ts_rolling_range_frame",
-    "ts_scd2_history",
-    "ts_sliding_window",
-    "ts_time_weighted_avg",
-    "ts_user_stats",
-    # --- all 39 remaining r4-stale rows ---
-    "ext_agg_groupby",
-    "ext_asof_join",
-    "ext_skew_profile",
-    "ns_ann_ivf",
-    "ns_dataset_diff",
-    "ns_decontaminate",
-    "ns_dedup_embedding_cosine",
-    "ns_dedup_embedding_topk",
-    "ns_embed_centroids",
-    "ns_embed_dim_stats",
-    "ns_embed_outliers",
-    "ns_mixture_weights",
-    "ns_multimodal_decode",
-    "ns_multimodal_metadata",
-    "ns_pack_sequences",
-    "ns_pack_stats",
-    "ns_phrase_search",
-    "ns_pii_mask",
-    "ns_reservoir_sample",
-    "ns_split_train_eval",
-    "ns_stratified_sample",
-    "ns_text_bigram_surprisal",
-    "ns_text_fingerprint",
-    "ns_text_langid",
-    "ns_text_langid_confusion",
-    "ns_text_quality",
-    "ns_text_token_entropy_exact",
-    "ns_text_token_stats",
-    "ns_udf_ewma",
-    "ns_weighted_sample",
-    "op_c1_reconstruct_nested",
-    "op_c2_has_child_eq",
-    "op_g2_merge_patch",
-    "op_g4_cascade_closure",
-    "ts_anomaly_zscore",
-    "ts_cms_event_types",
-    "ts_interval_join",
-    "ts_session_window",
-    "ts_tumbling_window",
-    # --- implementation changed during round 9 (displaces r5 back-fill) ---
-    "ns_dedup_simhash",  # degenerate chunk buckets now ROUTE via self-join,
-    #                      never drop (ADVICE r9 medium — the old
-    #                      BUCKET_PAIR_CAP drop lost the sf10 clique's pairs)
-    "ns_dedup_ngram_jaccard",  # query surface now routes above the cap
-    #                      instead of refusing (VERDICT r8 item 7); below
-    #                      the cap (every driver SF) the plan is unchanged
-    "ns_semdedup_kmeans",  # blocked within-cluster pairwise kernel (r9
-    #                      degenerate-cluster probe, VERDICT r8 item 4)
-    "ns_semdedup_prune",  # same blocked kernel, greedy min-id rule
-    "ns_negative_sampling",  # DISK_ONLY checkpoint blocks for the edge
-    #                      frame (r9 sf10 find #5: the MEMORY_AND_DISK
-    #                      unroll starved the distinct's own hash-agg)
-    "ext_fuzzy_join_levenshtein",  # PassJoin segment-pigeonhole rewrite
-    #                      (r9 sf10 sweep find #6: fixed-cardinality
-    #                      blocks made the old self-join n²/1250)
-    # (the 6 planned r5 back-fill slots were all displaced by mid-round
-    #  impl changes — ext_ab_wilson_ci and the other oldest-r5 rows lead
-    #  the r10 back-fill instead)
+# Round 10 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r09
+# FIRST; all 50 r9 rows green, so the r9 window retires whole). Priority
+# order per VERDICT r9 item 1:
+#   1. ALL 7 `_lsh_pair_stats` consumers — the shared helper changed LATE
+#      in r9 (route-never-drop) under the local-parity fallback, so their
+#      CURRENT implementation has never been driver-checked;
+#   2. ALL 41 remaining r5-stale rows (includes the 6 back-fills the r9
+#      plan named: ext_ab_wilson_ci, ext_benford_audit,
+#      ext_chi2_contingency, ext_column_stats, ext_dq_expectations,
+#      ext_k_anonymity_audit);
+#   3. the 2 remaining slots are the round-10 displacement budget:
+#      ext_fuzzy_join_levenshtein (impl changes this round — VERDICT r9
+#      item 5's routed recall-contracted variant) plus its NEW contract
+#      query. Any further mid-round impl change displaces from the TAIL
+#      of the r5 block (never a lead row).
+# After this round no green row is older than r6.
+_DRIVER_WINDOW_R10 = (
+    # --- the 7 _lsh_pair_stats consumers (helper changed late in r9) ---
+    "ns_dedup_minhash_lsh",
+    "ns_dedup_incremental",
+    "ns_dedup_lsh_pair_recall",
+    "ns_dedup_components",
+    "ns_dedup_cluster_stats",
+    "ns_corpus_curation",
+    "ns_dedup_lsh_bucket_audit",
+    # --- all 41 remaining r5-stale rows ---
+    "ext_ab_wilson_ci",
+    "ext_benford_audit",
+    "ext_chi2_contingency",
+    "ext_column_stats",
+    "ext_dq_expectations",
+    "ext_k_anonymity_audit",
+    "ext_rollup_merge",
+    "ext_tpch_q14_shape",
+    "ext_tpch_q20_shape",
+    "ext_tpch_q21_shape",
+    "ext_tpch_q7_shape",
+    "ext_zonemap_prune",
+    "ns_ann_ivf_recall",
+    "ns_ann_topk_bruteforce",
+    "ns_assoc_rules",
+    "ns_bm25_topk",
+    "ns_bpe_apply_fertility",
+    "ns_bpe_train_merges",
+    "ns_dataset_card",
+    "ns_dedup_span_coverage",
+    "ns_doc_chunking",
+    "ns_embed_matryoshka",
+    "ns_embed_pca_power",
+    "ns_embed_quantize_int8",
+    "ns_graph_bfs_hops",
+    "ns_graph_pagerank",
+    "ns_multimodal_resize",
+    "ns_quality_curriculum",
+    "ns_spatial_grid_join",
+    "ns_text_collocations_pmi",
+    "ns_tfidf_keywords",
+    "ts_cusum_alarm",
+    "ts_downsample_lttb",
+    "ts_forecast_backtest",
+    "ts_gapfill_locf",
+    "ts_holt_forecast",
+    "ts_holt_winters",
+    "ts_ohlc_bars",
+    "ts_resample_interp",
+    "ts_seasonality_profile",
+    "ts_sliding_rate_flags",
+    # --- implementation changes during round 10 (displacement budget) ---
+    "ext_fuzzy_join_levenshtein",  # recall-contracted q-gram routing above
+    #                      a corpus-size cap (VERDICT r9 item 5); the
+    #                      shipped r9 form is the BLOCK join — the PassJoin
+    #                      rewrite was measured exact-but-slower and
+    #                      REVERTED (commit 461da16, BASELINE.md) — and
+    #                      below the cap (every driver SF) it is unchanged
+    "ext_fuzzy_join_token_recall",  # NEW this round: the contract query
+    #                      pricing the routed variant's pair recall
 )
 
-# ROUND-10 ROTATION PLAN: regenerate the ledger after CORRECTNESS_r09
-# lands, then fill in this priority order:
-#   1. the _lsh_pair_stats consumers whose shared helper changed LATE
-#      in r9 (route-never-drop: degenerate buckets now expand through
-#      the self-join tier instead of being excluded — results
-#      bit-identical at every calibration SF, max bucket 3/4/40 at
-#      sf0.01/0.1/1 vs the removed 4096 cap; local oracle parity green)
-#      but could not displace into the full r9 window (its 44 r3/r4
-#      rows are displacement-protected): ns_dedup_minhash_lsh,
-#      ns_dedup_incremental, ns_dedup_lsh_pair_recall,
-#      ns_dedup_components, ns_dedup_cluster_stats, ns_corpus_curation,
-#      plus ns_dedup_lsh_bucket_audit (doc-only, same family);
-#   2. the oldest r5 rows — all six planned r5 back-fills were
-#      displaced by mid-r9 impl changes: ext_ab_wilson_ci,
-#      ext_benford_audit, ext_chi2_contingency, ext_column_stats,
-#      ext_dq_expectations, ext_k_anonymity_audit — they lead;
-#   3. then oldest r6. Verify displacement math against the
-#      REGENERATED ledger, never this comment (r8 lesson).
-
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R9 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R10 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.functions.exact import cents, dec, epoch_us
-from adv_big_data_indexing_spark.sources.catalog import load_table, spread
+from adv_big_data_indexing_spark.sources.catalog import load_table, spread, table_rows
 
 # ---------------------------------------------------------------------------
 # as-of join
@@ -730,6 +730,69 @@ def ext_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_MAX_DIST = 3
 
+#: corpus-size cap for the exact (brand, size) block join. The block key
+#: is fixed-cardinality (25 brands × 50 sizes), so exact candidates grow
+#: Θ(n²/1250) — 158k / 16M / 1.6G at sf0.1/sf1/sf10 (the r9 sf10 sweep
+#: paid 810 s). Sized so every calibration SF (≤ sf1 = 200k parts) stays
+#: on the exact path; anything bigger routes to positional-token
+#: blocking, whose recall ext_fuzzy_join_token_recall prices.
+MAX_EXACT_FUZZY_PARTS = 250_000
+
+
+def _fuzzy_token_candidates(p: DataFrame) -> DataFrame:
+    """(key_a, key_b, name_a, name_b) candidate pairs by positional-token
+    blocking: same (brand, size) block AND the same word at the same
+    name position. The blocking key (brand, size, pos, word) has
+    cardinality Θ(blocks × positions × vocabulary) — it GROWS with the
+    corpus vocabulary, unlike the fixed 1250-key block join, so bucket
+    sizes (and candidate volume) stay Θ(n/vocab) per key instead of
+    Θ(n/1250). Candidates are a SUBSET of the exact block join's: a
+    qualifying pair that shares no positional word is missed — the
+    recall contract measures exactly that (1.0 at every calibration SF;
+    sf0.1 measured: 35,232 candidates vs the block join's 157,628 with
+    all 7,781 qualifying pairs hit). Length banding (|Δlen| ≤ K) is
+    applied in the join condition — implied by ED ≤ K, so it prunes
+    candidates without touching results."""
+    w = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+        F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+    )
+    a = w.select(
+        "brand", "size", "pos", "word",
+        F.col("key").alias("key_a"), F.col("name").alias("name_a"),
+    )
+    b = w.select(
+        "brand", "size", "pos", "word",
+        F.col("key").alias("key_b"), F.col("name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["brand", "size", "pos", "word"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("name_a") != F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b"))
+                <= F.lit(FUZZY_MAX_DIST)
+            )
+        )
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+    )
+
+
+def _fuzzy_verify(cand: DataFrame) -> DataFrame:
+    """Edit-distance verify over candidate pairs (shared by both routes)."""
+    return cand.select(
+        "key_a",
+        "key_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+
 
 @query(
     "ext_fuzzy_join_levenshtein",
@@ -753,14 +816,22 @@ FUZZY_MAX_DIST = 3
     "exact n² progression — so any exact algorithm is output-bound "
     "quadratic here; the r9 PassJoin segment-pigeonhole experiment "
     "produced 6.7M distinct candidates at sf1 vs the block join's 16M "
-    "(bounded 92-word name vocabulary keeps segment buckets dense) and "
-    "ran SLOWER at every SF, so the simple join stays. At a 100 TB "
-    "corpus with diverse strings, segment/LSH blocking on a key whose "
-    "cardinality GROWS with n is the route — the fixed-cardinality "
-    "block key is the documented constraint, not the join strategy.",
+    "(bounded name vocabulary keeps segment buckets dense) and ran "
+    "SLOWER at every SF, so the simple join stays below the cap. r10: "
+    "above MAX_EXACT_FUZZY_PARTS the operator ROUTES to positional-"
+    "token blocking (see _fuzzy_token_candidates) — a key whose "
+    "cardinality grows with the corpus vocabulary — with the recall "
+    "priced by ext_fuzzy_join_token_recall (the ns_dedup_lsh_pair_"
+    "recall pattern). Below the cap (every calibration SF) the plan is "
+    "unchanged and exact.",
 )
-def ext_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_fuzzy_join_levenshtein(
+    spark: SparkSession, sf_dir: str, exact_cap: int | None = None
+) -> DataFrame:
+    cap = MAX_EXACT_FUZZY_PARTS if exact_cap is None else exact_cap
     p = load_table(spark, sf_dir, "part")
+    if table_rows(sf_dir, "part") > cap:
+        return _fuzzy_verify(_fuzzy_token_candidates(p))
     a = p.select(
         F.col("p_brand").alias("brand"),
         F.col("p_size").alias("size"),
@@ -773,19 +844,110 @@ def ext_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
     )
-    return (
-        a.join(b, ["brand", "size"])
-        .filter(
+    return _fuzzy_verify(
+        a.join(b, ["brand", "size"]).filter(
             (F.col("key_a") < F.col("key_b")) & (F.col("name_a") != F.col("name_b"))
         )
-        .select(
-            "key_a",
-            "key_b",
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+    )
+
+
+_DUCK_FUZZY_SLICE = f"""
+    ps AS (
+      SELECT * FROM part
+      WHERE p_partkey % (SELECT GREATEST(1, CAST(CEIL(count(*)
+              / {MAX_EXACT_FUZZY_PARTS}.0) AS BIGINT)) FROM part) = 0
+    )"""
+
+
+@query(
+    "ext_fuzzy_join_token_recall",
+    oracle=f"""
+    WITH {_DUCK_FUZZY_SLICE},
+    w AS (
+      SELECT p_partkey, p_brand, p_size, p_name,
+             unnest(string_split(p_name, ' ')) AS word,
+             generate_subscripts(string_split(p_name, ' '), 1) AS pos
+      FROM ps
+    ),
+    cand AS (
+      SELECT DISTINCT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             a.p_name AS name_a, b.p_name AS name_b
+      FROM w a JOIN w b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.pos = b.pos AND a.word = b.word
+       AND a.p_partkey < b.p_partkey
+      WHERE a.p_name <> b.p_name
+        AND abs(len(a.p_name) - len(b.p_name)) <= {FUZZY_MAX_DIST}
+    ),
+    routed AS (
+      SELECT key_a, key_b FROM cand
+      WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+    ),
+    exact AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+      FROM ps a JOIN ps b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      WHERE a.p_name <> b.p_name
+        AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(r.key_a) AS BIGINT) AS n_hit,
+           CAST(count(r.key_a) AS DOUBLE) / count(*) AS recall
+    FROM exact e LEFT JOIN routed r
+      ON e.key_a = r.key_a AND e.key_b = r.key_b
+    """,
+    doc="EXT fuzzy-join pair-recall contract (NEW r10, the "
+    "ns_dedup_lsh_pair_recall pattern): the positional-token-blocked "
+    "pair set measured against the exact (brand, size) block join's "
+    "qualifying pairs — the measurement that justifies "
+    "ext_fuzzy_join_levenshtein routing above MAX_EXACT_FUZZY_PARTS. "
+    "Both sides are deterministic (integer levenshtein), so the recall "
+    "fraction reproduces bit-for-bit in the oracle. The ground-truth "
+    "side is the exact quadratic block join, so above the cap the "
+    "contract measures on a DETERMINISTIC 1-in-m part slice "
+    "(m = ceil(n/cap), p_partkey % m — mirrored in the oracle, exactly "
+    "the r9 LSH-recall slicing); below the cap m = 1 and the slice is "
+    "the whole corpus, so calibration-SF rows are exact whole-corpus "
+    "recall (sf0.1 measured: 7,781/7,781 = 1.0 — every qualifying pair "
+    "on this corpus shares a positional word; the contract exists to "
+    "DETECT when a corpus stops satisfying that).",
+)
+def ext_fuzzy_join_token_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table_rows(sf_dir, "part")
+    m = max(1, -(-n // MAX_EXACT_FUZZY_PARTS))  # ceil div
+    p = load_table(spark, sf_dir, "part")
+    if m > 1:
+        p = p.filter(F.col("p_partkey") % m == 0)
+    routed = _fuzzy_verify(_fuzzy_token_candidates(p)).select(
+        F.col("key_a").alias("r_key_a"), F.col("key_b").alias("r_key_b")
+    )
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    exact = _fuzzy_verify(
+        a.join(b, ["brand", "size"]).filter(
+            (F.col("key_a") < F.col("key_b")) & (F.col("name_a") != F.col("name_b"))
         )
-        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    ).select("key_a", "key_b")
+    joined = exact.join(
+        routed,
+        (F.col("key_a") == F.col("r_key_a")) & (F.col("key_b") == F.col("r_key_b")),
+        "left",
+    )
+    return joined.agg(
+        F.count("*").alias("n_exact"),
+        F.count("r_key_a").alias("n_hit"),
+        (F.count("r_key_a").cast("double") / F.count("*")).alias("recall"),
     )
 
 

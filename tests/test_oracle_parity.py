@@ -55,7 +55,7 @@ def test_driver_alias_window_guard():
     import __spark_entry__ as e
 
     reg = registry()
-    window = e._DRIVER_WINDOW_R9
+    window = e._DRIVER_WINDOW_R10
 
     assert len(window) == len(set(window)), "duplicate names in window"
     unknown = [n for n in window if n not in reg]

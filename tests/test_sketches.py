@@ -37,6 +37,33 @@ def test_fuzzy_join_within_threshold_and_blocked(spark):
     assert all(r.key_a < r.key_b for r in rows)
 
 
+def test_fuzzy_join_routed_subset_and_exact_here(spark):
+    """r10 (VERDICT r9 item 5): above MAX_EXACT_FUZZY_PARTS the fuzzy
+    join routes to positional-token blocking. Candidates are a SUBSET of
+    the exact block join's (verified edit distance can miss, never
+    invent), and on this corpus — where every qualifying pair shares a
+    positional word — the routed result is IDENTICAL to the exact path,
+    which is what ext_fuzzy_join_token_recall's recall=1.0 row prices."""
+    from adv_big_data_indexing_spark.operators.advanced import (
+        ext_fuzzy_join_levenshtein,
+    )
+
+    exact_df = registry()["ext_fuzzy_join_levenshtein"].fn(spark, SF_CORRECTNESS)
+    routed_df = ext_fuzzy_join_levenshtein(spark, SF_CORRECTNESS, exact_cap=0)
+    assert routed_df.columns == exact_df.columns
+    exact = {tuple(r) for r in exact_df.collect()}
+    routed = {tuple(r) for r in routed_df.collect()}
+    assert routed <= exact
+    assert routed == exact  # this corpus: recall 1.0 (see contract query)
+
+    contract = registry()["ext_fuzzy_join_token_recall"].fn(
+        spark, SF_CORRECTNESS
+    ).collect()
+    assert len(contract) == 1
+    assert contract[0].n_exact == len(exact)
+    assert contract[0].recall == 1.0
+
+
 def test_scd2_intervals_partition_the_timeline(spark):
     """Per user: versions are 1..n, exactly one open (current) interval,
     and each version's effective_to equals the next version's

@@ -1468,11 +1468,17 @@ def consistent_materialize(
         for prev_cached, prev_out in _pending_lazy_caches:
             try:
                 prev_out.count()
+            except Exception:
+                pass  # count only certifies the checkpoint write; it can
+                #       ALSO fail transiently in a live session (deleted
+                #       input, exhausted task retries) — the unpersist
+                #       below must still run or clear() drops the only
+                #       handle and the blocks leak for the session
+                #       lifetime (ADVICE r9)
+            try:
                 prev_cached.unpersist()
             except Exception:
-                pass  # frame's session/plan gone (the unpersist would
-                #       raise the same dead-session error) — nothing
-                #       left to protect or release
+                pass  # frame's session gone — nothing left to release
         _pending_lazy_caches.clear()
         # honor the storage-level override here too: the reliable path's
         # pre-checkpoint persist runs in the same tasks as the frame's

@@ -116,7 +116,15 @@ def run_streaming_dedup_index(
         # DISK_ONLY keeps the batch-sized blocks out of the storage
         # pool (the unroll-starvation class, r9 find #5)
         banded_new = banded_new.persist(StorageLevel.DISK_ONLY)
-        sig_new = banded_new.filter(F.col("band") == 0).select("doc_id", "hs")
+        # array_sort: hs comes from collect_set, whose element ORDER is
+        # nondeterministic — a replayed batch could otherwise append the
+        # same doc's set in a different order, a row distinct() cannot
+        # collapse, so the sigs log (and its compacted base) would grow
+        # duplicate doc_id rows across replays (ADVICE r9). Sorting
+        # makes replays byte-identical; every consumer is set-invariant.
+        sig_new = banded_new.filter(F.col("band") == 0).select(
+            "doc_id", F.array_sort("hs").alias("hs")
+        )
         bands_new = banded_new.select("doc_id", "band", "band_key")
 
         prev_bands = _read_set_log(

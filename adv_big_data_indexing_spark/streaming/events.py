@@ -898,23 +898,27 @@ def rate_flag_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
 
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        for _, row in pdf.iterrows():
-            ts_us = int(row["ts"].value) // 1000
-            sec = ts_us // 1_000_000
-            if horizon_old is not None and sec < horizon_old:
-                n_late += 1  # flags for this second already finalized
-                continue
-            secs.append(sec)
-            eids.append(int(row["event_id"]))
-            tss.append(ts_us)
-            max_sec = sec if max_sec is None else max(max_sec, sec)
+        # lateness partition, vectorized (VERDICT r9 item 6: this was
+        # the last per-row Python loop in a hot kernel — same numpy
+        # mask idiom as the finalize step below; A/B on a 100k-row
+        # batch: iterrows 3099 ms -> 0.8 ms, BASELINE.md r10)
+        b_ts = pdf["ts"].to_numpy(dtype="datetime64[ns]").view(np.int64) // 1000
+        b_eid = pdf["event_id"].to_numpy(dtype=np.int64)
+        b_sec = b_ts // 1_000_000
+        if horizon_old is not None:
+            live = b_sec >= horizon_old
+            n_late += int((~live).sum())  # flags already finalized
+            b_ts, b_sec, b_eid = b_ts[live], b_sec[live], b_eid[live]
+        if len(b_sec):
+            bmax = int(b_sec.max())
+            max_sec = bmax if max_sec is None else max(max_sec, bmax)
 
         out = {c: [] for c in ("user_id", "event_id", "ts", "n_trailing")}
         if max_sec is not None:
             horizon_new = max_sec - delay_sec
-            a_sec = np.array(secs, dtype=np.int64)
-            a_eid = np.array(eids, dtype=np.int64)
-            a_ts = np.array(tss, dtype=np.int64)
+            a_sec = np.concatenate([np.asarray(secs, dtype=np.int64), b_sec])
+            a_eid = np.concatenate([np.asarray(eids, dtype=np.int64), b_eid])
+            a_ts = np.concatenate([np.asarray(tss, dtype=np.int64), b_ts])
             lo = -np.inf if horizon_old is None else horizon_old
             fin = (a_sec >= lo) & (a_sec < horizon_new)
             order = np.lexsort((a_eid[fin], a_ts[fin]))

@@ -64,11 +64,20 @@ def read_parts(spark, log_dir: str) -> list[DataFrame]:
     if base is not None:
         parts.append(base.drop("batch_id"))
     dd = _deltas_dir(log_dir)
-    has_files = os.path.isdir(dd) and any(
-        f.endswith(".parquet")
-        for _root, _dirs, files in os.walk(dd)
-        for f in files
-    )
+
+    def _visible_parquet_files():
+        # mirror Spark's hidden-path filter ('_'/'.'-prefixed dirs and
+        # files — e.g. a _temporary/ tree left by a crashed append):
+        # counting those here would build a parquet read over a
+        # directory Spark sees as EMPTY, failing every subsequent
+        # read/compaction with "unable to infer schema" (ADVICE r9)
+        for root, dirs, files in os.walk(dd):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    yield f
+
+    has_files = os.path.isdir(dd) and any(_visible_parquet_files())
     if has_files:
         # recursiveFileLookup: batch=<id> stays a directory name, not a
         # partition column — delta schema is exactly what was appended

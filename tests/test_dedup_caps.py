@@ -57,6 +57,28 @@ def test_degenerate_bucket_routed_never_dropped(spark):
     assert len(routed) == 66  # C(12,2): the clique, fully paired
 
 
+def test_max_lsh_bucket_ceiling_raises_never_drops(spark):
+    """ADVICE r10: spark.advbdi.maxLshBucket is a LOUD fail-fast on
+    bucket degeneracy — buckets beyond it raise with the band key in
+    the message instead of silently dropping pairs; unset/0 leaves the
+    expansion unbounded (default behavior unchanged)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    sh = _synthetic_sh(spark, n_hot=12)
+    try:
+        spark.conf.set("spark.advbdi.maxLshBucket", "8")
+        with pytest.raises(SparkRuntimeException, match="maxLshBucket"):
+            _lsh_pair_stats(sh).collect()
+        # at/below the ceiling: full pair set, no behavior change
+        spark.conf.set("spark.advbdi.maxLshBucket", "12")
+        assert len(_pairset(_lsh_pair_stats(sh))) == 66
+        spark.conf.set("spark.advbdi.maxLshBucket", "0")
+        assert len(_pairset(_lsh_pair_stats(sh))) == 66
+    finally:
+        spark.conf.unset("spark.advbdi.maxLshBucket")
+
+
 def test_audit_reports_degenerate_bucket_pairs(spark):
     """The bucket audit must account for every bucket and price the
     pair volume each size tier contributes — the top ('dropped'-labeled,

@@ -1993,3 +1993,25 @@ def test_streaming_hll_survives_empty_batch(spark, tmp_path):
     assert len(got) == 1
     ((etype, nd),) = got
     assert etype == "click" and 5 < nd < 10  # 7 distinct users
+
+
+def test_statelog_ignores_hidden_paths(spark, tmp_path):
+    """ADVICE r9 (statelog.py): a crashed append can leave
+    deltas/batch=N/_temporary/.../part-x.parquet with NO committed
+    files. Spark's reader filters '_'/'.'-prefixed paths, so read_parts
+    must treat such a log as EMPTY instead of building a parquet read
+    that fails schema inference on every subsequent read/compaction."""
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    log = str(tmp_path / "log")
+    torn = tmp_path / "log" / "deltas" / "batch=0" / "_temporary" / "0"
+    torn.mkdir(parents=True)
+    # real parquet bytes, but under a Spark-hidden directory
+    spark.range(3).coalesce(1).write.parquet(str(torn / "t.parquet"))
+    assert statelog.read_parts(spark, log) == []
+
+    # a visible committed delta alongside the torn tree reads normally
+    statelog.append_delta(spark.range(2), log, batch_id=1)
+    parts = statelog.read_parts(spark, log)
+    assert len(parts) == 1
+    assert parts[0].count() == 2

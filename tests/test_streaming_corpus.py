@@ -126,6 +126,13 @@ def test_streaming_dedup_index_replay_and_compaction(spark, tmp_path, batch_pair
     )
     assert got3 == batch_pairs
 
+    # ADVICE r9: replayed sig rows must COLLAPSE — hs is array_sorted
+    # before every append (collect_set order is nondeterministic), so
+    # the whole-stream replay's duplicate rows are byte-identical and
+    # the compacted base holds exactly ONE row per doc_id
+    sigs_base = spark.read.parquet(os.path.join(state, "sigs", "base"))
+    assert sigs_base.count() == sigs_base.select("doc_id").distinct().count()
+
 
 def test_streaming_dedup_index_survives_empty_batches(spark, tmp_path):
     """Empty micro-batches append empty deltas and even trigger

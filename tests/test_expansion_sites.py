@@ -127,6 +127,134 @@ def _found():
     return collect, pair_sql, sources
 
 
+# Every raw numpy matrix product in the package (r9 find #7's class in
+# general form: a data-sized product materializes its full output in one
+# task). The ONE allowlisted data-sized product is the shared blocked
+# kernel; everything else must have a structurally bounded output.
+# Mirror of docs/EXPANSION_SITES.md §"Raw numpy matmul sites".
+EXPECTED_MATMUL_SITES = {
+    # the shared blocked kernel itself (float64 fast path + int64
+    # fallback): row blocks of block_elems float64s, 2^53 guard
+    ("functions/cosine_kernel.py", "cosine_blocks_exact"): "blocked-kernel",
+    # constant query panel × one Arrow batch — bounded by panel size
+    ("operators/similarity.py", "gen"): "panel-vs-batch",
+    # batchᵀ × batch → DIM×DIM; the data-sized axis is contracted away
+    ("operators/similarity.py", "gram_partials"): "gram-accumulate",
+    # position weights · one asset's decoded bytes — scalar per row
+    ("operators/multimodal.py", "run"): "bounded-per-row",
+}
+
+#: the two wrappers every data-sized cosine product must route through
+#: (the r9 consolidation made this a two-helper allowlist over the one
+#: kernel in functions/cosine_kernel.py)
+KERNEL_WRAPPERS = {
+    ("operators/dedup.py", "_cosine_blocks_vs_broadcast"),
+    ("operators/clustering.py", "_cosine_row_blocks"),
+}
+
+_MATMUL_CALL_NAMES = {
+    "dot", "matmul", "einsum", "inner", "tensordot", "vdot", "outer"
+}
+
+
+def _matmul_sites():
+    """(relfile, enclosing fn) for every ast.MatMult BinOp and every
+    dot/matmul/einsum/... call in the package — the raw-product surface
+    the blocked-kernel allowlist governs."""
+    found = set()
+    for root, _dirs, files in os.walk(PKG):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
+            tree = ast.parse(open(path).read())
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+
+            def enclosing(lineno):
+                cands = [f for f in funcs if f[0] <= lineno <= f[1]]
+                return (
+                    max(cands, key=lambda f: f[0])[2] if cands else "<module>"
+                )
+
+            for node in ast.walk(tree):
+                if isinstance(node, ast.BinOp) and isinstance(
+                    node.op, ast.MatMult
+                ):
+                    found.add((rel, enclosing(node.lineno)))
+                elif isinstance(node, ast.Call):
+                    f = node.func
+                    name = (
+                        f.attr
+                        if isinstance(f, ast.Attribute)
+                        else (f.id if isinstance(f, ast.Name) else None)
+                    )
+                    if name in _MATMUL_CALL_NAMES:
+                        found.add((rel, enclosing(node.lineno)))
+    return found
+
+
+def test_every_matmul_site_is_classified():
+    """VERDICT r9 item 2: the rectangular batch×broadcast matmul (find
+    #7, a kernel OOM-kill at sf10) defined a memory-blowup class the
+    collect/pair/self-join invariants did not cover. Every raw numpy
+    product in the package must be classified — a new product on
+    potentially data-sized operands must either route through the
+    shared blocked kernel or justify a bounded-output class here AND in
+    docs/EXPANSION_SITES.md."""
+    found = _matmul_sites()
+    expected = set(EXPECTED_MATMUL_SITES)
+    new = found - expected
+    assert not new, (
+        f"NEW raw numpy product site(s) {sorted(new)} — a matmul on "
+        "data-sized operands materializes its full output in one task "
+        "(the r9 find-#7 OOM class). Route it through functions/"
+        "cosine_kernel.py:cosine_blocks_exact (via _cosine_row_blocks / "
+        "_cosine_blocks_vs_broadcast) or classify its bounded output in "
+        "docs/EXPANSION_SITES.md and EXPECTED_MATMUL_SITES."
+    )
+    gone = expected - found
+    assert not gone, f"classified matmul sites no longer in source: {sorted(gone)}"
+
+
+def test_cosine_wrappers_delegate_to_the_one_kernel():
+    """Both embedding-tier wrappers must call cosine_blocks_exact and
+    contain NO raw product of their own (they are the allowlist; a raw
+    @ inside one would bypass the kernel's block bound + 2^53 guard)."""
+    for rel, fn in sorted(KERNEL_WRAPPERS):
+        path = os.path.join(PKG, rel)
+        tree = ast.parse(open(path).read())
+        node = next(
+            n
+            for n in ast.walk(tree)
+            if isinstance(n, ast.FunctionDef) and n.name == fn
+        )
+        calls = {
+            (c.func.attr if isinstance(c.func, ast.Attribute) else
+             (c.func.id if isinstance(c.func, ast.Name) else None))
+            for c in ast.walk(node)
+            if isinstance(c, ast.Call)
+        }
+        assert "cosine_blocks_exact" in calls, f"{rel}:{fn} bypasses the kernel"
+        raw = [
+            n for n in ast.walk(node)
+            if isinstance(n, ast.BinOp) and isinstance(n.op, ast.MatMult)
+        ]
+        assert not raw, f"{rel}:{fn} contains a raw product of its own"
+
+
+def test_doc_lists_every_matmul_site():
+    doc = open(DOC).read()
+    for cls in sorted(set(EXPECTED_MATMUL_SITES.values())):
+        assert f"**{cls}**" in doc, f"matmul class {cls} undefined in doc"
+    for rel, fn in EXPECTED_MATMUL_SITES:
+        assert f"`{fn}`" in doc, f"doc missing matmul site {fn} ({rel})"
+
+
 def test_every_inrow_group_materialization_is_classified():
     collect, _pair_sql, _src = _found()
     found = set(collect)

@@ -1793,3 +1793,323 @@ def streaming_survival_result(spark, state_dir: str) -> DataFrame:
         .otherwise(F.lit(None))
         .alias("log_s_q4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel maintenance (the hardest streaming twin — VERDICT r9
+# item 3, carried from r8: ordered multi-step state with out-of-order
+# step arrival)
+# ---------------------------------------------------------------------------
+
+#: default lateness tolerance for the funnel twin (events behind a
+#: user's frontier by more than this are dropped-and-counted, the same
+#: contract as Spark's watermark and the rate-flag/LOCF monitors).
+FUNNEL_DELAY_SEC = 86_400
+
+#: compact the funnel log once this many delta batches accumulate.
+FUNNEL_COMPACT_FANIN = 8
+
+_FUNNEL_LOG_SCHEMA = "user_id bigint, kind string, val bigint"
+
+
+def _funnel_log_rows(spark, state_dir: str) -> DataFrame:
+    """base ∪ deltas, duplicates removed — the row set the funnel log
+    denotes. Every consumer below is min/max/set-shaped, so duplicate
+    rows from replays are harmless even before the distinct."""
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    parts = statelog.read_parts(spark, state_dir)
+    if not parts:
+        return spark.createDataFrame([], _FUNNEL_LOG_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _funnel_stages(log: DataFrame):
+    """(s, c, p) per-user stage frames from funnel log rows: min signup,
+    min click strictly after it, min purchase strictly after that — the
+    identical chained-min shape as the batch ``ts_funnel``, evaluated
+    over the log's candidate/frontier value rows. Exact under ANY
+    arrival order: the log is a join-semilattice (min/union/recompute),
+    so merge order cannot change the result."""
+    s = (
+        log.filter(F.col("kind") == "s")
+        .groupBy("user_id")
+        .agg(F.min("val").alias("signup_us"))
+    )
+    c = (
+        log.filter(F.col("kind") == "c")
+        .join(s, "user_id")
+        .filter(F.col("val") > F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("val").alias("click_us"))
+    )
+    p = (
+        log.filter(F.col("kind") == "p")
+        .join(c, "user_id")
+        .filter(F.col("val") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("val").alias("purchase_us"))
+    )
+    return s, c, p
+
+
+def _funnel_compacted(log: DataFrame, delay_us: int) -> DataFrame:
+    """The pruned row set a compaction commits — the state-compression
+    step that makes the log user-sized instead of event-sized.
+
+    Per user (hi = max event ts seen, horizon = hi − delay):
+
+    - one ``s`` row (the min signup; smaller future signups must arrive
+      ≥ horizon, so nothing else is needed);
+    - ``c`` candidate rows only where val ≤ s (still non-qualifying —
+      a future signup < val could make one the first qualifying click)
+      AND val > horizon (a future signup is ≥ horizon, so a click at or
+      below the horizon can never exceed it) — plus the current
+      qualifying frontier;
+    - ``p`` candidate rows only where val ≤ c (or c is null) AND
+      val > Lc, where Lc = least(c, horizon) when c exists else
+      horizon: every possible FUTURE first-qualifying-click is either
+      the current c or a retained click candidate (all > horizon by the
+      rule above) or a new click (> horizon), so no future c′ < Lc
+      exists and purchases ≤ Lc can never qualify — plus the frontier;
+    - one ``h`` row; every ``l`` (dropped-event) row is kept — bounded
+      by the drop count, and the observable auditors read.
+    """
+    s, c, p = _funnel_stages(log)
+    h = (
+        log.filter(F.col("kind") == "h")
+        .groupBy("user_id")
+        .agg(F.max("val").alias("hi"))
+    )
+    stats = (
+        h.join(s, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .withColumn("horizon", F.col("hi") - F.lit(delay_us))
+        .withColumn(
+            "lc",
+            F.when(F.col("click_us").isNull(), F.col("horizon")).otherwise(
+                F.least("click_us", "horizon")
+            ),
+        )
+    )
+    keep_c = (
+        log.filter(F.col("kind") == "c")
+        .join(stats, "user_id")
+        .filter(
+            (F.col("signup_us").isNull() | (F.col("val") <= F.col("signup_us")))
+            & (F.col("val") > F.col("horizon"))
+        )
+        .select("user_id", "kind", "val")
+    )
+    keep_p = (
+        log.filter(F.col("kind") == "p")
+        .join(stats, "user_id")
+        .filter(
+            (F.col("click_us").isNull() | (F.col("val") <= F.col("click_us")))
+            & (F.col("val") > F.col("lc"))
+        )
+        .select("user_id", "kind", "val")
+    )
+    frontier = stats.selectExpr(
+        "user_id",
+        "stack(4, 'h', hi, 's', signup_us, 'c', click_us, 'p', purchase_us)"
+        " AS (kind, val)",
+    ).filter(F.col("val").isNotNull())
+    late = log.filter(F.col("kind") == "l")
+    return keep_c.unionByName(keep_p).unionByName(frontier).unionByName(late)
+
+
+def run_streaming_funnel(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    delay_sec: int = FUNNEL_DELAY_SEC,
+    compact_fanin: int = FUNNEL_COMPACT_FANIN,
+) -> "StreamingQuery":
+    """Streaming signup→click→purchase funnel maintenance — the ordered
+    multi-step state under a lateness horizon, out-of-order step
+    arrival handled EXACTLY (a purchase can arrive batches before its
+    click, the click before its signup; a late-but-accepted earlier
+    signup re-qualifies already-seen clicks, which re-qualifies
+    already-seen purchases).
+
+    Why this is the hard twin: the funnel's stage thresholds only ever
+    MOVE DOWN (min signup; min qualifying click; min qualifying
+    purchase), and a threshold moving down can ADMIT events that were
+    non-qualifying when they arrived. Exact maintenance therefore
+    cannot keep just the three current values — it must retain every
+    event that could still become a stage minimum under some future
+    threshold. The state is an append-only SET LOG of
+    (user_id, kind, val) rows on streaming/statelog.py (Θ(batch)
+    appends, bounded-fan-in compaction — the survival frontier's LSM
+    protocol with a funnel-aware merge):
+
+    - ``s``: per-batch min signup (only the min can matter);
+    - ``c``: click CANDIDATES — batch clicks ≤ the batch's own signup
+      min (non-qualifying here, possibly qualifying under a smaller
+      merged signup) plus the batch's qualifying frontier (min click
+      above it). Extra candidates are always sound (they are real
+      events; the read-side chained-min ignores non-minimal ones) —
+      compression is an optimization, never a correctness gate;
+    - ``p``: purchase candidates, same rule against the batch's
+      qualifying click;
+    - ``h``: the user's event-time frontier (max ts), the lateness
+      horizon's source;
+    - ``l``: dropped event ids (ts strictly below the user's PRIOR
+      frontier − delay, mirroring Spark's own watermark update-at-
+      batch-end: a batch never drops by its own maximum). Keyed by
+      event_id, so replays collapse to the same rows.
+
+    Every row kind is merged by min/max/set-union — idempotent and
+    commutative — so replays and crash-retries need zero exactly-once
+    machinery (the statelog contract), and ``streaming_funnel_result``
+    equals the batch ``ts_funnel`` under any chunking of the same
+    events (tests/test_streaming.py). Compaction prunes candidates the
+    horizon has made unreachable (see ``_funnel_compacted``), bounding
+    state at Θ(users × events-within-horizon).
+
+    100 TB shape: per batch — one Θ(batch) aggregate per stage, one
+    broadcast-sized probe of the log's ``h`` rows (column-pruned scan),
+    Θ(batch) appends; compaction amortized Θ(state)/fanin. At cluster
+    scale the log should be BUCKETED by user_id so the frontier probe
+    and the read-side stage joins co-locate (the same lever as the
+    dedup index's band_key bucketing).
+    """
+    from pyspark import StorageLevel
+
+    from adv_big_data_indexing_spark.functions.exact import epoch_us
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    delay_us = int(delay_sec) * 1_000_000
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        ev = batch.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            epoch_us(F.col("ts")).alias("us"),
+        )
+        prev_hi = (
+            _funnel_log_rows(spark, state_dir)
+            .filter(F.col("kind") == "h")
+            .groupBy("user_id")
+            .agg(F.max("val").alias("prev_hi"))
+        )
+        ev = ev.join(prev_hi, "user_id", "left").persist(
+            StorageLevel.DISK_ONLY
+        )
+        late = ev.filter(
+            F.col("prev_hi").isNotNull()
+            & (F.col("us") < F.col("prev_hi") - F.lit(delay_us))
+        )
+        acc = ev.filter(
+            F.col("prev_hi").isNull()
+            | (F.col("us") >= F.col("prev_hi") - F.lit(delay_us))
+        )
+
+        s_b = (
+            acc.filter(F.col("event_type") == "signup")
+            .groupBy("user_id")
+            .agg(F.min("us").alias("sb"))
+        )
+        clicks = acc.filter(F.col("event_type") == "click").join(
+            s_b, "user_id", "left"
+        )
+        c_cand = clicks.filter(
+            F.col("sb").isNull() | (F.col("us") <= F.col("sb"))
+        ).select("user_id", F.lit("c").alias("kind"), F.col("us").alias("val"))
+        c_front = (
+            clicks.filter(F.col("us") > F.col("sb"))
+            .groupBy("user_id")
+            .agg(F.min("us").alias("cb"))
+        )
+        purch = acc.filter(F.col("event_type") == "purchase").join(
+            c_front, "user_id", "left"
+        )
+        p_cand = purch.filter(
+            F.col("cb").isNull() | (F.col("us") <= F.col("cb"))
+        ).select("user_id", F.lit("p").alias("kind"), F.col("us").alias("val"))
+        p_front = (
+            purch.filter(F.col("us") > F.col("cb"))
+            .groupBy("user_id")
+            .agg(F.min("us").alias("pb"))
+        )
+
+        delta = (
+            s_b.select("user_id", F.lit("s").alias("kind"), F.col("sb").alias("val"))
+            .unionByName(c_cand)
+            .unionByName(
+                c_front.select(
+                    "user_id", F.lit("c").alias("kind"), F.col("cb").alias("val")
+                )
+            )
+            .unionByName(p_cand)
+            .unionByName(
+                p_front.select(
+                    "user_id", F.lit("p").alias("kind"), F.col("pb").alias("val")
+                )
+            )
+            .unionByName(
+                ev.groupBy("user_id").agg(
+                    F.greatest(
+                        F.max("us"), F.coalesce(F.max("prev_hi"), F.max("us"))
+                    ).alias("val")
+                ).select("user_id", F.lit("h").alias("kind"), "val")
+            )
+            .unionByName(
+                late.select(
+                    "user_id",
+                    F.lit("l").alias("kind"),
+                    F.col("event_id").alias("val"),
+                )
+            )
+        )
+        statelog.append_delta(delta, state_dir, batch_id)
+        if statelog.delta_batches(state_dir) >= compact_fanin:
+            merged = _funnel_compacted(
+                _funnel_log_rows(spark, state_dir), delay_us
+            )
+            statelog.compact(spark, state_dir, merged, batch_id)
+        ev.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_funnel_result(spark, state_dir: str) -> DataFrame:
+    """The funnel table from the maintained log — identical chained-min
+    expressions as the batch ``ts_funnel`` (operators/timeseries.py),
+    so on the same accepted events the streaming and batch rows agree
+    exactly."""
+    log = _funnel_log_rows(spark, state_dir)
+    s, c, p = _funnel_stages(log)
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_us",
+            "click_us",
+            "purchase_us",
+            F.col("click_us").isNotNull().alias("reached_click"),
+            F.col("purchase_us").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+def streaming_funnel_late(spark, state_dir: str) -> DataFrame:
+    """The drop-and-count observable: one row per dropped event id."""
+    return (
+        _funnel_log_rows(spark, state_dir)
+        .filter(F.col("kind") == "l")
+        .select("user_id", F.col("val").alias("event_id"))
+    )

@@ -5,11 +5,13 @@ twins."""
 from __future__ import annotations
 
 import json
+import time
 
 import pytest
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.streaming import cdc, events as ev
+from tests.conftest import SF_SMOKE
 
 
 def _doc(i: int, v: int = 0) -> str:
@@ -2015,3 +2017,263 @@ def test_statelog_ignores_hidden_paths(spark, tmp_path):
     parts = statelog.read_parts(spark, log)
     assert len(parts) == 1
     assert parts[0].count() == 2
+
+
+def _funnel_curve(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_funnel_matches_batch_any_chunking(spark, tmp_path):
+    """VERDICT r9 item 3 (carried from r8): the streaming funnel's
+    result must equal the batch ts_funnel under ANY chunking of the
+    same events — including the event_id%3 split, which scatters each
+    user's signup/click/purchase across batches in arbitrary time
+    order (out-of-order step arrival is the normal case here, not an
+    edge)."""
+    from adv_big_data_indexing_spark.operators.timeseries import ts_funnel
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "events")
+    exp = _funnel_curve(ts_funnel(spark, SF_SMOKE))
+    assert exp  # non-degenerate fixture
+
+    for n_chunks, name in ((1, "one"), (3, "three")):
+        src = str(tmp_path / f"src_{name}")
+        for k in range(n_chunks):
+            docs.filter(F.col("event_id") % n_chunks == k).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = str(tmp_path / f"state_{name}")
+        ev.run_streaming_funnel(
+            stream, state, str(tmp_path / f"ck_{name}"), delay_sec=10**9
+        ).awaitTermination(300)
+        assert _funnel_curve(ev.streaming_funnel_result(spark, state)) == exp, (
+            f"{n_chunks}-chunk stream diverged from batch"
+        )
+
+
+def test_streaming_funnel_out_of_order_steps_requalify(spark, tmp_path):
+    """The hard semantics: stage thresholds only move DOWN, and moving
+    down re-admits earlier non-qualifying events. Batch 1 delivers a
+    purchase with NO signup/click; batch 2 the click; batch 3 the
+    signup — the user completes the funnel only after batch 3. A
+    second user's late-but-accepted EARLIER signup (batch 3) turns an
+    already-seen non-qualifying click into the qualifying one, which
+    re-admits an already-seen purchase."""
+    import datetime as dt
+
+    from adv_big_data_indexing_spark.operators.timeseries import ts_funnel
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(minutes=minute)
+
+    def rows(items, base):
+        return [
+            (base + i, t(m), u, typ, 1.0, "{}")
+            for i, (u, typ, m) in enumerate(items)
+        ]
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # user 1: steps arrive in REVERSE order across batches
+    # user 2: signup@10 first; click@5 and purchase@7 are non-qualifying
+    #         until the late signup@3 (batch 3) re-qualifies both
+    b1 = rows([(1, "purchase", 30), (2, "signup", 10), (2, "purchase", 7)], 0)
+    b2 = rows([(1, "click", 20), (2, "click", 5)], 100)
+    b3 = rows([(1, "signup", 10), (2, "signup", 3)], 200)
+
+    src = str(tmp_path / "ooo_src")
+    full = str(tmp_path / "ooo_full")
+    state = str(tmp_path / "ooo_state")
+    for b in (b1, b2, b3):
+        df = spark.createDataFrame(b, schema)
+        df.coalesce(1).write.mode("append").parquet(src)
+        df.coalesce(1).write.mode("append").parquet(f"{full}/events.parquet")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b1, schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev.run_streaming_funnel(
+        stream, state, str(tmp_path / "ooo_ck"), delay_sec=10**9
+    ).awaitTermination(300)
+    got = _funnel_curve(ev.streaming_funnel_result(spark, state))
+    assert got == _funnel_curve(ts_funnel(spark, full))
+    by_user = {r[0]: r for r in got}
+    us = lambda m: int(t(m).timestamp()) * 1_000_000  # noqa: E731
+    assert by_user[1] == (1, us(10), us(20), us(30), True, True)
+    # user 2: the late signup@3 moved signup down, click@5 qualified,
+    # purchase@7 re-admitted — NOT (signup@10, no click, no purchase)
+    assert by_user[2] == (2, us(3), us(5), us(7), True, True)
+
+
+def test_streaming_funnel_replay_compaction_and_pruning(spark, tmp_path):
+    """Replay against warm state leaves the result unchanged (the log's
+    row kinds are min/max/set-merged — idempotent); a forced compaction
+    (fan-in 1) folds the log into its base with the result unchanged
+    AND prunes candidates the horizon made unreachable (a click at or
+    below hi − delay that is still non-qualifying can never qualify:
+    future signups arrive ≥ the horizon)."""
+    import datetime as dt
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(minutes=minute)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # user 7: clicks at minutes 1..4 all BEFORE the signup@50 —
+    # non-qualifying candidates; with delay 600 s the horizon after
+    # minute-60 activity is minute 50, so clicks 1..4 are prunable
+    # (kept exactly until compaction, pruned by it)
+    b1 = [(i, t(i), 7, "click", 1.0, "{}") for i in range(1, 5)]
+    b2 = [(100, t(50), 7, "signup", 1.0, "{}"), (101, t(60), 7, "view", 1.0, "{}")]
+
+    src = str(tmp_path / "pr_src")
+    state = str(tmp_path / "pr_state")
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    mkstream = lambda: (  # noqa: E731
+        spark.readStream.schema(spark.createDataFrame(b1, schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev.run_streaming_funnel(
+        stream := mkstream(), state, str(tmp_path / "pr_ck"), delay_sec=600
+    ).awaitTermination(300)
+    del stream
+    got = _funnel_curve(ev.streaming_funnel_result(spark, state))
+    assert len(got) == 1 and got[0][4] is False  # signup, no qualifying click
+
+    # whole-stream replay on warm state: unchanged
+    ev.run_streaming_funnel(
+        mkstream(), state, str(tmp_path / "pr_ck2"), delay_sec=600
+    ).awaitTermination(300)
+    assert _funnel_curve(ev.streaming_funnel_result(spark, state)) == got
+
+    pre = ev._funnel_log_rows(spark, state)
+    assert pre.filter((F.col("kind") == "c")).count() == 4  # candidates held
+
+    # force compaction with one more batch (fan-in 1)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(102, t(61), 7, "view", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    ev.run_streaming_funnel(
+        mkstream(), state, str(tmp_path / "pr_ck3"), delay_sec=600,
+        compact_fanin=1,
+    ).awaitTermination(300)
+    assert _funnel_curve(ev.streaming_funnel_result(spark, state)) == got
+    post = ev._funnel_log_rows(spark, state)
+    # horizon = minute 61 - 600 s = minute 51 > clicks 1..4 -> pruned
+    assert post.filter(F.col("kind") == "c").count() == 0
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(state, "base"))
+
+
+def test_streaming_funnel_drops_behind_horizon(spark, tmp_path):
+    """Drop-and-count contract: an event strictly behind the user's
+    PRIOR frontier − delay is dropped (observable via
+    streaming_funnel_late) and the result equals the batch ts_funnel on
+    the ACCEPTED subset — while an equally-old event for a user with no
+    prior frontier is accepted (a batch never drops by its own max,
+    mirroring Spark's update-at-batch-end watermark)."""
+    import datetime as dt
+
+    from adv_big_data_indexing_spark.operators.timeseries import ts_funnel
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(minutes=minute)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    b1 = [
+        (1, t(50), 1, "signup", 1.0, "{}"),
+        (2, t(60), 1, "click", 1.0, "{}"),
+    ]
+    # user 1's signup@5 is behind the frontier (60) - 600 s -> dropped;
+    # user 2's whole funnel arrives at minutes 1..3 (older than user
+    # 1's frontier, but user 2 has NO prior frontier -> accepted)
+    b2 = [
+        (3, t(5), 1, "signup", 1.0, "{}"),
+        (4, t(1), 2, "signup", 1.0, "{}"),
+        (5, t(2), 2, "click", 1.0, "{}"),
+        (6, t(3), 2, "purchase", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "late_src")
+    acc_dir = str(tmp_path / "late_accepted")
+    state = str(tmp_path / "late_state")
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    accepted = b1 + b2[1:]  # everything except the dropped signup
+    spark.createDataFrame(accepted, schema).coalesce(1).write.parquet(
+        f"{acc_dir}/events.parquet"
+    )
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b1, schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev.run_streaming_funnel(
+        stream, state, str(tmp_path / "late_ck"), delay_sec=600
+    ).awaitTermination(300)
+    got = _funnel_curve(ev.streaming_funnel_result(spark, state))
+    assert got == _funnel_curve(ts_funnel(spark, acc_dir))
+    dropped = ev.streaming_funnel_late(spark, state).collect()
+    assert [(r.user_id, r.event_id) for r in dropped] == [(1, 3)]
+    by_user = {r[0]: r for r in got}
+    assert by_user[1][1] == int(t(50).timestamp()) * 1_000_000  # not 12:05
+    assert by_user[2][4] is True and by_user[2][5] is True
+
+
+def test_streaming_funnel_survives_empty_batches(spark, tmp_path):
+    """An all-empty first delta batch must not poison the log (the
+    statelog empty-edge class pinned in r9)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    import datetime as dt
+
+    src = str(tmp_path / "e_src")
+    state = str(tmp_path / "e_state")
+    spark.createDataFrame([], schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 12, 0), 1, "signup", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 12, 5), 1, "click", 1.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev.run_streaming_funnel(
+        stream, state, str(tmp_path / "e_ck"), delay_sec=10**9, compact_fanin=1
+    ).awaitTermination(300)
+    got = _funnel_curve(ev.streaming_funnel_result(spark, state))
+    assert len(got) == 1
+    assert got[0][4] is True and got[0][5] is False

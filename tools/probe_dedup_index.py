@@ -32,6 +32,10 @@ spark = (
     SparkSession.builder.master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    # sf10's pair log is ~24M rows; the equality check below is a hash
+    # aggregate (never a driver collect), but compaction + the batch op
+    # want JVM headroom at that scale
+    .config("spark.driver.memory", "16g")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
@@ -62,13 +66,27 @@ durs = [
 ]
 print(f"total={total:.1f}s batches=[{', '.join(f'{d:.2f}' for d in durs)}]")
 
-streamed = sorted(
-    map(tuple, sc.streaming_dedup_pairs(spark, state).collect())
-)
+# order-insensitive exact comparison WITHOUT a driver collect (sf10's
+# pair set is ~24M rows): count + sum of a row hash over the full tuple,
+# identical expressions on both sides — jaccard is a deterministic
+# correctly-rounded double, so hashing its string form is stable
+def _digest(df):
+    row = df.select(
+        F.count("*").alias("n"),
+        F.sum(
+            F.xxhash64(
+                "doc_a", "doc_b", "n_inter", F.format_number("jaccard", 17)
+            ).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return row.n, row.h
+
+
 from adv_big_data_indexing_spark.operators.dedup import ns_dedup_minhash_lsh
 
-batch = sorted(map(tuple, ns_dedup_minhash_lsh(spark, sf_dir).collect()))
-print(f"pairs={len(streamed)} equals_batch={streamed == batch}")
+s_n, s_h = _digest(sc.streaming_dedup_pairs(spark, state))
+b_n, b_h = _digest(ns_dedup_minhash_lsh(spark, sf_dir))
+print(f"pairs={s_n} batch_pairs={b_n} equals_batch={(s_n, s_h) == (b_n, b_h)}")
 
 import shutil
 

@@ -347,7 +347,9 @@ def _applied_batch(prev) -> int:
     return -1 if v is None else int(v)
 
 
-def _commit_state(df, path: str, single_file: bool = True) -> None:
+def _commit_state(
+    df, path: str, single_file: bool = True, partition_by: str | None = None
+) -> None:
     """tmp-write → read-back → overwrite main → remove tmp. The df
     typically derives from reading ``path`` itself, so writing directly
     would delete its own input mid-plan; the read-back breaks lineage.
@@ -360,15 +362,31 @@ def _commit_state(df, path: str, single_file: bool = True) -> None:
     the constant-size sketch states. DATA-SIZED state (the survival
     frontier base) passes False: coalesce(1) would funnel the whole
     table through one write task, and AQE already right-sizes the
-    upstream shuffle's partitions."""
+    upstream shuffle's partitions.
+
+    ``partition_by`` hive-partitions the committed table by one
+    LOW-CARDINALITY column, so a reader filtering on it gets PARTITION
+    PRUNING instead of a full-table scan (the funnel log's per-batch
+    ``kind = 'h'`` frontier probe reads only the kind=h directory of
+    the base however large the candidate partitions grow). The column
+    must round-trip partition-directory type inference — the funnel's
+    non-numeric kind strings do; a high-cardinality key (the dedup
+    index's band_key) needs metastore-bucketed tables at cluster
+    scale instead, not this."""
     import shutil  # noqa: PLC0415
 
     tmp = path + ".tmp"
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").parquet(tmp)
+    w = out.write.mode("overwrite")
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
     back = df.sparkSession.read.parquet(tmp)
     back = back.coalesce(1) if single_file else back
-    back.write.mode("overwrite").parquet(path)
+    wb = back.write.mode("overwrite")
+    if partition_by is not None:
+        wb = wb.partitionBy(partition_by)
+    wb.parquet(path)
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -2070,11 +2088,25 @@ def run_streaming_funnel(
             )
         )
         statelog.append_delta(delta, state_dir, batch_id)
-        if statelog.delta_batches(state_dir) >= compact_fanin:
+        # second clause — ALL-EMPTY log guard (row-level, via parquet
+        # footers, no Spark job): an empty batch still writes a
+        # zero-row, schema-carrying delta file, and a zero-row
+        # partitionBy commit writes a dir with NO partition
+        # directories, whose schema no later read can infer (the
+        # survival twin's r9 empty-edge, sharpened by partitioning)
+        if (
+            statelog.delta_batches(state_dir) >= compact_fanin
+            and statelog.log_rows(state_dir) > 0
+        ):
             merged = _funnel_compacted(
                 _funnel_log_rows(spark, state_dir), delay_us
             )
-            statelog.compact(spark, state_dir, merged, batch_id)
+            # base partitioned by kind: the per-batch frontier probe
+            # filters kind = 'h', so it partition-prunes to the h
+            # directory however large the candidate partitions grow
+            statelog.compact(
+                spark, state_dir, merged, batch_id, partition_by="kind"
+            )
         ev.unpersist()
 
     return (

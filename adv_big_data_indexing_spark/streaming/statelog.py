@@ -41,6 +41,40 @@ def _deltas_dir(log_dir: str) -> str:
     return os.path.join(log_dir, "deltas")
 
 
+def _visible_parquet_paths(root_dir: str):
+    """Full paths of every parquet file Spark's reader would see —
+    mirroring its hidden-path filter ('_'/'.'-prefixed dirs and files,
+    e.g. a _temporary/ tree left by a crashed append): counting hidden
+    files would build a parquet read over a directory Spark sees as
+    EMPTY, failing every subsequent read/compaction with "unable to
+    infer schema" (ADVICE r9)."""
+    for root, dirs, files in os.walk(root_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                yield os.path.join(root, f)
+
+
+def log_rows(log_dir: str) -> int:
+    """Total ROW count across the log (base + deltas) from parquet
+    FOOTERS, driver-side — no Spark job. The compaction emptiness guard
+    reads this: an empty micro-batch still writes a zero-row,
+    schema-carrying delta file, so file PRESENCE cannot distinguish an
+    all-empty log, and committing a zero-row partitioned base writes a
+    directory with no partition dirs whose schema no later read can
+    infer. (A Spark-side isEmpty() would re-execute the whole merged
+    aggregation — measured +5.6 s per compaction at sf10.)"""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    total = 0
+    for sub in ("base", "deltas"):
+        d = os.path.join(log_dir, sub)
+        if os.path.isdir(d):
+            for path in _visible_parquet_paths(d):
+                total += pq.ParquetFile(path).metadata.num_rows
+    return total
+
+
 def append_delta(df: DataFrame, log_dir: str, batch_id: int) -> None:
     """Θ(batch) append under the batch's own subdirectory."""
     df.write.mode("append").parquet(
@@ -65,19 +99,7 @@ def read_parts(spark, log_dir: str) -> list[DataFrame]:
         parts.append(base.drop("batch_id"))
     dd = _deltas_dir(log_dir)
 
-    def _visible_parquet_files():
-        # mirror Spark's hidden-path filter ('_'/'.'-prefixed dirs and
-        # files — e.g. a _temporary/ tree left by a crashed append):
-        # counting those here would build a parquet read over a
-        # directory Spark sees as EMPTY, failing every subsequent
-        # read/compaction with "unable to infer schema" (ADVICE r9)
-        for root, dirs, files in os.walk(dd):
-            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-            for f in files:
-                if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                    yield f
-
-    has_files = os.path.isdir(dd) and any(_visible_parquet_files())
+    has_files = os.path.isdir(dd) and any(_visible_parquet_paths(dd))
     if has_files:
         # recursiveFileLookup: batch=<id> stays a directory name, not a
         # partition column — delta schema is exactly what was appended
@@ -87,14 +109,23 @@ def read_parts(spark, log_dir: str) -> list[DataFrame]:
     return parts
 
 
-def compact(spark, log_dir: str, merged: DataFrame, batch_id: int) -> None:
+def compact(
+    spark,
+    log_dir: str,
+    merged: DataFrame,
+    batch_id: int,
+    partition_by: str | None = None,
+) -> None:
     """Commit the caller-merged table as the new base (natural
     partitioning — the base is data-sized), then reset the delta log.
     Order matters: deltas are removed only AFTER the base commit, so a
-    crash in between re-absorbs them harmlessly."""
+    crash in between re-absorbs them harmlessly. ``partition_by``
+    hive-partitions the base on one low-cardinality column so readers
+    filtering on it get partition pruning (see events._commit_state)."""
     _commit_state(
         merged.withColumn("batch_id", F.lit(batch_id)),
         os.path.join(log_dir, "base"),
         single_file=False,
+        partition_by=partition_by,
     )
     shutil.rmtree(_deltas_dir(log_dir), ignore_errors=True)

@@ -2184,6 +2184,15 @@ def test_streaming_funnel_replay_compaction_and_pruning(spark, tmp_path):
     import os as _os
 
     assert _os.path.isdir(_os.path.join(state, "base"))
+    # base is hive-partitioned by kind, so the per-batch frontier probe
+    # (filter kind = 'h') partition-prunes instead of scanning the
+    # candidate partitions — the funnel log's named scale lever
+    assert _os.path.isdir(_os.path.join(state, "base", "kind=h"))
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    base = statelog.read_parts(spark, state)[0]
+    plan = base.filter(F.col("kind") == "h")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "kind" in plan.split("PartitionFilters", 1)[1].split("]")[0], plan
 
 
 def test_streaming_funnel_drops_behind_horizon(spark, tmp_path):

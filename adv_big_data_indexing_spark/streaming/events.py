@@ -2145,3 +2145,151 @@ def streaming_funnel_late(spark, state_dir: str) -> DataFrame:
         .filter(F.col("kind") == "l")
         .select("user_id", F.col("val").alias("event_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming cohort-retention maintenance (the funnel's sibling twin —
+# VERDICT r9 item 3's named follow-up candidate)
+# ---------------------------------------------------------------------------
+
+RETENTION_COMPACT_FANIN = 8
+
+_RETENTION_LOG_SCHEMA = "user_id bigint, kind string, val bigint"
+
+#: the batch op's window: offsets beyond this never appear in the result
+RETENTION_MAX_OFFSET = 7
+
+
+def _retention_log_rows(spark, state_dir: str) -> DataFrame:
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    parts = statelog.read_parts(spark, state_dir)
+    if not parts:
+        return spark.createDataFrame([], _RETENTION_LOG_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _retention_state(log: DataFrame):
+    """(first, days) per-user frames: min cohort day over ``f`` rows,
+    distinct active days over ``d`` rows. Exact under ANY arrival
+    order — both kinds are min/set-merged."""
+    first = (
+        log.filter(F.col("kind") == "f")
+        .groupBy("user_id")
+        .agg(F.min("val").alias("cohort_day"))
+    )
+    days = log.filter(F.col("kind") == "d").select(
+        "user_id", F.col("val").alias("day")
+    ).distinct()
+    return first, days
+
+
+def run_streaming_retention_log(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    compact_fanin: int = RETENTION_COMPACT_FANIN,
+) -> "StreamingQuery":
+    """Streaming cohort-retention maintenance, LOG-STRUCTURED — the
+    second retention twin, coexisting with ``run_streaming_retention``
+    (retraction/assertion deltas + guarded additive fold) as the
+    Θ(batch)-write alternative: the additive fold rewrites its whole
+    (cohort, offset) table per micro-batch and needs per-user
+    applyInPandasWithState plus a batch-id replay guard, while this
+    shape appends Θ(batch) set-log rows, needs NO retraction machinery
+    and NO exactly-once guard, and derives the table at read time —
+    the survival/funnel discipline. The funnel twin's sibling, with a
+    STRICTLY SHRINKING retention window instead of down-moving
+    thresholds: a user's cohort day is the min active day,
+    and a late event can only move it EARLIER, which makes every other
+    day's offset LARGER — so a day already outside the ≤ 7-offset
+    window can never re-enter it, and compaction's prune
+    (day > current cohort_day + 7) is unconditionally safe. No
+    lateness horizon is needed for exactness: the whole state is a
+    join-semilattice (min cohort day, set-union day set), so arrival
+    order cannot change the result and replays are invisible.
+
+    State log rows (streaming/statelog.py — Θ(batch) appends,
+    bounded-fan-in compaction, base partitioned by kind):
+
+    - ``f``: per-batch min active day (only the min can matter);
+    - ``d``: day CANDIDATES — the batch's distinct (user, day) pairs
+      with day ≤ the batch's own min + 7 (days beyond the batch-local
+      window can only move further out under a smaller merged cohort
+      day, so they are never emitted at all — the batch-local window
+      is already the conservative superset).
+
+    The read side (``streaming_retention_result``) is the batch
+    ``ts_retention_cohort``'s own expressions over the merged state:
+    cohort = min f, offsets = d days with day − cohort ≤ 7, distinct
+    users per (cohort_day, day_offset).
+    """
+    from adv_big_data_indexing_spark.functions.exact import epoch_us
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        daily = batch.select(
+            "user_id",
+            (epoch_us(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("day"),
+        ).distinct()
+        first_b = daily.groupBy("user_id").agg(F.min("day").alias("fb"))
+        d_rows = (
+            daily.join(first_b, "user_id")
+            .filter(F.col("day") <= F.col("fb") + RETENTION_MAX_OFFSET)
+            .select("user_id", F.lit("d").alias("kind"), F.col("day").alias("val"))
+        )
+        delta = first_b.select(
+            "user_id", F.lit("f").alias("kind"), F.col("fb").alias("val")
+        ).unionByName(d_rows)
+        statelog.append_delta(delta, state_dir, batch_id)
+        if (
+            statelog.delta_batches(state_dir) >= compact_fanin
+            and statelog.log_rows(state_dir) > 0
+        ):
+            log = _retention_log_rows(spark, state_dir)
+            first, days = _retention_state(log)
+            keep_d = (
+                days.join(first, "user_id")
+                .filter(
+                    F.col("day")
+                    <= F.col("cohort_day") + RETENTION_MAX_OFFSET
+                )
+                .select(
+                    "user_id", F.lit("d").alias("kind"), F.col("day").alias("val")
+                )
+            )
+            merged = first.select(
+                "user_id", F.lit("f").alias("kind"), F.col("cohort_day").alias("val")
+            ).unionByName(keep_d)
+            statelog.compact(
+                spark, state_dir, merged, batch_id, partition_by="kind"
+            )
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_retention_log_result(spark, state_dir: str) -> DataFrame:
+    """The cohort-retention table from the maintained log — identical
+    expressions as the batch ``ts_retention_cohort``
+    (operators/timeseries.py), so on the same events the streaming and
+    batch tables agree exactly."""
+    first, days = _retention_state(_retention_log_rows(spark, state_dir))
+    j = days.join(first, "user_id").withColumn(
+        "day_offset", F.col("day") - F.col("cohort_day")
+    )
+    return (
+        j.filter(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

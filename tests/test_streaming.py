@@ -2286,3 +2286,110 @@ def test_streaming_funnel_survives_empty_batches(spark, tmp_path):
     got = _funnel_curve(ev.streaming_funnel_result(spark, state))
     assert len(got) == 1
     assert got[0][4] is True and got[0][5] is False
+
+
+def _retention_curve(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_retention_matches_batch_any_chunking(spark, tmp_path):
+    """The streaming cohort-retention table must equal the batch
+    ts_retention_cohort under ANY chunking — the event_id%3 split
+    scatters each user's days across batches in arbitrary time order,
+    so cohort days move EARLIER mid-stream and every affected user's
+    offsets rebase."""
+    from adv_big_data_indexing_spark.operators.timeseries import (
+        ts_retention_cohort,
+    )
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "events")
+    exp = _retention_curve(ts_retention_cohort(spark, SF_SMOKE))
+    assert exp
+
+    for n_chunks, name in ((1, "one"), (3, "three")):
+        src = str(tmp_path / f"rsrc_{name}")
+        for k in range(n_chunks):
+            docs.filter(F.col("event_id") % n_chunks == k).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = str(tmp_path / f"rstate_{name}")
+        ev.run_streaming_retention_log(
+            stream, state, str(tmp_path / f"rck_{name}")
+        ).awaitTermination(300)
+        assert (
+            _retention_curve(ev.streaming_retention_log_result(spark, state))
+            == exp
+        ), f"{n_chunks}-chunk stream diverged from batch"
+
+
+def test_streaming_retention_rebase_replay_and_prune(spark, tmp_path):
+    """A late earlier day REBASES the user's cohort: days that were
+    inside the ≤7-offset window fall out (the window only shrinks —
+    the twin's safety property), replay on warm state is invisible,
+    and compaction prunes the now-out-of-window day rows."""
+    import datetime as dt
+
+    def d(day):
+        return dt.datetime(2024, 1, 1, 6, 0, 0) + dt.timedelta(days=day)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    # batch 1: user 1 active on days 10 and 15 (cohort 10, offsets 0/5)
+    b1 = [
+        (1, d(10), 1, "click", 1.0, "{}"),
+        (2, d(15), 1, "view", 1.0, "{}"),
+    ]
+    # batch 2: late day 3 — cohort rebases to 3; day 10 is now offset 7
+    # (still in), day 15 offset 12 (OUT of the window)
+    b2 = [(3, d(3), 1, "click", 1.0, "{}")]
+    src = str(tmp_path / "rb_src")
+    state = str(tmp_path / "rb_state")
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    mkstream = lambda: (  # noqa: E731
+        spark.readStream.schema(spark.createDataFrame(b1, schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev.run_streaming_retention_log(
+        mkstream(), state, str(tmp_path / "rb_ck")
+    ).awaitTermination(300)
+    D0 = 19723 + 3  # d(3) = 2024-01-04, epoch day
+    got = _retention_curve(ev.streaming_retention_log_result(spark, state))
+    assert got == [(D0, 0, 1), (D0, 7, 1)]  # day 15 rebased out
+
+    # replay: unchanged (min/set merges)
+    ev.run_streaming_retention_log(
+        mkstream(), state, str(tmp_path / "rb_ck2")
+    ).awaitTermination(300)
+    assert _retention_curve(ev.streaming_retention_log_result(spark, state)) == got
+
+    # day-15 candidate rows still in the log until compaction prunes
+    log = ev._retention_log_rows(spark, state)
+    assert log.filter((F.col("kind") == "d") & (F.col("val") == D0 + 12)).count() == 1
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(9, d(4), 1, "view", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    ev.run_streaming_retention_log(
+        mkstream(), state, str(tmp_path / "rb_ck3"), compact_fanin=1
+    ).awaitTermination(300)
+    got2 = _retention_curve(ev.streaming_retention_log_result(spark, state))
+    assert got2 == [(D0, 0, 1), (D0, 1, 1), (D0, 7, 1)]
+    post = ev._retention_log_rows(spark, state)
+    assert post.filter((F.col("kind") == "d") & (F.col("val") == D0 + 12)).count() == 0
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(state, "base", "kind=d"))

@@ -783,6 +783,29 @@ def _fuzzy_token_candidates(p: DataFrame) -> DataFrame:
     )
 
 
+def _fuzzy_block_pairs(p: DataFrame) -> DataFrame:
+    """(key_a, key_b, name_a, name_b) EXACT candidate pairs: every
+    same-(brand, size) pair, ordered keys, distinct names — the ground
+    truth the recall contract prices the routed blocking against, so it
+    is single-sourced here and shared by ext_fuzzy_join_levenshtein's
+    below-cap path and ext_fuzzy_join_token_recall (code-review r10)."""
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return a.join(b, ["brand", "size"]).filter(
+        (F.col("key_a") < F.col("key_b")) & (F.col("name_a") != F.col("name_b"))
+    )
+
+
 def _fuzzy_verify(cand: DataFrame) -> DataFrame:
     """Edit-distance verify over candidate pairs (shared by both routes)."""
     return cand.select(
@@ -832,23 +855,7 @@ def ext_fuzzy_join_levenshtein(
     p = load_table(spark, sf_dir, "part")
     if table_rows(sf_dir, "part") > cap:
         return _fuzzy_verify(_fuzzy_token_candidates(p))
-    a = p.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-    )
-    b = p.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-    )
-    return _fuzzy_verify(
-        a.join(b, ["brand", "size"]).filter(
-            (F.col("key_a") < F.col("key_b")) & (F.col("name_a") != F.col("name_b"))
-        )
-    )
+    return _fuzzy_verify(_fuzzy_block_pairs(p))
 
 
 _DUCK_FUZZY_SLICE = f"""
@@ -922,23 +929,7 @@ def ext_fuzzy_join_token_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = _fuzzy_verify(_fuzzy_token_candidates(p)).select(
         F.col("key_a").alias("r_key_a"), F.col("key_b").alias("r_key_b")
     )
-    a = p.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-    )
-    b = p.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_size").alias("size"),
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-    )
-    exact = _fuzzy_verify(
-        a.join(b, ["brand", "size"]).filter(
-            (F.col("key_a") < F.col("key_b")) & (F.col("name_a") != F.col("name_b"))
-        )
-    ).select("key_a", "key_b")
+    exact = _fuzzy_verify(_fuzzy_block_pairs(p)).select("key_a", "key_b")
     joined = exact.join(
         routed,
         (F.col("key_a") == F.col("r_key_a")) & (F.col("key_b") == F.col("r_key_b")),

@@ -52,16 +52,8 @@ _PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, n_inter bigint, jaccard double"
 
 
 def _read_set_log(spark, log_dir: str, schema: str):
-    """base ∪ deltas with duplicates removed — the set the log denotes
-    (the shared statelog layout with distinct() as the merge). Returns
-    an empty frame of ``schema`` when the log does not exist."""
-    parts = statelog.read_parts(spark, log_dir)
-    if not parts:
-        return spark.createDataFrame([], schema)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    """Shared set-log reader — see statelog.read_set_log."""
+    return statelog.read_set_log(spark, log_dir, schema)
 
 
 def _maybe_compact_set_log(

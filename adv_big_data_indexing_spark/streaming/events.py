@@ -1831,18 +1831,10 @@ _FUNNEL_LOG_SCHEMA = "user_id bigint, kind string, val bigint"
 
 
 def _funnel_log_rows(spark, state_dir: str) -> DataFrame:
-    """base ∪ deltas, duplicates removed — the row set the funnel log
-    denotes. Every consumer below is min/max/set-shaped, so duplicate
-    rows from replays are harmless even before the distinct."""
+    """The row set the funnel log denotes (shared set-log reader)."""
     from adv_big_data_indexing_spark.streaming import statelog
 
-    parts = statelog.read_parts(spark, state_dir)
-    if not parts:
-        return spark.createDataFrame([], _FUNNEL_LOG_SCHEMA)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    return statelog.read_set_log(spark, state_dir, _FUNNEL_LOG_SCHEMA)
 
 
 def _funnel_stages(log: DataFrame):
@@ -1979,8 +1971,16 @@ def run_streaming_funnel(
       horizon's source;
     - ``l``: dropped event ids (ts strictly below the user's PRIOR
       frontier − delay, mirroring Spark's own watermark update-at-
-      batch-end: a batch never drops by its own maximum). Keyed by
-      event_id, so replays collapse to the same rows.
+      batch-end: a batch never drops by its own maximum). PER-DELIVERY
+      facts, like Spark's own numRowsDroppedByWatermark: an exact
+      replay of a batch appends the identical rows (same event_id),
+      but a REDELIVERY against a frontier other batches have since
+      advanced can drop — and so report — an event whose ORIGINAL
+      delivery was accepted. The accepted rows persist, so the RESULT
+      is unaffected; the late observable is an at-least-once upper
+      bound under replays (exactly-once drop attribution would need
+      Θ(events) accepted-id state — the wrong trade at scale;
+      tests/test_streaming.py pins both halves of this contract).
 
     Every row kind is merged by min/max/set-union — idempotent and
     commutative — so replays and crash-retries need zero exactly-once
@@ -2012,12 +2012,22 @@ def run_streaming_funnel(
             "event_id",
             epoch_us(F.col("ts")).alias("us"),
         )
-        prev_hi = (
-            _funnel_log_rows(spark, state_dir)
-            .filter(F.col("kind") == "h")
-            .groupBy("user_id")
-            .agg(F.max("val").alias("prev_hi"))
-        )
+        # frontier probe WITHOUT the set-log distinct: max() is the
+        # merge and is duplicate-insensitive, so the distinct's extra
+        # Θ(users) shuffle on this hot per-batch path buys nothing
+        # (code-review r10); the kind filter partition-prunes the base
+        parts = statelog.read_parts(spark, state_dir)
+        if parts:
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            prev_hi = (
+                u.filter(F.col("kind") == "h")
+                .groupBy("user_id")
+                .agg(F.max("val").alias("prev_hi"))
+            )
+        else:
+            prev_hi = spark.createDataFrame([], "user_id bigint, prev_hi bigint")
         ev = ev.join(prev_hi, "user_id", "left").persist(
             StorageLevel.DISK_ONLY
         )
@@ -2139,7 +2149,12 @@ def streaming_funnel_result(spark, state_dir: str) -> DataFrame:
 
 
 def streaming_funnel_late(spark, state_dir: str) -> DataFrame:
-    """The drop-and-count observable: one row per dropped event id."""
+    """The drop-and-count observable: one row per dropped event id.
+    Per-DELIVERY semantics (see ``run_streaming_funnel``): a redelivery
+    arriving behind a since-advanced frontier reports here even when
+    the event's original delivery was accepted and its effects are in
+    the result — an at-least-once upper bound, the same contract as
+    Spark's numRowsDroppedByWatermark."""
     return (
         _funnel_log_rows(spark, state_dir)
         .filter(F.col("kind") == "l")
@@ -2161,15 +2176,10 @@ RETENTION_MAX_OFFSET = 7
 
 
 def _retention_log_rows(spark, state_dir: str) -> DataFrame:
+    """The row set the retention log denotes (shared set-log reader)."""
     from adv_big_data_indexing_spark.streaming import statelog
 
-    parts = statelog.read_parts(spark, state_dir)
-    if not parts:
-        return spark.createDataFrame([], _RETENTION_LOG_SCHEMA)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    return statelog.read_set_log(spark, state_dir, _RETENTION_LOG_SCHEMA)
 
 
 def _retention_state(log: DataFrame):

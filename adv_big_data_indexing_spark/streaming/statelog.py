@@ -129,3 +129,19 @@ def compact(
         partition_by=partition_by,
     )
     shutil.rmtree(_deltas_dir(log_dir), ignore_errors=True)
+
+
+def read_set_log(spark, log_dir: str, schema: str) -> DataFrame:
+    """base ∪ deltas with duplicate rows removed — the SET the log
+    denotes (distinct() as the merge). Returns an empty frame of
+    ``schema`` when the log does not exist. The shared reader for
+    every set-semantics log (the dedup index's sigs/bands/pairs, the
+    funnel and retention twins' kind/val rows) — single-sourced so a
+    merge-read fix lands once (code-review r10)."""
+    parts = read_parts(spark, log_dir)
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

@@ -2159,11 +2159,20 @@ def test_streaming_funnel_replay_compaction_and_pruning(spark, tmp_path):
     got = _funnel_curve(ev.streaming_funnel_result(spark, state))
     assert len(got) == 1 and got[0][4] is False  # signup, no qualifying click
 
-    # whole-stream replay on warm state: unchanged
+    # whole-stream replay on warm state: the RESULT is unchanged (the
+    # original deliveries' rows persist; min/max/set merges), while the
+    # late observable gains PER-DELIVERY rows for the redelivered
+    # clicks — they now arrive behind the frontier other batches
+    # advanced (minute 60 − 600 s), the same at-least-once contract as
+    # Spark's numRowsDroppedByWatermark (code-review r10)
     ev.run_streaming_funnel(
         mkstream(), state, str(tmp_path / "pr_ck2"), delay_sec=600
     ).awaitTermination(300)
     assert _funnel_curve(ev.streaming_funnel_result(spark, state)) == got
+    late_after_replay = sorted(
+        r.event_id for r in ev.streaming_funnel_late(spark, state).collect()
+    )
+    assert late_after_replay == [1, 2, 3, 4]  # redeliveries, not data loss
 
     pre = ev._funnel_log_rows(spark, state)
     assert pre.filter((F.col("kind") == "c")).count() == 4  # candidates held

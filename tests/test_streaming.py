@@ -2402,3 +2402,33 @@ def test_streaming_retention_rebase_replay_and_prune(spark, tmp_path):
     import os as _os
 
     assert _os.path.isdir(_os.path.join(state, "base", "kind=d"))
+
+
+def test_statelog_log_rows_counts_footers_and_skips_hidden(spark, tmp_path):
+    """statelog.log_rows is the compaction emptiness guard: parquet
+    FOOTER row counts over base+deltas, hidden paths excluded — a
+    zero-row (schema-carrying) delta must count as 0, and a torn
+    _temporary tree must not count at all."""
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    log = str(tmp_path / "lr_log")
+    assert statelog.log_rows(log) == 0  # absent log
+    schema = "user_id bigint, kind string, val bigint"
+    statelog.append_delta(spark.createDataFrame([], schema), log, 0)
+    assert statelog.log_rows(log) == 0  # zero-row file, not zero files
+    statelog.append_delta(
+        spark.createDataFrame([(1, "h", 5), (2, "h", 6)], schema), log, 1
+    )
+    assert statelog.log_rows(log) == 2
+    torn = tmp_path / "lr_log" / "deltas" / "batch=2" / "_temporary"
+    torn.mkdir(parents=True)
+    spark.range(7).coalesce(1).write.parquet(str(torn / "t.parquet"))
+    assert statelog.log_rows(log) == 2  # hidden rows invisible
+    statelog.compact(
+        spark,
+        log,
+        statelog.read_set_log(spark, log, schema),
+        2,
+        partition_by="kind",
+    )
+    assert statelog.log_rows(log) == 2  # counts the partitioned base

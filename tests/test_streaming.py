@@ -2432,3 +2432,58 @@ def test_statelog_log_rows_counts_footers_and_skips_hidden(spark, tmp_path):
         partition_by="kind",
     )
     assert statelog.log_rows(log) == 2  # counts the partitioned base
+
+
+def test_streaming_funnel_own_batch_max_never_drops(spark, tmp_path):
+    """Sharp boundary of the update-at-batch-end contract: a batch that
+    ADVANCES a user's frontier by more than delay must still accept its
+    own older events (they are judged against the PRIOR frontier), even
+    though they are behind the new frontier − delay the moment the
+    batch commits. Only the NEXT delivery behind the advanced horizon
+    drops."""
+    import datetime as dt
+
+    from adv_big_data_indexing_spark.operators.timeseries import ts_funnel
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(minutes=minute)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    b1 = [(1, t(0), 1, "signup", 1.0, "{}")]  # frontier = minute 0
+    # one batch: frontier jumps to minute 120 (>> delay 600 s) AND the
+    # same batch carries the click at minute 2 — accepted (prior
+    # frontier 0 - 600 s is far below it), completing signup->click
+    b2 = [
+        (2, t(120), 1, "view", 1.0, "{}"),
+        (3, t(2), 1, "click", 1.0, "{}"),
+    ]
+    # next batch: purchase at minute 5 is now BEHIND 120 - 10 -> drops
+    b3 = [(4, t(5), 1, "purchase", 1.0, "{}")]
+    src = str(tmp_path / "ob_src")
+    state = str(tmp_path / "ob_state")
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(b1, schema).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev.run_streaming_funnel(
+        stream, state, str(tmp_path / "ob_ck"), delay_sec=600
+    ).awaitTermination(300)
+    got = _funnel_curve(ev.streaming_funnel_result(spark, state))
+    us = lambda m: int(t(m).timestamp()) * 1_000_000  # noqa: E731
+    assert got == [(1, us(0), us(2), None, True, False)]
+    assert [r.event_id for r in ev.streaming_funnel_late(spark, state).collect()] == [4]
+    # batch equivalence on the accepted subset
+    acc = str(tmp_path / "ob_acc")
+    spark.createDataFrame(b1 + b2, schema).coalesce(1).write.parquet(
+        f"{acc}/events.parquet"
+    )
+    assert got == _funnel_curve(ts_funnel(spark, acc))

@@ -9,8 +9,9 @@ and the accumulated verified pair set equal to the full-corpus
 ``ns_dedup_minhash_lsh`` result under ANY chunking of the same
 documents (tests/test_streaming_corpus.py).
 
-The state discipline is the fifth in the repo's streaming inventory
-(COVERAGE.md §2.H): append-only SET state with distinct-at-read.
+The state discipline (COVERAGE.md §2.H inventory): append-only SET
+state with distinct-at-read — shared, since r10, with the funnel and
+log-structured retention twins via ``statelog.read_set_log``.
 Indexed facts (a doc's shingle-hash set, its band keys, a verified
 pair) are immutable rows of a growing set, so every log supports the
 survival frontier's LSM layout (Θ(batch) appends, bounded-fan-in

@@ -140,6 +140,16 @@ _DRIVER_WINDOW_R10 = (
     #                      pricing the routed variant's pair recall
 )
 
+# ROUND-11 ROTATION PLAN: regenerate docs/ROTATION_LEDGER.md from
+# CORRECTNESS_r10 FIRST, then fill in this priority order:
+#   1. all 40 r6-stale rows (the oldest tier once the r10 window
+#      greens — doc_parents_having, doc_roundtrip_flat, the ext_agg_*
+#      family, ...; trust the REGENERATED ledger, never this comment);
+#   2. the remaining ~10 slots from oldest-r7 alphabetical;
+#   3. any query whose implementation changes during round 11
+#      displaces from the TAIL of the r7 block (never an r6 row).
+# After r11 no green row should be older than r7.
+
 def _driver_name(name: str) -> str:
     return f"a_{name}" if name in _DRIVER_WINDOW_R10 else name
 

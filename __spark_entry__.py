@@ -62,96 +62,94 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs/ROTATION_LEDGER.md (tools/rotation_ledger.py) records each query's
 # last driver-green round so staleness is auditable.
 #
-# Round 10 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r09
-# FIRST; all 50 r9 rows green, so the r9 window retires whole). Priority
-# order per VERDICT r9 item 1:
-#   1. ALL 7 `_lsh_pair_stats` consumers — the shared helper changed LATE
-#      in r9 (route-never-drop) under the local-parity fallback, so their
-#      CURRENT implementation has never been driver-checked;
-#   2. ALL 41 remaining r5-stale rows (includes the 6 back-fills the r9
-#      plan named: ext_ab_wilson_ci, ext_benford_audit,
-#      ext_chi2_contingency, ext_column_stats, ext_dq_expectations,
-#      ext_k_anonymity_audit);
-#   3. the 2 remaining slots are the round-10 displacement budget:
-#      ext_fuzzy_join_levenshtein (impl changes this round — VERDICT r9
-#      item 5's routed recall-contracted variant) plus its NEW contract
-#      query. Any further mid-round impl change displaces from the TAIL
-#      of the r5 block (never a lead row).
-# After this round no green row is older than r6.
-_DRIVER_WINDOW_R10 = (
-    # --- the 7 _lsh_pair_stats consumers (helper changed late in r9) ---
-    "ns_dedup_minhash_lsh",
-    "ns_dedup_incremental",
-    "ns_dedup_lsh_pair_recall",
-    "ns_dedup_components",
-    "ns_dedup_cluster_stats",
-    "ns_corpus_curation",
-    "ns_dedup_lsh_bucket_audit",
-    # --- all 41 remaining r5-stale rows ---
-    "ext_ab_wilson_ci",
-    "ext_benford_audit",
-    "ext_chi2_contingency",
-    "ext_column_stats",
-    "ext_dq_expectations",
-    "ext_k_anonymity_audit",
-    "ext_rollup_merge",
-    "ext_tpch_q14_shape",
-    "ext_tpch_q20_shape",
-    "ext_tpch_q21_shape",
-    "ext_tpch_q7_shape",
-    "ext_zonemap_prune",
-    "ns_ann_ivf_recall",
-    "ns_ann_topk_bruteforce",
-    "ns_assoc_rules",
-    "ns_bm25_topk",
-    "ns_bpe_apply_fertility",
-    "ns_bpe_train_merges",
-    "ns_dataset_card",
-    "ns_dedup_span_coverage",
-    "ns_doc_chunking",
-    "ns_embed_matryoshka",
-    "ns_embed_pca_power",
-    "ns_embed_quantize_int8",
-    "ns_graph_bfs_hops",
-    "ns_graph_pagerank",
-    "ns_multimodal_resize",
-    "ns_quality_curriculum",
-    "ns_spatial_grid_join",
-    "ns_text_collocations_pmi",
-    "ns_tfidf_keywords",
-    "ts_cusum_alarm",
-    "ts_downsample_lttb",
-    "ts_forecast_backtest",
-    "ts_gapfill_locf",
-    "ts_holt_forecast",
-    "ts_holt_winters",
-    "ts_ohlc_bars",
-    "ts_resample_interp",
-    "ts_seasonality_profile",
-    "ts_sliding_rate_flags",
-    # --- implementation changes during round 10 (displacement budget) ---
-    "ext_fuzzy_join_levenshtein",  # recall-contracted q-gram routing above
-    #                      a corpus-size cap (VERDICT r9 item 5); the
-    #                      shipped r9 form is the BLOCK join — the PassJoin
-    #                      rewrite was measured exact-but-slower and
-    #                      REVERTED (commit 461da16, BASELINE.md) — and
-    #                      below the cap (every driver SF) it is unchanged
-    "ext_fuzzy_join_token_recall",  # NEW this round: the contract query
-    #                      pricing the routed variant's pair recall
+# Round 11 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r10
+# FIRST; all 50 r10 rows green, so the r10 window retires whole). Priority
+# order per VERDICT r10 item 1:
+#   1. ext_triangle_count LEADS — its physical plan changed in r10
+#      (commit 4beb990, explicit broadcast on the scalar crossJoin side)
+#      under the local-parity fallback with no driver slot, so its
+#      CURRENT plan has never been driver-checked;
+#   2. ALL 37 r6-stale rows (the oldest tier in the regenerated ledger);
+#   3. 11 oldest-r7 rows alphabetical (doc_etag_pipeline ..
+#      ext_not_in_null);
+#   4. the 1 remaining slot is the round-11 displacement budget:
+#      ext_fuzzy_join_token_recall (impl changes this round — ADVICE r10
+#      zero-exact guard on the recall division, both engines). Any
+#      further mid-round impl change displaces from the TAIL of the r7
+#      block (never an r6 row or the lead row).
+# After this round no green row is older than r7.
+_DRIVER_WINDOW_R11 = (
+    # --- plan changed in r10 with no driver slot (fallback rule) ---
+    "ext_triangle_count",
+    # --- all 37 r6-stale rows ---
+    "doc_parents_having",
+    "doc_roundtrip_flat",
+    "doc_search_rehydrated",
+    "doc_shred_entities",
+    "ext_agg_cube",
+    "ext_agg_distinct",
+    "ext_agg_rollup",
+    "ext_approx_distinct_portable",
+    "ext_approx_percentile",
+    "ext_argmax",
+    "ext_bitwise",
+    "ext_bloom_semijoin",
+    "ext_conditionals",
+    "ext_correlated_above_avg",
+    "ext_grouping_id",
+    "ext_grouping_sets",
+    "ext_histogram",
+    "ext_join_anti",
+    "ext_join_broadcast_star",
+    "ext_join_full_outer",
+    "ext_join_left_null",
+    "ext_join_tpch_q5",
+    "ext_tpch_q10_shape",
+    "ext_tpch_q13_shape",
+    "ext_tpch_q15_shape",
+    "ext_tpch_q16_shape",
+    "ext_tpch_q17_shape",
+    "ext_tpch_q19_shape",
+    "ext_tpch_q22_shape",
+    "ext_tpch_q4_shape",
+    "ext_tpch_q6_shape",
+    "ext_tpch_q8_shape",
+    "ext_tpch_q9_shape",
+    "ns_minhash_jaccard_estimate",
+    "ts_ooo_audit",
+    "ts_seasonal_decompose",
+    "ts_survival_km",
+    # --- 11 oldest-r7 rows, alphabetical ---
+    "doc_etag_pipeline",
+    "doc_get_mapping",
+    "ext_array_ops",
+    "ext_auc_exact",
+    "ext_equidepth_histogram",
+    "ext_join_size_estimate",
+    "ext_json_extract",
+    "ext_listagg",
+    "ext_mad_outliers",
+    "ext_map_ops",
+    "ext_not_in_null",
+    # --- implementation changes during round 11 (displacement budget) ---
+    "ext_fuzzy_join_token_recall",  # ADVICE r10: zero-exact guard on the
+    #                      recall division (CASE WHEN / F.when on both
+    #                      engines) so a degenerate slice yields NULL in
+    #                      both rather than NaN-vs-NULL divergence
 )
 
-# ROUND-11 ROTATION PLAN: regenerate docs/ROTATION_LEDGER.md from
-# CORRECTNESS_r10 FIRST, then fill in this priority order:
-#   1. all 40 r6-stale rows (the oldest tier once the r10 window
-#      greens — doc_parents_having, doc_roundtrip_flat, the ext_agg_*
-#      family, ...; trust the REGENERATED ledger, never this comment);
-#   2. the remaining ~10 slots from oldest-r7 alphabetical;
-#   3. any query whose implementation changes during round 11
-#      displaces from the TAIL of the r7 block (never an r6 row).
-# After r11 no green row should be older than r7.
+# ROUND-12 ROTATION PLAN: regenerate docs/ROTATION_LEDGER.md from
+# CORRECTNESS_r11 FIRST, then fill in this priority order:
+#   1. the ~36 remaining r7-stale rows (ext_percentile, ext_pivot,
+#      ext_posexplode, the op_a* block, ...; trust the REGENERATED
+#      ledger, never this comment);
+#   2. the remaining slots from oldest-r8 alphabetical;
+#   3. any query whose implementation changes during round 12
+#      displaces from the TAIL of the r8 block (never an r7 row).
+# After r12 no green row should be older than r8.
 
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R10 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R11 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

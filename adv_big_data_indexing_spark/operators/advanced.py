@@ -900,7 +900,8 @@ _DUCK_FUZZY_SLICE = f"""
     )
     SELECT CAST(count(*) AS BIGINT) AS n_exact,
            CAST(count(r.key_a) AS BIGINT) AS n_hit,
-           CAST(count(r.key_a) AS DOUBLE) / count(*) AS recall
+           CASE WHEN count(*) = 0 THEN NULL
+                ELSE CAST(count(r.key_a) AS DOUBLE) / count(*) END AS recall
     FROM exact e LEFT JOIN routed r
       ON e.key_a = r.key_a AND e.key_b = r.key_b
     """,
@@ -935,10 +936,17 @@ def ext_fuzzy_join_token_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("key_a") == F.col("r_key_a")) & (F.col("key_b") == F.col("r_key_b")),
         "left",
     )
+    # zero-exact guard (ADVICE r10): on a degenerate slice with no
+    # qualifying pairs, 0.0/0 is NaN in Spark but NULL in DuckDB —
+    # both engines now agree on NULL for the empty-exact edge
     return joined.agg(
         F.count("*").alias("n_exact"),
         F.count("r_key_a").alias("n_hit"),
-        (F.count("r_key_a").cast("double") / F.count("*")).alias("recall"),
+        F.when(
+            F.count("*") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(F.count("r_key_a").cast("double") / F.count("*"))
+        .alias("recall"),
     )
 
 

@@ -339,7 +339,13 @@ def _lsh_pair_stats(
     per pair — negligible, and the oracle mirrors the same hashes, so
     results stay bit-identical). A pair colliding in several bands is
     emitted per band — identical stats each time; callers dedup after
-    thresholding."""
+    thresholding.
+
+    ``spark.advbdi.maxLshBucket`` is read from session conf at
+    DataFrame BUILD time, not execution time (ADVICE r10): set it
+    BEFORE calling this function — setting or changing it after the
+    pair frame is constructed has no effect on that frame (unlike true
+    runtime confs such as shuffle.partitions under AQE)."""
     bands, carry = _banded(sh, with_mhs)
     # Bucket size via a PARTITIONED window, not a count+join-back: the
     # window adds no exchange beyond the (band, band_key) shuffle the

@@ -17,6 +17,22 @@ from pyspark.sql import functions as F
 from adv_big_data_indexing_spark.functions.exact import dec
 
 
+def _concat_batches(pdf_iter, **empty_dtypes):
+    """Total concat over ``applyInPandasWithState``'s per-key batch
+    iterator: ``pd.concat([])`` raises, so a yield-nothing delivery
+    (latent — Spark normally delivers data per key) gets an empty
+    TYPED frame carrying exactly the columns the fold touches
+    (ADVICE r10, applied to every state fold, not just rate_flag)."""
+    import pandas as pd  # noqa: PLC0415
+
+    chunks = list(pdf_iter)
+    if chunks:
+        return pd.concat(chunks, ignore_index=True)
+    return pd.DataFrame(
+        {c: pd.Series([], dtype=t) for c, t in empty_dtypes.items()}
+    )
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """10-min tumbling window counts/sums; late rows beyond the watermark
     are dropped (the append-mode contract)."""
@@ -136,7 +152,9 @@ def anomaly_zscores(events: DataFrame) -> DataFrame:
         (user_id,) = key
         buf = list(state.get[0]) if state.exists else []
         out = {k: [] for k in ("user_id", "event_id", "ts", "value", "z")}
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = _concat_batches(
+            pdf_iter, ts="datetime64[ns]", event_id="int64", value="float64"
+        )
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         for _, row in pdf.iterrows():
             # HALF_UP like Spark's F.round (Python round() is banker's):
@@ -204,7 +222,9 @@ def cusum_alarms(events: DataFrame, mu_q: int) -> DataFrame:
         (user_id,) = key
         s_carry = int(state.get[0]) if state.exists else 0
         out = {c: [] for c in ("user_id", "event_id", "ts", "value", "s_q")}
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = _concat_batches(
+            pdf_iter, ts="datetime64[ns]", event_id="int64", value="float64"
+        )
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         for _, row in pdf.iterrows():
             x = int(math.floor(float(row["value"]) * 1000.0))
@@ -485,7 +505,9 @@ def holt_forecasts(events: DataFrame) -> DataFrame:
             l, b, n = (int(v) for v in state.get)
         else:
             l, b, n = 0, 0, 0
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = _concat_batches(
+            pdf_iter, ts="datetime64[ns]", event_id="int64", value="float64"
+        )
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         for v in pdf["value"]:
             x = int(math.floor(float(v) * 1000.0))
@@ -588,7 +610,7 @@ def holt_winters_monitor(hourly: DataFrame) -> DataFrame:
         else:
             l, b, n, last_h = 0, 0, 0, -1
             s = [0] * HW_PERIOD
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = _concat_batches(pdf_iter, h="int64", x="int64")
         pdf = pdf.sort_values("h").reset_index(drop=True)
         for h, x in zip((int(v) for v in pdf["h"]), (int(v) for v in pdf["x"])):
             if n == 0:
@@ -798,7 +820,9 @@ def locf_monitor(events: DataFrame) -> DataFrame:
         # pre-first-chain late events (bucket < first_b): nothing in the
         # sink to contradict — buffer last-wins per bucket, flush below
         prefix: dict[int, int] = {}
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = _concat_batches(
+            pdf_iter, ts="datetime64[ns]", event_id="int64", value="float64"
+        )
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         for _, row in pdf.iterrows():
             ts_us = int(row["ts"].value) // 1000
@@ -914,7 +938,7 @@ def rate_flag_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
             max_sec, n_late = None, 0
         horizon_old = None if max_sec is None else max_sec - delay_sec
 
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = _concat_batches(pdf_iter, ts="datetime64[ns]", event_id="int64")
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         # lateness partition, vectorized (VERDICT r9 item 6: this was
         # the last per-row Python loop in a hot kernel — same numpy
@@ -1004,7 +1028,9 @@ def markov_transition_deltas(events: DataFrame) -> DataFrame:
         else:
             last_type, last_ts, last_eid, n_late = None, -1, -1, 0
         out = {"from_state": [], "to_state": []}
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = _concat_batches(
+            pdf_iter, ts="datetime64[ns]", event_id="int64", event_type="object"
+        )
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         for _, row in pdf.iterrows():
             ts_us = int(row["ts"].value) // 1000
@@ -1178,7 +1204,9 @@ def funnel_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
             buf, sig, clk, pur, max_us, n_late = [], -1, -1, -1, -1, 0
         horizon_old = None if max_us < 0 else max_us - delay_us
 
-        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf = _concat_batches(
+            pdf_iter, ts="datetime64[ns]", event_id="int64", event_type="object"
+        )
         for _, row in pdf.iterrows():
             ts_us = int(row["ts"].value) // 1000
             if horizon_old is not None and ts_us < horizon_old:
@@ -2031,6 +2059,15 @@ def run_streaming_funnel(
         ev = ev.join(prev_hi, "user_id", "left").persist(
             StorageLevel.DISK_ONLY
         )
+        # try/finally so a raise in append_delta/compaction cannot leak
+        # the DISK_ONLY blocks across foreachBatch retries (ADVICE r10;
+        # same leak class as consistent_materialize's r9 fix)
+        try:
+            _fold_body(ev, batch_id, spark)
+        finally:
+            ev.unpersist()
+
+    def _fold_body(ev: DataFrame, batch_id: int, spark) -> None:
         late = ev.filter(
             F.col("prev_hi").isNotNull()
             & (F.col("us") < F.col("prev_hi") - F.lit(delay_us))
@@ -2117,7 +2154,6 @@ def run_streaming_funnel(
             statelog.compact(
                 spark, state_dir, merged, batch_id, partition_by="kind"
             )
-        ev.unpersist()
 
     return (
         events.writeStream.foreachBatch(fold)

@@ -58,25 +58,33 @@ def test_degenerate_bucket_routed_never_dropped(spark):
 
 
 def test_max_lsh_bucket_ceiling_raises_never_drops(spark):
-    """ADVICE r10: spark.advbdi.maxLshBucket is a LOUD fail-fast on
-    bucket degeneracy — buckets beyond it raise with the band key in
-    the message instead of silently dropping pairs; unset/0 leaves the
-    expansion unbounded (default behavior unchanged)."""
+    """ADVICE r10 / VERDICT r10 item 6: spark.advbdi.maxLshBucket is a
+    LOUD fail-fast on bucket degeneracy — buckets beyond it raise with
+    the OFFENDING BAND KEY in the message (so the operator can re-key
+    exactly that cluster) instead of silently dropping pairs; unset/0
+    must be BIT-IDENTICAL to never having set the conf."""
     import pytest
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     sh = _synthetic_sh(spark, n_hot=12)
+    baseline = _pairset(_lsh_pair_stats(sh))  # conf never set
+    assert len(baseline) == 66
     try:
         spark.conf.set("spark.advbdi.maxLshBucket", "8")
-        with pytest.raises(SparkRuntimeException, match="maxLshBucket"):
+        with pytest.raises(SparkRuntimeException, match="maxLshBucket") as ei:
             _lsh_pair_stats(sh).collect()
-        # at/below the ceiling: full pair set, no behavior change
+        # the message names the offending bucket: band index, band key,
+        # and the size that tripped the ceiling
+        msg = str(ei.value)
+        assert "band=" in msg and "band_key=" in msg and "size=12" in msg
+        # at/below the ceiling and at 0: bit-identical to the baseline
         spark.conf.set("spark.advbdi.maxLshBucket", "12")
-        assert len(_pairset(_lsh_pair_stats(sh))) == 66
+        assert _pairset(_lsh_pair_stats(sh)) == baseline
         spark.conf.set("spark.advbdi.maxLshBucket", "0")
-        assert len(_pairset(_lsh_pair_stats(sh))) == 66
+        assert _pairset(_lsh_pair_stats(sh)) == baseline
     finally:
         spark.conf.unset("spark.advbdi.maxLshBucket")
+    assert _pairset(_lsh_pair_stats(sh)) == baseline  # unset again
 
 
 def test_audit_reports_degenerate_bucket_pairs(spark):

@@ -156,29 +156,46 @@ def anomaly_zscores(events: DataFrame) -> DataFrame:
             pdf_iter, ts="datetime64[ns]", event_id="int64", value="float64"
         )
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        for _, row in pdf.iterrows():
+        # vectorized sliding-window fold (VERDICT r10 item 2): the carry
+        # is the trailing ANOM_WINDOW quantized values and NOTHING the
+        # output feeds back into (buf appends unconditionally), so each
+        # row's (n, sum, sumsq) window is a prefix-sum difference over
+        # state-buf ++ batch. The int64 prefix sums may wrap on a huge
+        # batch, but the DIFFERENCE is exact mod 2^64 and the true
+        # window sum fits (≤ ANOM_WINDOW terms — the identical bound the
+        # per-row fold relied on), so wrapped-prefix differences are
+        # bit-exact. Same fixed-order float64 ops as before: s/n,
+        # ss/n - mean², (qx - mean)/sqrt(var).
+        if len(pdf):
             # HALF_UP like Spark's F.round (Python round() is banker's):
-            # sign-aware so negative values also round half-away-from-zero
+            # sign-aware so negative values round half-away-from-zero
             # and stay bit-identical to the batch twin ts_anomaly_zscore
-            v = float(row["value"]) * ANOM_Q
-            qx = int(np.copysign(np.floor(abs(v) + 0.5), v))
-            n = len(buf)
-            if n >= ANOM_MIN_N:
-                arr = np.array(buf, dtype=np.int64)
-                s, ss = int(arr.sum()), int((arr * arr).sum())
-                mean = float(s) / n
-                var = float(ss) / n - mean * mean
-                if var > 0:
-                    z = (float(qx) - mean) / np.sqrt(var)
-                    if abs(z) > ANOM_Z:
-                        out["user_id"].append(user_id)
-                        out["event_id"].append(int(row["event_id"]))
-                        out["ts"].append(row["ts"])
-                        out["value"].append(float(row["value"]))
-                        out["z"].append(float(z))
-            buf.append(qx)
-            if len(buf) > ANOM_WINDOW:
-                buf.pop(0)
+            vals = pdf["value"].to_numpy(dtype="float64")
+            sv = vals * ANOM_Q
+            qx = np.copysign(np.floor(np.abs(sv) + 0.5), sv).astype(np.int64)
+            k = len(buf)
+            seq = np.concatenate([np.asarray(buf, dtype=np.int64), qx])
+            c1 = np.concatenate(([0], np.cumsum(seq)))
+            c2 = np.concatenate(([0], np.cumsum(seq * seq)))
+            idx = np.arange(k, k + len(qx))
+            n = np.minimum(idx, ANOM_WINDOW)  # trailing-window size
+            s = c1[idx] - c1[idx - n]
+            ss = c2[idx] - c2[idx - n]
+            nf = n.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = s.astype(np.float64) / nf
+                var = ss.astype(np.float64) / nf - mean * mean
+            ok = (n >= ANOM_MIN_N) & (var > 0)
+            z = np.zeros(len(qx), dtype=np.float64)
+            z[ok] = (qx[ok].astype(np.float64) - mean[ok]) / np.sqrt(var[ok])
+            hit = ok & (np.abs(z) > ANOM_Z)
+            if hit.any():
+                out["user_id"] = [user_id] * int(hit.sum())
+                out["event_id"] = [int(e) for e in pdf["event_id"].to_numpy()[hit]]
+                out["ts"] = list(pdf["ts"][hit])
+                out["value"] = [float(x) for x in vals[hit]]
+                out["z"] = [float(x) for x in z[hit]]
+            buf = [int(x) for x in seq[-ANOM_WINDOW:]]
         state.update(([int(x) for x in buf],))
         yield pd.DataFrame(out)
 
@@ -217,7 +234,7 @@ def cusum_alarms(events: DataFrame, mu_q: int) -> DataFrame:
     k, h = mu_q // CUSUM_KDIV, CUSUM_HMUL * mu_q
 
     def update(key, pdf_iter, state):
-        import math  # noqa: PLC0415
+        import numpy as np  # noqa: PLC0415
 
         (user_id,) = key
         s_carry = int(state.get[0]) if state.exists else 0
@@ -226,16 +243,40 @@ def cusum_alarms(events: DataFrame, mu_q: int) -> DataFrame:
             pdf_iter, ts="datetime64[ns]", event_id="int64", value="float64"
         )
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        for _, row in pdf.iterrows():
-            x = int(math.floor(float(row["value"]) * 1000.0))
-            s_carry = max(0, s_carry + x - mu_q - k)
-            if s_carry > h:
+        # vectorized alarm-segment fold (VERDICT r10 item 2): between
+        # alarms the clipped recurrence s_i = max(0, s_{i-1} + d_i) has
+        # the closed form s_i = max(0, P_i - min(-s0, min_{u<i} P_u))
+        # (P = running sum of d), so each segment is one cumsum + one
+        # running min; the Python loop runs once PER ALARM (an alarm
+        # resets s to 0 and needs > h of fresh drift to fire again, so
+        # alarms are ~h/|d|-spaced — each pays O(rest-of-batch) numpy,
+        # not O(1) Python per ROW). Same int arithmetic as before
+        # (int64 vs unbounded Python int: the batch twin's Spark-side
+        # recurrence is BIGINT too, so the bound is shared).
+        if len(pdf):
+            vals = pdf["value"].to_numpy(dtype="float64")
+            d = np.floor(vals * 1000.0).astype(np.int64) - mu_q - k
+            eids = pdf["event_id"].to_numpy(dtype="int64")
+            j, s0, n_rows = 0, s_carry, len(d)
+            while j < n_rows:
+                p = np.cumsum(d[j:])
+                m = np.minimum.accumulate(
+                    np.concatenate(([np.int64(-s0)], p[:-1]))
+                )
+                s = np.maximum(0, p - m)
+                over = np.nonzero(s > h)[0]
+                if not len(over):
+                    s0 = int(s[-1])
+                    break
+                a = int(over[0])
                 out["user_id"].append(user_id)
-                out["event_id"].append(int(row["event_id"]))
-                out["ts"].append(row["ts"])
-                out["value"].append(float(row["value"]))
-                out["s_q"].append(s_carry)
-                s_carry = 0
+                out["event_id"].append(int(eids[j + a]))
+                out["ts"].append(pdf["ts"].iloc[j + a])
+                out["value"].append(float(vals[j + a]))
+                out["s_q"].append(int(s[a]))
+                s0 = 0
+                j += a + 1
+            s_carry = s0
         state.update((s_carry,))
         yield pd.DataFrame(out)
 
@@ -695,7 +736,7 @@ def lttb_window_monitor(
             lttb_kernel,
         )
 
-        import math  # noqa: PLC0415
+        import numpy as np  # noqa: PLC0415
 
         user_id, win_us = key
         if state.hasTimedOut:
@@ -720,12 +761,22 @@ def lttb_window_monitor(
         eids, xus, ys, vals = (
             (list(c) for c in state.get) if state.exists else ([], [], [], [])
         )
+        # pure columnwise append — no carry, so fully vectorized
+        # (VERDICT r10 item 2; per-row A/B in docs/EXPANSION_SITES.md)
         for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                eids.append(int(row["event_id"]))
-                xus.append(int(row["ts"].value) // 1000)
-                ys.append(int(math.floor(float(row["value"]) * 1000.0)))
-                vals.append(float(row["value"]))
+            if not len(pdf):
+                continue
+            v = pdf["value"].to_numpy(dtype="float64")
+            eids.extend(
+                int(e) for e in pdf["event_id"].to_numpy(dtype="int64")
+            )
+            xus.extend(
+                int(x)
+                for x in pdf["ts"].to_numpy(dtype="datetime64[ns]").view("int64")
+                // 1000
+            )
+            ys.extend(int(y) for y in np.floor(v * 1000.0).astype("int64"))
+            vals.extend(float(x) for x in v)
         state.update(
             ([int(e) for e in eids], [int(x) for x in xus], [int(y) for y in ys],
              [float(v) for v in vals])
@@ -798,7 +849,7 @@ def locf_monitor(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
 
     def update(key, pdf_iter, state):
-        import math  # noqa: PLC0415
+        import numpy as np  # noqa: PLC0415
 
         (user_id,) = key
         if state.exists:
@@ -824,28 +875,59 @@ def locf_monitor(events: DataFrame) -> DataFrame:
             pdf_iter, ts="datetime64[ns]", event_id="int64", value="float64"
         )
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        for _, row in pdf.iterrows():
-            ts_us = int(row["ts"].value) // 1000
-            eid = int(row["event_id"])
-            bucket = ts_us // 3_600_000_000
-            x = int(math.floor(float(row["value"]) * 1000.0))
-            if pend_b is None:
-                pend_b, pend_x, pend_ts, pend_eid = bucket, x, ts_us, eid
-                first_b = bucket
-            elif bucket < first_b:
-                prefix[bucket] = x  # sorted batch: later (ts,eid) overwrites
-            elif bucket < pend_b:
-                n_late += 1  # bucket already finalized in the sink: drop
-            elif bucket == pend_b:
-                # later observation in the same bucket wins — by event
-                # order, not arrival order (cross-batch late rows lose)
-                if (ts_us, eid) > (pend_ts, pend_eid):
-                    pend_x, pend_ts, pend_eid = x, ts_us, eid
-            else:
-                emit(pend_b, pend_x, False)
-                for g in range(pend_b + 1, bucket):
-                    emit(g, pend_x, True)
-                pend_b, pend_x, pend_ts, pend_eid = bucket, x, ts_us, eid
+        # vectorized per-row reduction (VERDICT r10 item 2): buckets are
+        # MONOTONE in the (ts, event_id)-sorted batch, so the running
+        # prefix/late/chain classification collapses to two searchsorted
+        # splits against the carried (first_b, pend_b), last-wins per
+        # bucket collapses to the last row of each bucket run, and only
+        # the chain advance remains a loop — over DISTINCT buckets, each
+        # iteration emitting ≥1 output row (output-sized, the inherent
+        # cost; the gap emits ARE the operator's output).
+        n_rows = len(pdf)
+        if n_rows:
+            b_ts = pdf["ts"].to_numpy(dtype="datetime64[ns]").view("int64") // 1000
+            b_eid = pdf["event_id"].to_numpy(dtype="int64")
+            b_x = np.floor(pdf["value"].to_numpy(dtype="float64") * 1000.0).astype(
+                np.int64
+            )
+            b_bkt = b_ts // 3_600_000_000
+            i0 = 0
+            if pend_b is not None:
+                npref = int(np.searchsorted(b_bkt, first_b, side="left"))
+                if npref:
+                    pb, px = b_bkt[:npref], b_x[:npref]
+                    last = np.ones(npref, dtype=bool)
+                    last[:-1] = pb[1:] != pb[:-1]
+                    for b_, x_ in zip(pb[last], px[last]):
+                        prefix[int(b_)] = int(x_)  # last (ts,eid) per bucket
+                i0 = int(np.searchsorted(b_bkt, pend_b, side="left"))
+                n_late += max(0, i0 - npref)
+            cb, cx = b_bkt[i0:], b_x[i0:]
+            cts, ceid = b_ts[i0:], b_eid[i0:]
+            if len(cb):
+                last = np.ones(len(cb), dtype=bool)
+                last[:-1] = cb[1:] != cb[:-1]
+                ub, ux = cb[last], cx[last]
+                uts, ueid = cts[last], ceid[last]
+                j = 0
+                if pend_b is None:
+                    pend_b, pend_x = int(ub[0]), int(ux[0])
+                    pend_ts, pend_eid = int(uts[0]), int(ueid[0])
+                    first_b = pend_b
+                    j = 1
+                elif int(ub[0]) == pend_b:
+                    # later observation in the same bucket wins — by event
+                    # order, not arrival order (cross-batch late rows lose)
+                    if (int(uts[0]), int(ueid[0])) > (pend_ts, pend_eid):
+                        pend_x = int(ux[0])
+                        pend_ts, pend_eid = int(uts[0]), int(ueid[0])
+                    j = 1
+                for t in range(j, len(ub)):
+                    emit(pend_b, pend_x, False)
+                    for g in range(pend_b + 1, int(ub[t])):
+                        emit(g, pend_x, True)
+                    pend_b, pend_x = int(ub[t]), int(ux[t])
+                    pend_ts, pend_eid = int(uts[t]), int(ueid[t])
         if prefix:
             # flush the prefix chain: observed rows + carried gaps up to
             # the (pre-batch) first chain bucket — the exact rows the
@@ -965,15 +1047,21 @@ def rate_flag_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
             fin = (a_sec >= lo) & (a_sec < horizon_new)
             order = np.lexsort((a_eid[fin], a_ts[fin]))
             f_sec, f_eid, f_ts = a_sec[fin][order], a_eid[fin][order], a_ts[fin][order]
-            for sec, eid, ts_us in zip(f_sec, f_eid, f_ts):
-                n_tr = int(
-                    ((a_sec > sec - RATE_WINDOW_SEC) & (a_sec <= sec)).sum()
-                )
-                if n_tr > RATE_LIMIT:
-                    out["user_id"].append(user_id)
-                    out["event_id"].append(int(eid))
-                    out["ts"].append(pd.Timestamp(int(ts_us) * 1000))
-                    out["n_trailing"].append(n_tr)
+            # trailing counts via two searchsorted sweeps on the sorted
+            # second array (VERDICT r10 item 2): the old per-row mask
+            # re-scanned the WHOLE buffer per finalized event — Θ(n·m)
+            # numpy where this is Θ((n+m)·log m) total, and no Python
+            # loop at all
+            srt = np.sort(a_sec)
+            n_tr = np.searchsorted(srt, f_sec, side="right") - np.searchsorted(
+                srt, f_sec - RATE_WINDOW_SEC, side="right"
+            )
+            hit = n_tr > RATE_LIMIT
+            if hit.any():
+                out["user_id"] = [user_id] * int(hit.sum())
+                out["event_id"] = [int(e) for e in f_eid[hit]]
+                out["ts"] = [pd.Timestamp(int(t) * 1000) for t in f_ts[hit]]
+                out["n_trailing"] = [int(x) for x in n_tr[hit]]
             # prune: pending events (sec >= horizon_new) reach back at most
             # RATE_WINDOW_SEC-1 seconds; older rows can never be read again
             keep = a_sec > horizon_new - RATE_WINDOW_SEC
@@ -1015,6 +1103,7 @@ def markov_transition_deltas(events: DataFrame) -> DataFrame:
     transition chain — it is dropped and counted (``n_late``), the
     standard append-sink lateness contract. State is three scalars per
     user."""
+    import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
@@ -1032,17 +1121,29 @@ def markov_transition_deltas(events: DataFrame) -> DataFrame:
             pdf_iter, ts="datetime64[ns]", event_id="int64", event_type="object"
         )
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        for _, row in pdf.iterrows():
-            ts_us = int(row["ts"].value) // 1000
-            eid = int(row["event_id"])
-            if (ts_us, eid) <= (last_ts, last_eid):
-                n_late += 1  # behind the recorded chain: drop, count
-                continue
-            t = row["event_type"]
-            if last_type is not None:
-                out["from_state"].append(last_type)
-                out["to_state"].append(t)
-            last_type, last_ts, last_eid = t, ts_us, eid
+        # vectorized chain advance (VERDICT r10 item 2): on the sorted
+        # batch the running (last_ts, last_eid) carry reduces to (a) a
+        # mask against the carried chain head, plus (b) adjacent-equal
+        # in-batch duplicates, which the per-row fold also counted late;
+        # the transition pairs are then a plain shift of the live types
+        n = len(pdf)
+        if n:
+            ts_us = pdf["ts"].to_numpy(dtype="datetime64[ns]").view("int64") // 1000
+            eid = pdf["event_id"].to_numpy(dtype="int64")
+            live = (ts_us > last_ts) | ((ts_us == last_ts) & (eid > last_eid))
+            dup = np.zeros(n, dtype=bool)
+            dup[1:] = (ts_us[1:] == ts_us[:-1]) & (eid[1:] == eid[:-1])
+            live &= ~dup
+            n_late += int((~live).sum())
+            types = pdf["event_type"].to_numpy(dtype=object)[live]
+            if len(types):
+                frm = np.concatenate(([last_type], types[:-1]))
+                keep = slice(1, None) if last_type is None else slice(None)
+                out["from_state"] = list(frm[keep])
+                out["to_state"] = list(types[keep])
+                last_type = types[-1]
+                last_ts = int(ts_us[live][-1])
+                last_eid = int(eid[live][-1])
         state.update((last_type, int(last_ts), int(last_eid), int(n_late)))
         yield pd.DataFrame(out)
 
@@ -1187,6 +1288,7 @@ def funnel_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
     trailing-``delay_sec`` buffer of the three step types (other types
     only advance ``max_us``) plus five scalars.
     """
+    import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
@@ -1207,15 +1309,32 @@ def funnel_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
         pdf = _concat_batches(
             pdf_iter, ts="datetime64[ns]", event_id="int64", event_type="object"
         )
-        for _, row in pdf.iterrows():
-            ts_us = int(row["ts"].value) // 1000
-            if horizon_old is not None and ts_us < horizon_old:
-                n_late += 1  # its fold position is already finalized
-                continue
-            max_us = max(max_us, ts_us)
-            t = row["event_type"]
-            if t in _FUNNEL_STEPS:
-                buf.append((ts_us, int(row["event_id"]), t))
+        # vectorized ingest (VERDICT r10 item 2): the per-row carry here
+        # was only max_us, and max() is order-free — mask the late rows
+        # against the PRE-BATCH horizon (exactly what the fold compared
+        # against: horizon_old never moves mid-batch), then buffer the
+        # step rows columnwise
+        if len(pdf):
+            b_us = pdf["ts"].to_numpy(dtype="datetime64[ns]").view("int64") // 1000
+            live = (
+                b_us >= horizon_old
+                if horizon_old is not None
+                else np.ones(len(b_us), dtype=bool)
+            )
+            n_late += int((~live).sum())
+            if live.any():
+                max_us = max(max_us, int(b_us[live].max()))
+                t_arr = pdf["event_type"].to_numpy(dtype=object)
+                step = live & np.isin(t_arr, _FUNNEL_STEPS)
+                if step.any():
+                    b_eid = pdf["event_id"].to_numpy(dtype="int64")
+                    buf.extend(
+                        zip(
+                            (int(x) for x in b_us[step]),
+                            (int(e) for e in b_eid[step]),
+                            t_arr[step],
+                        )
+                    )
 
         out = {c: [] for c in (
             "user_id", "signup_us", "click_us", "purchase_us",
@@ -1225,19 +1344,35 @@ def funnel_monitor(events: DataFrame, delay_sec: int = 3600) -> DataFrame:
             horizon_new = max_us - delay_us
             buf.sort()
             changed = False
-            pending = []
-            for ts_us, eid, t in buf:
-                if ts_us >= horizon_new:
-                    pending.append((ts_us, eid, t))
-                    continue
-                # finalized: fold in event-time order — each slot sets once
-                if t == "signup" and sig < 0:
-                    sig, changed = ts_us, True
-                elif t == "click" and clk < 0 and 0 <= sig < ts_us:
-                    clk, changed = ts_us, True
-                elif t == "purchase" and pur < 0 and 0 <= clk < ts_us:
-                    pur, changed = ts_us, True
-            buf = pending
+            # closed-form fold (VERDICT r10 item 2): the in-order
+            # each-slot-sets-once recurrence IS the chained min — sig =
+            # min finalized signup, clk = min finalized click with
+            # ts > sig, pur = min finalized purchase with ts > clk (an
+            # earlier-sorted event can never satisfy the strict ts
+            # comparison against a later one, so sort position and the
+            # min commute) — three masked mins instead of a Python loop
+            b_ts = np.fromiter((b[0] for b in buf), dtype=np.int64, count=len(buf))
+            fin = b_ts < horizon_new
+            if fin.any():
+                b_t = np.array([b[2] for b in buf], dtype=object)
+
+                def first_after(kind: str, after: int) -> int:
+                    m = fin & (b_t == kind) & (b_ts > after)
+                    return int(b_ts[m].min()) if m.any() else -1
+
+                if sig < 0:
+                    got = first_after("signup", -1)
+                    if got >= 0:
+                        sig, changed = got, True
+                if clk < 0 and sig >= 0:
+                    got = first_after("click", sig)
+                    if got >= 0:
+                        clk, changed = got, True
+                if pur < 0 and clk >= 0:
+                    got = first_after("purchase", clk)
+                    if got >= 0:
+                        pur, changed = got, True
+            buf = [b for b in buf if b[0] >= horizon_new]
             if changed and sig >= 0:
                 out["user_id"].append(user_id)
                 out["signup_us"].append(sig)
@@ -1302,6 +1437,7 @@ def retention_cohort_deltas(events: DataFrame) -> DataFrame:
     UNFILTERED by offset — the ≤7 retention window is applied by the
     result view, so a cohort shift that moves a day into or out of the
     window stays exact."""
+    import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
@@ -1316,7 +1452,9 @@ def retention_cohort_deltas(events: DataFrame) -> DataFrame:
 
         days = set()
         for pdf in pdf_iter:
-            days.update(int(v) // _US_PER_DAY for v in pdf["ts"].astype("int64") // 1000)
+            if len(pdf):
+                us = pdf["ts"].to_numpy(dtype="datetime64[ns]").view("int64") // 1000
+                days.update(int(d) for d in np.unique(us // _US_PER_DAY))
         new_days = days - seen_old
 
         out = {"cohort_day": [], "day_offset": [], "delta": []}

@@ -409,3 +409,132 @@ def test_fuzzy_join_passjoin_matches_bruteforce(spark, tmp_path):
     assert (1, 4) not in {t[:2] for t in exp}  # 4 edits from key 1
     # identical-name twins in OTHER blocks never pair with anyone
     assert not any(k in (7, 8) for t in exp for k in t[:2])
+
+
+# ---------------------------------------------------------------------------
+# streaming state-fold loop inventory (VERDICT r10 item 2)
+# ---------------------------------------------------------------------------
+
+STREAMING = os.path.join(PKG, "streaming")
+
+#: per-ROW Python loops inside an applyInPandasWithState ``update``
+#: whose carry is genuinely order-dependent (each step feeds the next
+#: through non-associative integer ops — no prefix-sum / masked-min /
+#: segment closed form exists). Everything else was vectorized in r11;
+#: docs/EXPANSION_SITES.md §"Per-row state folds" carries the A/B
+#: numbers (tools/probe_fold_vectorization.py).
+ORDER_DEPENDENT_FOLDS = {
+    # l,b carry: d = (x-l-b) DIV A; l += b+d; b += d DIV B — each step's
+    # floor divisions feed the next level/trend, non-associative
+    ("streaming/events.py", "holt_forecasts"),
+    # same recurrence plus the rotating seasonal register s[h % P]
+    ("streaming/events.py", "holt_winters_monitor"),
+}
+
+#: non-per-row loops inside ``update`` functions, classified: iteration
+#: count is output-, alarm-, bucket- or chunk-sized — NOT batch-row-sized.
+CLASSIFIED_FOLD_LOOPS = {
+    # one iteration per ALARM (closed-form cumsum/runmin per segment;
+    # an alarm resets s to 0 and needs > h fresh drift to re-fire)
+    ("streaming/events.py", "cusum_alarms"),
+    # chain advance over DISTINCT buckets + gap emits (the emits ARE
+    # the operator's output rows), incl. the pre-first prefix flush
+    ("streaming/events.py", "locf_monitor"),
+    # set differences over distinct active DAYS (state-sized, day-granular)
+    ("streaming/events.py", "retention_cohort_deltas"),
+}
+
+
+def _update_loops():
+    """Yield (relfile, outer_fn, kind, lineno) for every For/While loop
+    and every iterrows/itertuples/apply call inside an ``update``
+    function in streaming modules. kind: 'chunk' (over pdf_iter),
+    'per-row' (iterates a pdf column / pandas row API), 'other'."""
+    out = []
+    for fname in sorted(os.listdir(STREAMING)):
+        if not fname.endswith(".py"):
+            continue
+        rel = f"streaming/{fname}"
+        tree = ast.parse(open(os.path.join(STREAMING, fname)).read())
+
+        def outer_of(tree, target):
+            stack, hits = [], []
+
+            class V(ast.NodeVisitor):
+                def visit_FunctionDef(self, node):
+                    stack.append(node.name)
+                    if node is target:
+                        hits.append(
+                            stack[0] if len(stack) > 1 else stack[-1]
+                        )
+                    self.generic_visit(node)
+                    stack.pop()
+
+            V().visit(tree)
+            return hits[0]
+
+        for node in ast.walk(tree):
+            if not (isinstance(node, ast.FunctionDef) and node.name == "update"):
+                continue
+            outer = outer_of(tree, node)
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Call) and isinstance(
+                    sub.func, ast.Attribute
+                ) and sub.func.attr in ("iterrows", "itertuples", "apply"):
+                    out.append((rel, outer, "pandas-row-api", sub.lineno))
+                if isinstance(sub, (ast.For, ast.While)):
+                    src = ast.unparse(
+                        sub.iter if isinstance(sub, ast.For) else sub.test
+                    )
+                    if src == "pdf_iter":
+                        kind = "chunk"
+                    elif re.search(r"\bpdf\b", src):
+                        kind = "per-row"
+                    else:
+                        kind = "other"
+                    out.append((rel, outer, kind, sub.lineno))
+    return out
+
+
+def test_every_state_fold_loop_is_classified():
+    """VERDICT r10 item 2: a per-row Python loop in a streaming state
+    fold is the same anti-pattern class as the r10 rate-flag iterrows
+    (3099 ms → 0.8 ms) — at production batch sizes it serializes the
+    whole batch through the interpreter. Every loop inside an
+    applyInPandasWithState ``update`` must be (a) chunk-level (over
+    pdf_iter), (b) a documented ORDER-DEPENDENT recurrence, or (c) a
+    classified non-row-sized loop (per-alarm / per-bucket / per-day).
+    iterrows/itertuples/apply are banned outright — all eight r10 sites
+    were vectorized bit-identically (tools/probe_fold_vectorization.py,
+    16-127x)."""
+    loops = _update_loops()
+    row_api = [x for x in loops if x[2] == "pandas-row-api"]
+    assert not row_api, (
+        f"iterrows/itertuples/apply inside update(): {row_api} — "
+        "vectorize (see docs/EXPANSION_SITES.md per-row-fold section)"
+    )
+    per_row = {(f, fn) for f, fn, k, _ in loops if k == "per-row"}
+    new_row = per_row - ORDER_DEPENDENT_FOLDS
+    assert not new_row, (
+        f"NEW per-row Python fold(s) {sorted(new_row)} — vectorize "
+        "(prefix sums / masked mins / segment closed form; see "
+        "tools/probe_fold_vectorization.py) or justify the "
+        "order-dependent carry in ORDER_DEPENDENT_FOLDS and "
+        "docs/EXPANSION_SITES.md"
+    )
+    other = {(f, fn) for f, fn, k, _ in loops if k == "other"}
+    new_other = other - CLASSIFIED_FOLD_LOOPS
+    assert not new_other, (
+        f"unclassified loop(s) in update(): {sorted(new_other)} — "
+        "classify the iteration count (output/alarm/bucket-sized) in "
+        "CLASSIFIED_FOLD_LOOPS and docs/EXPANSION_SITES.md"
+    )
+    # and the allowlists must not go stale
+    gone = (ORDER_DEPENDENT_FOLDS - per_row) | (CLASSIFIED_FOLD_LOOPS - other)
+    assert not gone, f"allowlisted fold loops no longer in source: {sorted(gone)}"
+
+
+def test_doc_lists_every_fold_loop():
+    doc = open(DOC).read()
+    for _rel, fn in sorted(ORDER_DEPENDENT_FOLDS | CLASSIFIED_FOLD_LOOPS):
+        assert f"`{fn}`" in doc, f"doc missing state-fold loop {fn}"

@@ -1486,15 +1486,44 @@ def retention_cohort_deltas(events: DataFrame) -> DataFrame:
 
 
 def run_streaming_retention(
-    events: DataFrame, state_dir: str, checkpoint_dir: str
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    allow_additive_demo: bool = False,
 ) -> "StreamingQuery":
     """Incremental maintenance of the (cohort_day, day_offset) active-user
-    counts: the stateful stage emits signed deltas, this stage folds them
+    counts — the additive-fold DEMO twin (VERDICT r10 item 4: explicit
+    opt-in required; the default raises and routes to the scale path).
+
+    The stateful stage emits signed deltas, this stage folds them
     ADDITIVELY into a parquet state table with the exactly-once batch_id
     guard of ``run_streaming_cms`` (a signed-delta merge is not
     idempotent, so replays must skip). Counts stay exact under
     out-of-order arrival because cohort shifts arrive as retraction/
-    assertion pairs — see retention_cohort_deltas."""
+    assertion pairs — see retention_cohort_deltas.
+
+    Kept as the pedagogical contrast with the log-structured twin: this
+    shape needs per-user day-set state, retraction/assertion machinery,
+    a replay guard, AND a whole-table rewrite per micro-batch. The
+    head-to-head (BASELINE.md "Retention twins head-to-head") measured
+    it 3.3× slower at sf1 and DNF-in-budget at sf10 vs
+    ``run_streaming_retention_log`` (24.8 s), which computes the SAME
+    exact table from Θ(batch) semilattice appends with none of that
+    machinery — so a caller cannot land here without opting in."""
+    if not allow_additive_demo:
+        raise ValueError(
+            "run_streaming_retention is the additive-fold DEMO twin: it "
+            "rewrites the whole (cohort_day, day_offset) table every "
+            "micro-batch and did not finish the sf10 head-to-head in "
+            "budget (BASELINE.md 'Retention twins head-to-head' — log "
+            "twin 24.8 s at sf10, additive DNF; 3.3x slower at sf1). "
+            "Use run_streaming_retention_log + "
+            "streaming_retention_result (same exact counts, Θ(batch) "
+            "set-log appends, no replay guard needed), or pass "
+            "allow_additive_demo=True to study the retraction/assertion "
+            "machinery."
+        )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

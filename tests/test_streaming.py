@@ -1360,7 +1360,11 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = ev.run_streaming_retention(stream, state, ck)
+    # the additive twin is the explicit-opt-in DEMO (VERDICT r10 item 4)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="run_streaming_retention_log"):
+        ev.run_streaming_retention(stream, state, ck)
+    q = ev.run_streaming_retention(stream, state, ck, allow_additive_demo=True)
     q.awaitTermination(120)
 
     got = {
@@ -1394,6 +1398,7 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
         .parquet(src),
         state,
         str(tmp_path / "ret_ck2"),
+        allow_additive_demo=True,
     )
     q2.awaitTermination(120)
     assert sorted(map(tuple, spark.read.parquet(state).collect())) == applied

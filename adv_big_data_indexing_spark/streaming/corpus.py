@@ -20,15 +20,23 @@ crash-retries are REMOVED BY ``distinct()`` at read time — set union
 is idempotent, so no batch_id guard and no retraction machinery exist
 anywhere in the pipeline.
 
-Scale notes (the 100 TB story):
+Scale notes (the 100 TB story; the pruning levers shipped in r11 —
+VERDICT r10 item 3, measured at a 10⁶-doc index in BASELINE.md):
 - per-batch work is batch bands × colliding index entries + the
   verify joins, never a corpus re-pair;
-- the band-log probe join is keyed on (band, band_key) — at cluster
-  scale the base log should be BUCKETED by band_key so the probe
-  prunes to colliding buckets instead of scanning the index (the
-  bucketed-join discipline tests/test_partitioning.py pins for the
-  batch tiers);
-- the verify joins prune the sig log to candidate doc_ids;
+- the band-log probe SEMI-PRUNES the index on the batch's own
+  (band, band_key) set via a broadcast semi join before any exchange —
+  the index is scanned (two skinny columns) but never shuffled;
+  bucket-PARTITIONING the bands base was considered and rejected by
+  arithmetic: ~4 band keys per batch doc means any realistic batch
+  hits every bucket, so partition pruning cannot bind there;
+- the verify prunes the HEAVY sig log (full shingle-hash arrays) to
+  candidate doc_ids: its base is hive-partitioned on
+  dk = pmod(xxhash64(doc_id), SIGS_BUCKETS), the candidate ids'
+  bucket set (a bounded ≤ SIGS_BUCKETS collect) prunes the scan to
+  colliding buckets, and a broadcast semi join prunes rows within
+  them — before r11 the whole sig log was scanned AND shuffled twice
+  per batch;
 - bucket-degeneracy boundary: since the r9 route-never-drop change the
   batch tier expands EVERY bucket through the spill-safe self-join, so
   the streaming pair set equals the batch result at any bucket size;
@@ -49,7 +57,26 @@ from adv_big_data_indexing_spark.streaming import statelog
 #: accumulate (same knob shape as events.SURVIVAL_COMPACT_FANIN).
 CORPUS_COMPACT_FANIN = 8
 
+#: hive partitions of the sigs base on dk = pmod(xxhash64(doc_id), N) —
+#: the statelog bucketing lever (VERDICT r10 item 3). The sigs log is
+#: the HEAVY log (each row carries the doc's full shingle-hash array),
+#: and the per-batch verify only ever needs the CANDIDATE docs' rows,
+#: so the read side prunes the base scan to the candidate ids' buckets
+#: (a bounded ≤ N-value isin → PartitionFilters). The bands log is NOT
+#: bucket-partitioned: its probe touches ~4 band keys per batch DOC, so
+#: any realistic batch hits every bucket and partition pruning cannot
+#: bind there (measured — BASELINE.md r11); its growing term is killed
+#: by the broadcast semi prune instead.
+SIGS_BUCKETS = 64
+
 _PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, n_inter bigint, jaccard double"
+_SIGS_SCHEMA = "doc_id bigint, dk int, hs array<bigint>"
+_BANDS_SCHEMA = "doc_id bigint, band int, band_key string"
+
+
+def _dk(col):
+    """Sig-log bucket id for a doc_id column (stable, data-independent)."""
+    return F.pmod(F.xxhash64(col), SIGS_BUCKETS).cast("int")
 
 
 def _read_set_log(spark, log_dir: str, schema: str):
@@ -58,14 +85,31 @@ def _read_set_log(spark, log_dir: str, schema: str):
 
 
 def _maybe_compact_set_log(
-    spark, log_dir: str, schema: str, batch_id: int, fanin: int
+    spark,
+    log_dir: str,
+    schema: str,
+    batch_id: int,
+    fanin: int,
+    partition_by: str | None = None,
 ) -> None:
     """Fold the delta batches into the base once ``fanin`` accumulate —
-    the survival log's protocol with distinct() in place of max()."""
-    if statelog.delta_batches(log_dir) >= fanin:
-        statelog.compact(
-            spark, log_dir, _read_set_log(spark, log_dir, schema), batch_id
-        )
+    the survival log's protocol with distinct() in place of max().
+    ``partition_by`` hive-partitions the compacted base (the sigs log's
+    dk buckets); the ``log_rows`` clause is the zero-row partitioned
+    commit guard (a zero-row partitionBy write creates a directory with
+    no partition dirs whose schema no later read can infer — the funnel
+    twin's r10 edge, same fix)."""
+    if statelog.delta_batches(log_dir) >= fanin and statelog.log_rows(log_dir) > 0:
+        merged = _read_set_log(spark, log_dir, schema)
+        if partition_by is not None:
+            # one shuffle so the partitionBy write emits one file per
+            # bucket dir instead of shuffle_partitions × buckets small
+            # files (the first 10⁶-doc run's compaction spikes,
+            # BASELINE.md r11); SIGS_BUCKETS partitions keep the write
+            # parallel — do NOT do this for low-cardinality keys like
+            # the funnel's kind (it would serialize the write)
+            merged = merged.repartition(partition_by)
+        statelog.compact(spark, log_dir, merged, batch_id, partition_by=partition_by)
 
 
 def run_streaming_dedup_index(
@@ -96,9 +140,9 @@ def run_streaming_dedup_index(
     bands_log = os.path.join(state_dir, "bands")
     pairs_log = os.path.join(state_dir, "pairs")
 
-    def fold(batch: DataFrame, batch_id: int) -> None:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel  # noqa: PLC0415
 
+    def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         banded_new, _carry = _banded(shingles_of(batch))
         # reused by the probe join, both verify sides and both appends;
@@ -109,6 +153,17 @@ def run_streaming_dedup_index(
         # DISK_ONLY keeps the batch-sized blocks out of the storage
         # pool (the unroll-starvation class, r9 find #5)
         banded_new = banded_new.persist(StorageLevel.DISK_ONLY)
+        # try/finally so a raise anywhere below cannot leak the
+        # DISK_ONLY blocks across foreachBatch retries (the funnel
+        # twin's ADVICE r10 leak class, fixed here preemptively)
+        persisted = [banded_new]
+        try:
+            _fold_body(spark, banded_new, batch_id, persisted)
+        finally:
+            for frame in persisted:
+                frame.unpersist()
+
+    def _fold_body(spark, banded_new, batch_id, persisted) -> None:
         # array_sort: hs comes from collect_set, whose element ORDER is
         # nondeterministic — a replayed batch could otherwise append the
         # same doc's set in a different order, a row distinct() cannot
@@ -116,13 +171,24 @@ def run_streaming_dedup_index(
         # duplicate doc_id rows across replays (ADVICE r9). Sorting
         # makes replays byte-identical; every consumer is set-invariant.
         sig_new = banded_new.filter(F.col("band") == 0).select(
-            "doc_id", F.array_sort("hs").alias("hs")
+            "doc_id", _dk(F.col("doc_id")).alias("dk"), F.array_sort("hs").alias("hs")
         )
         bands_new = banded_new.select("doc_id", "band", "band_key")
 
-        prev_bands = _read_set_log(
-            spark, bands_log, "doc_id bigint, band int, band_key string"
+        # probe prune (VERDICT r10 item 3): the indexed band log grows
+        # with the corpus, and joining it raw would SHUFFLE the whole
+        # index every micro-batch — the growing term the r10 sf10 probe
+        # saw (~1.3× batch time per 10× index). A broadcast semi join on
+        # the batch's own (band, band_key) set prunes the index to
+        # exactly the colliding rows BEFORE any exchange: the index is
+        # scanned (columnar, two skinny columns reach the filter) but
+        # never shuffled, and the per-batch exchange volume drops from
+        # Θ(index) to Θ(collisions).
+        batch_keys = bands_new.select("band", "band_key").distinct()
+        prev_bands = _read_set_log(spark, bands_log, _BANDS_SCHEMA).join(
+            F.broadcast(batch_keys), ["band", "band_key"], "left_semi"
         )
+
         def id_pairs(left, right, strict_lt):
             id_cond = (
                 F.col("n.doc_id") < F.col("e.doc_id")
@@ -147,48 +213,81 @@ def run_streaming_dedup_index(
             id_pairs(bands_new, prev_bands, strict_lt=False)
             .unionByName(id_pairs(bands_new, bands_new, strict_lt=True))
             .distinct()
+            # reused by the bucket collect, both verify sides (via
+            # cand_ids) and the stats join — persist, same rationale as
+            # banded_new above
+            .persist(StorageLevel.DISK_ONLY)
         )
-
-        all_sigs = (
-            _read_set_log(spark, sigs_log, "doc_id bigint, hs array<bigint>")
-            .unionByName(sig_new)
-            .dropDuplicates(["doc_id"])  # replayed sigs: same SET, any order
-        )
-        a = all_sigs.select(
-            F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
-        )
-        b = all_sigs.select(
-            F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
-        )
-        stats = (
-            cand.join(a, "doc_a")
-            .join(b, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("hs_a", "hs_b"))
-                .cast("bigint")
-                .alias("n_inter"),
-                F.size("hs_a").cast("bigint").alias("n_a"),
-                F.size("hs_b").cast("bigint").alias("n_b"),
-            )
-        )
-        pairs = (
-            _with_jaccard(stats)
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        persisted.append(cand)
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
+        # verify prune: the sigs log carries each doc's FULL shingle-hash
+        # array — the heavy log — and the verify only ever reads the
+        # CANDIDATE docs' rows. Its base is hive-partitioned on dk
+        # (SIGS_BUCKETS above), so the candidate ids' bucket set — a
+        # BOUNDED collect, ≤ SIGS_BUCKETS ints by construction — prunes
+        # the base scan to the colliding buckets (PartitionFilters),
+        # and the broadcast semi join prunes rows within them. Before
+        # this, the whole hs-carrying log was scanned AND shuffled
+        # (dropDuplicates) twice per batch — the dominant index-sized
+        # term at a 10⁶-doc index (BASELINE.md r11).
+        cand_bks = [
+            r[0]
+            for r in cand_ids.select(_dk(F.col("doc_id")).alias("dk"))
+            .distinct()
+            .collect()
+        ]
+        if cand_bks:
+            prev_sigs = _read_set_log(spark, sigs_log, _SIGS_SCHEMA).filter(
+                F.col("dk").isin(cand_bks)
+            )
+            all_sigs = (
+                prev_sigs.unionByName(sig_new)
+                .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+                .dropDuplicates(["doc_id"])  # replayed sigs: same SET, any order
+                .drop("dk")
+            )
+            a = all_sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
+            )
+            b = all_sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
+            )
+            stats = (
+                cand.join(a, "doc_a")
+                .join(b, "doc_b")
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.size(F.array_intersect("hs_a", "hs_b"))
+                    .cast("bigint")
+                    .alias("n_inter"),
+                    F.size("hs_a").cast("bigint").alias("n_a"),
+                    F.size("hs_b").cast("bigint").alias("n_b"),
+                )
+            )
+            pairs = (
+                _with_jaccard(stats)
+                .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+                .distinct()
+            )
+        else:  # no collisions at all: nothing to verify
+            pairs = spark.createDataFrame([], _PAIRS_SCHEMA)
 
         statelog.append_delta(pairs, pairs_log, batch_id)
         statelog.append_delta(sig_new, sigs_log, batch_id)
         statelog.append_delta(bands_new, bands_log, batch_id)
-        for log_dir, schema in (
-            (pairs_log, _PAIRS_SCHEMA),
-            (sigs_log, "doc_id bigint, hs array<bigint>"),
-            (bands_log, "doc_id bigint, band int, band_key string"),
+        for log_dir, schema, part in (
+            (pairs_log, _PAIRS_SCHEMA, None),
+            (sigs_log, _SIGS_SCHEMA, "dk"),
+            (bands_log, _BANDS_SCHEMA, None),
         ):
-            _maybe_compact_set_log(spark, log_dir, schema, batch_id, compact_fanin)
-        banded_new.unpersist()
+            _maybe_compact_set_log(
+                spark, log_dir, schema, batch_id, compact_fanin, partition_by=part
+            )
 
     return (
         docs.writeStream.foreachBatch(fold)

@@ -177,3 +177,70 @@ def test_streaming_dedup_index_survives_empty_batches(spark, tmp_path):
         for r in ns_dedup_minhash_lsh(spark, SF_SMOKE).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_sigs_base_bucketed_layout_and_torn_compaction(spark, tmp_path, batch_pairs):
+    """VERDICT r10 item 3: the sigs base is hive-partitioned on dk so
+    the per-batch verify prunes its scan to the candidate buckets. The
+    statelog crash contracts must hold on the PARTITIONED layout too:
+    (a) the compacted base really is dk=<n> partition dirs; (b) a torn
+    compaction (base committed, delta reset never ran) re-absorbs the
+    leftover deltas invisibly — pair set unchanged; (c) the all-empty
+    zero-row commit guard never writes a schema-less partitioned base."""
+    import shutil
+
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    halves = [docs.filter(F.col("doc_id") % 2 == k) for k in range(2)]
+    got, state, ck, _schema, src = _stream_pairs(
+        spark, tmp_path, halves, "bucketed", compact_fanin=1
+    )
+    assert got == batch_pairs
+
+    # (a) partitioned layout, and values are the dk of the docs
+    sigs_base = os.path.join(state, "sigs", "base")
+    dk_dirs = [d for d in os.listdir(sigs_base) if d.startswith("dk=")]
+    assert dk_dirs, "sigs base is not dk-partitioned"
+    assert all(0 <= int(d.split("=")[1]) < sc.SIGS_BUCKETS for d in dk_dirs)
+    base_df = spark.read.parquet(sigs_base)
+    assert {"doc_id", "dk", "hs"} <= set(base_df.columns)
+    assert base_df.filter(
+        F.col("dk") != F.pmod(F.xxhash64("doc_id"), sc.SIGS_BUCKETS).cast("int")
+    ).count() == 0
+
+    # (b) torn compaction: re-append one batch's sig rows as a leftover
+    # delta (as if the crash hit between base commit and delta reset),
+    # then verify read-side absorption and a follow-up compaction
+    sigs_log = os.path.join(state, "sigs")
+    n_base = base_df.count()  # pinned BEFORE the swap deletes these files
+    leftover = base_df.drop("batch_id").limit(50)
+    statelog.append_delta(leftover, sigs_log, batch_id=9999)
+    assert statelog.delta_batches(sigs_log) == 1
+    merged = statelog.read_set_log(spark, sigs_log, sc._SIGS_SCHEMA)
+    assert merged.count() == n_base  # duplicates invisible
+    statelog.compact(spark, sigs_log, merged, 10000, partition_by="dk")
+    assert statelog.delta_batches(sigs_log) == 0
+    spark.catalog.refreshByPath(sigs_base)  # the swap replaced the files
+    assert spark.read.parquet(sigs_base).count() == n_base
+    # and the pair view is untouched by any of this
+    got2 = sorted(
+        (r.doc_a, r.doc_b, r.n_inter, r.jaccard)
+        for r in sc.streaming_dedup_pairs(spark, state).collect()
+    )
+    assert got2 == batch_pairs
+
+    # (c) zero-row guard: an all-empty partitioned log never commits —
+    # drop the whole sigs log, append an EMPTY delta, force the
+    # compaction path; the guard must skip (no schema-less base dir)
+    shutil.rmtree(sigs_log)
+    statelog.append_delta(
+        base_df.drop("batch_id").filter(F.lit(False)), sigs_log, batch_id=0
+    )
+    sc._maybe_compact_set_log(
+        spark, sigs_log, sc._SIGS_SCHEMA, 1, fanin=1, partition_by="dk"
+    )
+    assert not os.path.isdir(os.path.join(sigs_log, "base"))
+    # the set-log reader still serves the empty set
+    assert statelog.read_set_log(spark, sigs_log, sc._SIGS_SCHEMA).count() == 0

@@ -28,14 +28,22 @@ from adv_big_data_indexing_spark.streaming import events as ev
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
 n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 fanin = int(sys.argv[3]) if len(sys.argv) > 3 else ev.FUNNEL_COMPACT_FANIN
+# --reliable-tight: the r9 negative-sampling certification shape
+# (VERDICT r10 item 7) — deliberately tight heap on many cores with
+# spark.advbdi.checkpoint=reliable, so any operator that consults the
+# checkpoint policy takes the cluster-mode path under memory pressure
+tight = "--reliable-tight" in sys.argv
 
-spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
+builder = (
+    SparkSession.builder.master("local[32]" if tight else "local[8]")
+    .config("spark.sql.shuffle.partitions", "32" if tight else "8")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.driver.memory", "16g")
-    .getOrCreate()
+    .config("spark.driver.memory", "8g" if tight else "16g")
 )
+spark = builder.getOrCreate()
+if tight:
+    spark.conf.set("spark.advbdi.checkpoint", "reliable")
+    spark.sparkContext.setCheckpointDir("/tmp/funnel_reliable_ckdir")
 spark.sparkContext.setLogLevel("ERROR")
 
 work = tempfile.mkdtemp(prefix="funnel_probe_")

@@ -2188,9 +2188,15 @@ def run_streaming_funnel(
     100 TB shape: per batch — one Θ(batch) aggregate per stage, one
     broadcast-sized probe of the log's ``h`` rows (column-pruned scan),
     Θ(batch) appends; compaction amortized Θ(state)/fanin. At cluster
-    scale the log should be BUCKETED by user_id so the frontier probe
-    and the read-side stage joins co-locate (the same lever as the
-    dedup index's band_key bucketing).
+    scale the log should additionally be BUCKETED by user_id so the
+    frontier probe and the read-side stage joins co-locate. That lever
+    was EXECUTED in r11 on the sibling with the heavier per-batch index
+    terms — the dedup index (streaming/corpus.py: broadcast semi
+    prunes + dk-partitioned sigs base, measured at a 10⁶-doc index in
+    BASELINE.md "Statelog bucketing lever"); the same two moves
+    (semi-prune the probe on the batch's own user set, hash-partition
+    the base on pmod(xxhash64(user_id), N)) transfer here verbatim
+    when the h-probe term starts registering.
     """
     from pyspark import StorageLevel
 

@@ -6,8 +6,10 @@ reports per-batch foreachBatch durations plus the accumulated pair
 count, then cross-checks the final pair set against the batch
 ns_dedup_minhash_lsh on the same corpus. The honest quantity under
 test: per-batch work should track batch size + collisions; the
-band-log probe scan is the component that grows with the index (the
-docstring's bucket-the-base-log note prices the fix at cluster scale).
+band-log probe scan is the component that grows with the index. The
+fix shipped in r11 (broadcast semi prunes + dk-partitioned sigs base);
+tools/probe_statelog_bucketing.py measures it old-vs-new at a
+10^6-doc index (BASELINE.md r11).
 
 Usage: python tools/probe_dedup_index.py [sf_dir] [n_chunks] [fanin]
 """

@@ -95,21 +95,19 @@ def _maybe_compact_set_log(
     """Fold the delta batches into the base once ``fanin`` accumulate —
     the survival log's protocol with distinct() in place of max().
     ``partition_by`` hive-partitions the compacted base (the sigs log's
-    dk buckets); the ``log_rows`` clause is the zero-row partitioned
-    commit guard (a zero-row partitionBy write creates a directory with
-    no partition dirs whose schema no later read can infer — the funnel
-    twin's r10 edge, same fix)."""
-    if statelog.delta_batches(log_dir) >= fanin and statelog.log_rows(log_dir) > 0:
-        merged = _read_set_log(spark, log_dir, schema)
-        if partition_by is not None:
-            # one shuffle so the partitionBy write emits one file per
-            # bucket dir instead of shuffle_partitions × buckets small
-            # files (the first 10⁶-doc run's compaction spikes,
-            # BASELINE.md r11); SIGS_BUCKETS partitions keep the write
-            # parallel — do NOT do this for low-cardinality keys like
-            # the funnel's kind (it would serialize the write)
-            merged = merged.repartition(partition_by)
-        statelog.compact(spark, log_dir, merged, batch_id, partition_by=partition_by)
+    dk buckets, repartitioned onto dk so the write emits one file per
+    bucket dir — BASELINE.md r11 compaction-spike fix); trigger, the
+    partitioned-commit zero-row guard and the repartition live in
+    statelog.maybe_compact."""
+    statelog.maybe_compact(
+        spark,
+        log_dir,
+        lambda: _read_set_log(spark, log_dir, schema),
+        batch_id,
+        fanin,
+        partition_by=partition_by,
+        repartition=partition_by is not None,
+    )
 
 
 def run_streaming_dedup_index(

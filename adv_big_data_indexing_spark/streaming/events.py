@@ -211,6 +211,9 @@ def anomaly_zscores(events: DataFrame) -> DataFrame:
 
 
 CUSUM_OUTPUT = "user_id long, event_id long, ts timestamp, value double, s_q long"
+#: per-alarm segment recompute bound (code-review r11: keeps the
+#: dense-alarm worst case linear in batch size)
+_CUSUM_BLOCK = 4096
 CUSUM_STATE = "s_carry bigint"
 
 
@@ -247,35 +250,41 @@ def cusum_alarms(events: DataFrame, mu_q: int) -> DataFrame:
         # alarms the clipped recurrence s_i = max(0, s_{i-1} + d_i) has
         # the closed form s_i = max(0, P_i - min(-s0, min_{u<i} P_u))
         # (P = running sum of d), so each segment is one cumsum + one
-        # running min; the Python loop runs once PER ALARM (an alarm
-        # resets s to 0 and needs > h of fresh drift to fire again, so
-        # alarms are ~h/|d|-spaced — each pays O(rest-of-batch) numpy,
-        # not O(1) Python per ROW). Same int arithmetic as before
-        # (int64 vs unbounded Python int: the batch twin's Spark-side
-        # recurrence is BIGINT too, so the bound is shared).
+        # running min, and the Python loop runs once PER ALARM. Each
+        # alarm's recompute is bounded to a FIXED BLOCK (code-review
+        # r11): an adversarial batch where every row alarms would
+        # otherwise recompute O(rest-of-batch) numpy per alarm —
+        # blocking caps total work at Θ(n·BLOCK) element ops (linear
+        # in n), while the common sparse-alarm case stays ~one pass
+        # per block. Same int arithmetic as before (int64 vs unbounded
+        # Python int: the batch twin's Spark-side recurrence is BIGINT
+        # too, so the bound is shared).
         if len(pdf):
             vals = pdf["value"].to_numpy(dtype="float64")
             d = np.floor(vals * 1000.0).astype(np.int64) - mu_q - k
             eids = pdf["event_id"].to_numpy(dtype="int64")
-            j, s0, n_rows = 0, s_carry, len(d)
-            while j < n_rows:
-                p = np.cumsum(d[j:])
-                m = np.minimum.accumulate(
-                    np.concatenate(([np.int64(-s0)], p[:-1]))
-                )
-                s = np.maximum(0, p - m)
-                over = np.nonzero(s > h)[0]
-                if not len(over):
-                    s0 = int(s[-1])
-                    break
-                a = int(over[0])
-                out["user_id"].append(user_id)
-                out["event_id"].append(int(eids[j + a]))
-                out["ts"].append(pdf["ts"].iloc[j + a])
-                out["value"].append(float(vals[j + a]))
-                out["s_q"].append(int(s[a]))
-                s0 = 0
-                j += a + 1
+            s0, n_rows = s_carry, len(d)
+            for b0 in range(0, n_rows, _CUSUM_BLOCK):
+                b1 = min(b0 + _CUSUM_BLOCK, n_rows)
+                j = b0
+                while j < b1:
+                    p = np.cumsum(d[j:b1])
+                    m = np.minimum.accumulate(
+                        np.concatenate(([np.int64(-s0)], p[:-1]))
+                    )
+                    s = np.maximum(0, p - m)
+                    over = np.nonzero(s > h)[0]
+                    if not len(over):
+                        s0 = int(s[-1])
+                        break
+                    a = int(over[0])
+                    out["user_id"].append(user_id)
+                    out["event_id"].append(int(eids[j + a]))
+                    out["ts"].append(pdf["ts"].iloc[j + a])
+                    out["value"].append(float(vals[j + a]))
+                    out["s_q"].append(int(s[a]))
+                    s0 = 0
+                    j += a + 1
             s_carry = s0
         state.update((s_carry,))
         yield pd.DataFrame(out)
@@ -939,12 +948,18 @@ def locf_monitor(events: DataFrame) -> DataFrame:
                 for g in range(b + 1, nxt):
                     emit(g, prefix[b], True)
             first_b = bks[0]
-        state.update(
-            (
-                int(pend_b), int(pend_x), int(pend_ts), int(pend_eid),
-                int(n_late), int(first_b),
+        if pend_b is not None:
+            # a fresh key whose delivery yielded zero rows has no chain
+            # to record — skip the update so the fold is total on the
+            # empty-iterator edge like every other twin (code-review
+            # r11: int(None) crashed here after _concat_batches made
+            # the concat itself total)
+            state.update(
+                (
+                    int(pend_b), int(pend_x), int(pend_ts), int(pend_eid),
+                    int(n_late), int(first_b),
+                )
             )
-        )
         yield pd.DataFrame(out)
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -2308,25 +2323,21 @@ def run_streaming_funnel(
             )
         )
         statelog.append_delta(delta, state_dir, batch_id)
-        # second clause — ALL-EMPTY log guard (row-level, via parquet
-        # footers, no Spark job): an empty batch still writes a
-        # zero-row, schema-carrying delta file, and a zero-row
-        # partitionBy commit writes a dir with NO partition
-        # directories, whose schema no later read can infer (the
-        # survival twin's r9 empty-edge, sharpened by partitioning)
-        if (
-            statelog.delta_batches(state_dir) >= compact_fanin
-            and statelog.log_rows(state_dir) > 0
-        ):
-            merged = _funnel_compacted(
-                _funnel_log_rows(spark, state_dir), delay_us
-            )
-            # base partitioned by kind: the per-batch frontier probe
-            # filters kind = 'h', so it partition-prunes to the h
-            # directory however large the candidate partitions grow
-            statelog.compact(
-                spark, state_dir, merged, batch_id, partition_by="kind"
-            )
+        # trigger + the zero-row partitioned-commit guard live in
+        # statelog.maybe_compact (code-review r11 dedup). Base
+        # partitioned by kind: the per-batch frontier probe filters
+        # kind = 'h', so it partition-prunes to the h directory however
+        # large the candidate partitions grow. No repartition: kind has
+        # ~4 values — shuffling onto it would serialize the data-sized
+        # write into 4 tasks.
+        statelog.maybe_compact(
+            spark,
+            state_dir,
+            lambda: _funnel_compacted(_funnel_log_rows(spark, state_dir), delay_us),
+            batch_id,
+            compact_fanin,
+            partition_by="kind",
+        )
 
     return (
         events.writeStream.foreachBatch(fold)
@@ -2467,10 +2478,8 @@ def run_streaming_retention_log(
             "user_id", F.lit("f").alias("kind"), F.col("fb").alias("val")
         ).unionByName(d_rows)
         statelog.append_delta(delta, state_dir, batch_id)
-        if (
-            statelog.delta_batches(state_dir) >= compact_fanin
-            and statelog.log_rows(state_dir) > 0
-        ):
+
+        def merged_retention():
             log = _retention_log_rows(spark, state_dir)
             first, days = _retention_state(log)
             keep_d = (
@@ -2483,12 +2492,16 @@ def run_streaming_retention_log(
                     "user_id", F.lit("d").alias("kind"), F.col("day").alias("val")
                 )
             )
-            merged = first.select(
+            return first.select(
                 "user_id", F.lit("f").alias("kind"), F.col("cohort_day").alias("val")
             ).unionByName(keep_d)
-            statelog.compact(
-                spark, state_dir, merged, batch_id, partition_by="kind"
-            )
+
+        # shared trigger + zero-row partitioned-commit guard
+        # (statelog.maybe_compact; code-review r11 dedup)
+        statelog.maybe_compact(
+            spark, state_dir, merged_retention, batch_id, compact_fanin,
+            partition_by="kind",
+        )
 
     return (
         events.writeStream.foreachBatch(fold)

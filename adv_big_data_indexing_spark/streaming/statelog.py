@@ -131,6 +131,46 @@ def compact(
     shutil.rmtree(_deltas_dir(log_dir), ignore_errors=True)
 
 
+def maybe_compact(
+    spark,
+    log_dir: str,
+    merged_fn,
+    batch_id: int,
+    fanin: int,
+    partition_by: str | None = None,
+    repartition: bool = False,
+) -> None:
+    """Fold the delta batches into the base once ``fanin`` accumulate —
+    the shared trigger for every log-structured twin (code-review r11:
+    the guard was duplicated in corpus and funnel; it lives HERE, the
+    module that owns the hazard). ``merged_fn`` is called only when
+    compaction actually fires (building the merged frame costs plan
+    time on every batch otherwise).
+
+    The zero-row guard applies ONLY to partitioned commits: a zero-row
+    partitionBy write creates a directory with no partition dirs whose
+    schema no later read can infer, while a zero-row UNPARTITIONED
+    commit writes valid schema-carrying parquet — and skipping it would
+    let an empty log's delta subdirectories (and the driver-side footer
+    walk that counts them) grow forever (code-review r11 on the pairs
+    log).
+
+    ``repartition=True`` shuffles the merged frame onto the partition
+    column first so the partitionBy write emits one file per bucket dir
+    instead of shuffle_partitions × buckets small files — right for a
+    many-bucket key (the sigs log's 64 dk buckets), WRONG for a
+    low-cardinality key like the funnel's kind (it would serialize the
+    data-sized write into #kinds tasks)."""
+    if delta_batches(log_dir) < fanin:
+        return
+    if partition_by is not None and log_rows(log_dir) == 0:
+        return
+    merged = merged_fn()
+    if repartition and partition_by is not None:
+        merged = merged.repartition(partition_by)
+    compact(spark, log_dir, merged, batch_id, partition_by=partition_by)
+
+
 def read_set_log(spark, log_dir: str, schema: str) -> DataFrame:
     """base ∪ deltas with duplicate rows removed — the SET the log
     denotes (distinct() as the merge). Returns an empty frame of

@@ -2492,3 +2492,74 @@ def test_streaming_funnel_own_batch_max_never_drops(spark, tmp_path):
         f"{acc}/events.parquet"
     )
     assert got == _funnel_curve(ts_funnel(spark, acc))
+
+
+def test_locf_update_total_on_empty_delivery_fresh_key():
+    """code-review r11: a yield-nothing delivery for a key with NO prior
+    state must be a no-op (empty output, no state write) — not an
+    int(None) crash after _concat_batches made the concat itself total."""
+    from adv_big_data_indexing_spark.streaming import events as ev
+
+    captured = {}
+
+    class _Chain:
+        def __getattr__(self, name):
+            if name == "applyInPandasWithState":
+                def cap(update, **kw):
+                    captured["update"] = update
+                    return self
+                return cap
+            return lambda *a, **k: self
+
+    ev.locf_monitor(_Chain())
+
+    class _State:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            raise AssertionError(f"state written for an empty fresh key: {v}")
+
+    outs = list(captured["update"]((7,), iter([]), _State()))
+    assert len(outs) == 1 and len(outs[0]) == 0
+
+
+def test_maybe_compact_zero_row_guard_is_partitioned_only(spark, tmp_path):
+    """code-review r11: the zero-row guard must not stop an EMPTY
+    unpartitioned log from compacting (a zero-row plain commit is valid
+    parquet, and skipping it would grow delta subdirectories — and the
+    per-batch footer walk over them — forever, e.g. a pairs log on a
+    dup-free corpus); only the partitioned commit is the hazard."""
+    import os
+
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    schema = "doc_a bigint, doc_b bigint"
+    empty = spark.createDataFrame([], schema)
+
+    # unpartitioned: fanin reached on an all-empty log → compaction RUNS
+    log1 = str(tmp_path / "plain")
+    for b in range(3):
+        statelog.append_delta(empty, log1, b)
+    assert statelog.delta_batches(log1) == 3
+    statelog.maybe_compact(
+        spark, log1, lambda: statelog.read_set_log(spark, log1, schema), 3, fanin=2
+    )
+    assert statelog.delta_batches(log1) == 0  # deltas absorbed
+    assert os.path.isdir(os.path.join(log1, "base"))
+    assert statelog.read_set_log(spark, log1, schema).count() == 0
+
+    # partitioned: the same shape must SKIP (schema-less base hazard)
+    log2 = str(tmp_path / "parts")
+    for b in range(3):
+        statelog.append_delta(empty.withColumn("kind", F.lit("x")), log2, b)
+    statelog.maybe_compact(
+        spark,
+        log2,
+        lambda: statelog.read_set_log(spark, log2, schema + ", kind string"),
+        3,
+        fanin=2,
+        partition_by="kind",
+    )
+    assert statelog.delta_batches(log2) == 3  # untouched
+    assert not os.path.isdir(os.path.join(log2, "base"))

@@ -25,14 +25,15 @@ from pyspark.sql import functions as F
 from adv_big_data_indexing_spark.sources.catalog import load_table
 from adv_big_data_indexing_spark.streaming import events as ev
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-fanin = int(sys.argv[3]) if len(sys.argv) > 3 else ev.FUNNEL_COMPACT_FANIN
 # --reliable-tight: the r9 negative-sampling certification shape
 # (VERDICT r10 item 7) — deliberately tight heap on many cores with
 # spark.advbdi.checkpoint=reliable, so any operator that consults the
 # checkpoint policy takes the cluster-mode path under memory pressure
 tight = "--reliable-tight" in sys.argv
+argv = [a for a in sys.argv if a != "--reliable-tight"]
+sf_dir = argv[1] if len(argv) > 1 else "/tmp/sf1"
+n_chunks = int(argv[2]) if len(argv) > 2 else 10
+fanin = int(argv[3]) if len(argv) > 3 else ev.FUNNEL_COMPACT_FANIN
 
 builder = (
     SparkSession.builder.master("local[32]" if tight else "local[8]")

@@ -244,3 +244,44 @@ def test_sigs_base_bucketed_layout_and_torn_compaction(spark, tmp_path, batch_pa
     assert not os.path.isdir(os.path.join(sigs_log, "base"))
     # the set-log reader still serves the empty set
     assert statelog.read_set_log(spark, sigs_log, sc._SIGS_SCHEMA).count() == 0
+
+
+def test_sigs_bucket_filter_reaches_partition_filters(spark, tmp_path):
+    """Plan-level pin for the r11 lever: the candidate-bucket isin on
+    the dk-partitioned sigs base must show up as PartitionFilters on
+    the parquet scan (directory pruning), NOT as a post-scan Filter —
+    otherwise the 'pruned' verify still reads every hs byte."""
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    sigs_log = str(tmp_path / "sigs")
+    rows = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        sc._dk(F.col("id")).alias("dk"),
+        F.array(F.col("id"), F.col("id") + 1).alias("hs"),
+    )
+    statelog.append_delta(rows, sigs_log, 0)
+    statelog.maybe_compact(
+        spark,
+        sigs_log,
+        lambda: statelog.read_set_log(spark, sigs_log, sc._SIGS_SCHEMA),
+        1,
+        fanin=1,
+        partition_by="dk",
+        repartition=True,
+    )
+    assert statelog.delta_batches(sigs_log) == 0  # compacted
+
+    pruned = statelog.read_set_log(spark, sigs_log, sc._SIGS_SCHEMA).filter(
+        F.col("dk").isin([3, 7])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the dk predicate sits in PartitionFilters, and the scan lists
+    # only the two pruned directories' worth of partitions
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "dk" in pf_line
+    # and execution agrees with the unpruned read
+    full = statelog.read_set_log(spark, sigs_log, sc._SIGS_SCHEMA)
+    assert pruned.count() == full.filter(F.col("dk").isin([3, 7])).count() > 0

@@ -62,94 +62,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs/ROTATION_LEDGER.md (tools/rotation_ledger.py) records each query's
 # last driver-green round so staleness is auditable.
 #
-# Round 11 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r10
-# FIRST; all 50 r10 rows green, so the r10 window retires whole). Priority
-# order per VERDICT r10 item 1:
-#   1. ext_triangle_count LEADS — its physical plan changed in r10
-#      (commit 4beb990, explicit broadcast on the scalar crossJoin side)
-#      under the local-parity fallback with no driver slot, so its
-#      CURRENT plan has never been driver-checked;
-#   2. ALL 37 r6-stale rows (the oldest tier in the regenerated ledger);
-#   3. 11 oldest-r7 rows alphabetical (doc_etag_pipeline ..
-#      ext_not_in_null);
-#   4. the 1 remaining slot is the round-11 displacement budget:
-#      ext_fuzzy_join_token_recall (impl changes this round — ADVICE r10
-#      zero-exact guard on the recall division, both engines). Any
-#      further mid-round impl change displaces from the TAIL of the r7
-#      block (never an r6 row or the lead row).
-# After this round no green row is older than r7.
-_DRIVER_WINDOW_R11 = (
-    # --- plan changed in r10 with no driver slot (fallback rule) ---
-    "ext_triangle_count",
-    # --- all 37 r6-stale rows ---
-    "doc_parents_having",
-    "doc_roundtrip_flat",
-    "doc_search_rehydrated",
-    "doc_shred_entities",
-    "ext_agg_cube",
-    "ext_agg_distinct",
-    "ext_agg_rollup",
-    "ext_approx_distinct_portable",
-    "ext_approx_percentile",
-    "ext_argmax",
-    "ext_bitwise",
-    "ext_bloom_semijoin",
-    "ext_conditionals",
-    "ext_correlated_above_avg",
-    "ext_grouping_id",
-    "ext_grouping_sets",
-    "ext_histogram",
-    "ext_join_anti",
-    "ext_join_broadcast_star",
-    "ext_join_full_outer",
-    "ext_join_left_null",
-    "ext_join_tpch_q5",
-    "ext_tpch_q10_shape",
-    "ext_tpch_q13_shape",
-    "ext_tpch_q15_shape",
-    "ext_tpch_q16_shape",
-    "ext_tpch_q17_shape",
-    "ext_tpch_q19_shape",
-    "ext_tpch_q22_shape",
-    "ext_tpch_q4_shape",
-    "ext_tpch_q6_shape",
-    "ext_tpch_q8_shape",
-    "ext_tpch_q9_shape",
-    "ns_minhash_jaccard_estimate",
-    "ts_ooo_audit",
-    "ts_seasonal_decompose",
-    "ts_survival_km",
-    # --- 11 oldest-r7 rows, alphabetical ---
-    "doc_etag_pipeline",
-    "doc_get_mapping",
-    "ext_array_ops",
-    "ext_auc_exact",
-    "ext_equidepth_histogram",
-    "ext_join_size_estimate",
-    "ext_json_extract",
-    "ext_listagg",
-    "ext_mad_outliers",
-    "ext_map_ops",
-    "ext_not_in_null",
-    # --- implementation changes during round 11 (displacement budget) ---
-    "ext_fuzzy_join_token_recall",  # ADVICE r10: zero-exact guard on the
-    #                      recall division (CASE WHEN / F.when on both
-    #                      engines) so a degenerate slice yields NULL in
-    #                      both rather than NaN-vs-NULL divergence
+# Round 12 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r11
+# FIRST; all 50 r11 rows green, so the r11 window retires whole). Priority
+# order per VERDICT r11 item 1:
+#   1. ALL 36 r7-stale rows (the oldest tier in the regenerated ledger:
+#      21 ext_*, 6 ns_*, 8 op_a*, ts_max_concurrency);
+#   2. the 14 oldest-r8 rows alphabetical (ext_skew_salted_join ..
+#      ns_hybrid_rrf_fusion);
+#   3. any query whose implementation changes during round 12 displaces
+#      from the TAIL of the r8 block (never an r7 row).
+# After this round no green row is older than r8.
+_DRIVER_WINDOW_R12 = (
+    # --- all 36 r7-stale rows ---
+    "ext_percentile",
+    "ext_pivot",
+    "ext_posexplode",
+    "ext_range_join",
+    "ext_referential_audit",
+    "ext_rfm_segmentation",
+    "ext_scalar_date",
+    "ext_scalar_date_arith",
+    "ext_scalar_hash",
+    "ext_scalar_math",
+    "ext_scalar_regex",
+    "ext_scalar_string",
+    "ext_setops",
+    "ext_stats_moments",
+    "ext_table_diff",
+    "ext_topk_orderby",
+    "ext_tpch_q11_shape",
+    "ext_tpch_q12_shape",
+    "ext_tpch_q2_shape",
+    "ext_window_distribution",
+    "ext_window_ntile",
+    "ns_corpus_shuffle",
+    "ns_dedup_exact",
+    "ns_preference_pairs",
+    "ns_sketch_cms_heavy_hitters",
+    "ns_text_heavy_hitters",
+    "ns_text_top_terms",
+    "op_a10_predicate_delete",
+    "op_a1_point_lookup",
+    "op_a2_existence_probe",
+    "op_a3_point_lookup_hash",
+    "op_a5_full_scan_limit",
+    "op_a6_upsert",
+    "op_a7_guarded_insert",
+    "op_a9_keyed_delete",
+    "ts_max_concurrency",
+    # --- 14 oldest-r8 rows, alphabetical (displacement comes from the
+    #     TAIL of this block: ns_hybrid_rrf_fusion first, then upward) ---
+    "ext_skew_salted_join",
+    "ext_tpch_q18_shape",
+    "ext_tpch_q3_shape",
+    "ext_union_by_name",
+    "ext_unpivot",
+    "ext_window_frame",
+    "ext_window_lag",
+    "ext_window_rank",
+    "ext_window_values",
+    "ext_winsorized_stats",
+    "ns_ann_lsh_bucketed",
+    "ns_ann_lsh_recall",
+    "ns_graph_link_prediction",
+    "ns_hybrid_rrf_fusion",
 )
 
-# ROUND-12 ROTATION PLAN: regenerate docs/ROTATION_LEDGER.md from
-# CORRECTNESS_r11 FIRST, then fill in this priority order:
-#   1. the ~36 remaining r7-stale rows (ext_percentile, ext_pivot,
-#      ext_posexplode, the op_a* block, ...; trust the REGENERATED
-#      ledger, never this comment);
-#   2. the remaining slots from oldest-r8 alphabetical;
-#   3. any query whose implementation changes during round 12
-#      displaces from the TAIL of the r8 block (never an r7 row).
-# After r12 no green row should be older than r8.
+# ROUND-13 ROTATION PLAN: regenerate docs/ROTATION_LEDGER.md from
+# CORRECTNESS_r12 FIRST, then fill in this priority order:
+#   1. the ~28 remaining r8-stale rows (trust the REGENERATED ledger,
+#      never this comment);
+#   2. the remaining slots from oldest-r9 alphabetical;
+#   3. any query whose implementation changes during round 13 displaces
+#      from the TAIL of the r9 block (never an r8 row).
+# After r13 no green row should be older than r9.
 
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R11 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R12 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

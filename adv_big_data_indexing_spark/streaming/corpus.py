@@ -20,23 +20,46 @@ crash-retries are REMOVED BY ``distinct()`` at read time — set union
 is idempotent, so no batch_id guard and no retraction machinery exist
 anywhere in the pipeline.
 
-Scale notes (the 100 TB story; the pruning levers shipped in r11 —
-VERDICT r10 item 3, measured at a 10⁶-doc index in BASELINE.md):
+Scale notes (the 100 TB story; the pruning levers shipped in r11,
+the layout levers in r12 — VERDICT r10 item 3 / r11 item 4, measured
+at a 10⁶-doc index in BASELINE.md):
 - per-batch work is batch bands × colliding index entries + the
   verify joins, never a corpus re-pair;
 - the band-log probe SEMI-PRUNES the index on the batch's own
-  (band, band_key) set via a broadcast semi join before any exchange —
-  the index is scanned (two skinny columns) but never shuffled;
+  (band, bk) set via a broadcast semi join before any exchange — the
+  index is scanned (two skinny columns) but never shuffled;
   bucket-PARTITIONING the bands base was considered and rejected by
   arithmetic: ~4 band keys per batch doc means any realistic batch
   hits every bucket, so partition pruning cannot bind there;
+- the bands log stores bk = xxhash64(band_key) instead of the
+  ~40-byte comma-joined minhash STRING the batch tier buckets on
+  (r12): equal strings hash equal, so no collision is ever lost, and
+  a 2⁻⁶⁴ cross-key collision only ADDS a candidate the verify then
+  rejects — the pair set is unchanged while the probe-scanned log
+  shrinks ~4× per row. The layout is stamped (`_layout` marker) and
+  mismatches fail loudly at fold time;
+- compaction SORTS each base within write tasks (statelog
+  ``sort_within``): sigs by (dk, doc_id), bands by (band, bk) — the
+  sorted int64 columns delta-encode instead of PLAIN and row-group
+  min/max tighten, shrinking the per-batch columnar scan that is the
+  remaining index-sized term (r11 residual 3);
 - the verify prunes the HEAVY sig log (full shingle-hash arrays) to
   candidate doc_ids: its base is hive-partitioned on
   dk = pmod(xxhash64(doc_id), SIGS_BUCKETS), the candidate ids'
   bucket set (a bounded ≤ SIGS_BUCKETS collect) prunes the scan to
   colliding buckets, and a broadcast semi join prunes rows within
   them — before r11 the whole sig log was scanned AND shuffled twice
-  per batch;
+  per batch. SIGS_BUCKETS is stamped into the log dir and a mismatch
+  fails loudly (ADVICE r11) — stored dk values bake the modulus in,
+  so a silent change would make the isin prune drop candidates;
+- the candidate-id semi join broadcasts only below
+  STREAM_BCAST_IDS_CAP ids (ADVICE r11): a degenerate band bucket can
+  make the candidate set index-sized, and a forced broadcast there is
+  driver memory pressure, not a plan win — past the cap the hint is
+  dropped and AQE picks the join. The batch tier's opt-in
+  ``spark.advbdi.maxLshBucket`` fail-fast is honored here too: when
+  set, any colliding (band, bk) bucket above the ceiling RAISES with
+  the offending key, same contract as dedup._lsh_pair_stats;
 - bucket-degeneracy boundary: since the r9 route-never-drop change the
   batch tier expands EVERY bucket through the spill-safe self-join, so
   the streaming pair set equals the batch result at any bucket size;
@@ -69,14 +92,58 @@ CORPUS_COMPACT_FANIN = 8
 #: by the broadcast semi prune instead.
 SIGS_BUCKETS = 64
 
+#: broadcast the candidate-id semi-join side only below this many ids
+#: (ADVICE r11): the candidate set is COLLISION-sized, not batch-sized —
+#: under a degenerate band bucket it approaches index size, and an
+#: explicit F.broadcast there forces collision-sized state through the
+#: driver. Past the cap the hint is dropped (no raise — results are
+#: identical either way) and AQE picks the join strategy. 2M bigint ids
+#: ≈ tens of MB broadcast — comfortably inside executor budgets while
+#: far above any non-degenerate batch's collision set.
+STREAM_BCAST_IDS_CAP = 2_000_000
+
 _PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, n_inter bigint, jaccard double"
 _SIGS_SCHEMA = "doc_id bigint, dk int, hs array<bigint>"
-_BANDS_SCHEMA = "doc_id bigint, band int, band_key string"
+#: bk = xxhash64(band_key): the probe log stores the 8-byte hash of the
+#: batch tier's ~40-byte minhash-concat string (r12 layout lever). Equal
+#: keys hash equal → no collision lost; a 2⁻⁶⁴ cross-key hash collision
+#: only adds a candidate pair the jaccard verify rejects.
+_BANDS_SCHEMA = "doc_id bigint, band int, bk bigint"
 
 
 def _dk(col):
     """Sig-log bucket id for a doc_id column (stable, data-independent)."""
     return F.pmod(F.xxhash64(col), SIGS_BUCKETS).cast("int")
+
+
+def _check_layout(log_dir: str, expect: str) -> None:
+    """Stamp the log's layout contract into the state dir; fail loudly
+    on mismatch (ADVICE r11). Stored values bake layout constants in —
+    the sigs log's dk column is pmod(xxhash64(doc_id), SIGS_BUCKETS)
+    and the bands log's bk column is xxhash64(band_key) — so resuming
+    over a state dir written under a different modulus/encoding would
+    SILENTLY drop verify candidates (the bucket isin and the probe
+    equi-join compare against stale stored values: wrong results, no
+    error). The marker turns that into an immediate raise. A
+    pre-marker dir (written by the same constants before r12) is
+    stamped with the current contract on first touch; the marker name
+    is '_'-prefixed so Spark's readers ignore it."""
+    os.makedirs(log_dir, exist_ok=True)
+    marker = os.path.join(log_dir, "_layout")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            stored = f.read().strip()
+        if stored != expect:
+            raise ValueError(
+                f"statelog layout mismatch under {log_dir}: state dir was "
+                f"written with '{stored}' but this build expects "
+                f"'{expect}'. Stored rows bake that constant in — rebuild "
+                "the index (or run the matching build) instead of "
+                "resuming; resuming would silently drop duplicate pairs."
+            )
+    else:
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(expect)
 
 
 def _read_set_log(spark, log_dir: str, schema: str):
@@ -91,13 +158,16 @@ def _maybe_compact_set_log(
     batch_id: int,
     fanin: int,
     partition_by: str | None = None,
+    sort_within: tuple[str, ...] | None = None,
 ) -> None:
     """Fold the delta batches into the base once ``fanin`` accumulate —
     the survival log's protocol with distinct() in place of max().
     ``partition_by`` hive-partitions the compacted base (the sigs log's
     dk buckets, repartitioned onto dk so the write emits one file per
-    bucket dir — BASELINE.md r11 compaction-spike fix); trigger, the
-    partitioned-commit zero-row guard and the repartition live in
+    bucket dir — BASELINE.md r11 compaction-spike fix); ``sort_within``
+    clusters each base file on its probe keys so the int64 columns
+    delta-encode (r12 layout lever). Trigger, the partitioned-commit
+    zero-row guard, the repartition and the sort live in
     statelog.maybe_compact."""
     statelog.maybe_compact(
         spark,
@@ -107,6 +177,7 @@ def _maybe_compact_set_log(
         fanin,
         partition_by=partition_by,
         repartition=partition_by is not None,
+        sort_within=sort_within,
     )
 
 
@@ -142,6 +213,10 @@ def run_streaming_dedup_index(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # layout contracts stamped/verified before anything touches the
+        # logs (ADVICE r11): stored dk/bk values bake these constants in
+        _check_layout(sigs_log, f"sigs_buckets={SIGS_BUCKETS}")
+        _check_layout(bands_log, "bands=bk64")
         banded_new, _carry = _banded(shingles_of(batch))
         # reused by the probe join, both verify sides and both appends;
         # persist, NOT localCheckpoint: reuse is all that is needed
@@ -171,21 +246,67 @@ def run_streaming_dedup_index(
         sig_new = banded_new.filter(F.col("band") == 0).select(
             "doc_id", _dk(F.col("doc_id")).alias("dk"), F.array_sort("hs").alias("hs")
         )
-        bands_new = banded_new.select("doc_id", "band", "band_key")
+        # bk64 layout (r12): the log stores the 8-byte hash of the batch
+        # tier's band_key string — see _BANDS_SCHEMA. Both probe sides
+        # hash the same expression, so collision detection is unchanged.
+        bands_new = banded_new.select(
+            "doc_id", "band", F.xxhash64("band_key").alias("bk")
+        )
 
         # probe prune (VERDICT r10 item 3): the indexed band log grows
         # with the corpus, and joining it raw would SHUFFLE the whole
         # index every micro-batch — the growing term the r10 sf10 probe
         # saw (~1.3× batch time per 10× index). A broadcast semi join on
-        # the batch's own (band, band_key) set prunes the index to
-        # exactly the colliding rows BEFORE any exchange: the index is
-        # scanned (columnar, two skinny columns reach the filter) but
+        # the batch's own (band, bk) set prunes the index to exactly the
+        # colliding rows BEFORE any exchange: the index is scanned
+        # (columnar, two skinny int64 columns reach the filter) but
         # never shuffled, and the per-batch exchange volume drops from
         # Θ(index) to Θ(collisions).
-        batch_keys = bands_new.select("band", "band_key").distinct()
+        batch_keys = bands_new.select("band", "bk").distinct()
         prev_bands = _read_set_log(spark, bands_log, _BANDS_SCHEMA).join(
-            F.broadcast(batch_keys), ["band", "band_key"], "left_semi"
+            F.broadcast(batch_keys), ["band", "bk"], "left_semi"
         )
+
+        # opt-in bucket-degeneracy ceiling (ADVICE r11): honor the batch
+        # tier's spark.advbdi.maxLshBucket on the streaming probe view —
+        # any colliding (band, bk) bucket across new ∪ indexed rows
+        # above the ceiling RAISES with the offending key (never a
+        # silent drop), the dedup._lsh_pair_stats contract. Read at
+        # BUILD time like the batch tier; unset/0 (default) leaves the
+        # probe plan untouched.
+        ceiling = int(spark.conf.get("spark.advbdi.maxLshBucket", "0") or "0")
+        if ceiling > 0:
+            from pyspark.sql.window import Window  # noqa: PLC0415
+
+            tagged = bands_new.withColumn("is_new", F.lit(True)).unionByName(
+                prev_bands.withColumn("is_new", F.lit(False))
+            )
+            msg = F.concat(
+                F.lit(
+                    "streaming LSH bucket exceeds spark.advbdi.maxLshBucket="
+                    f"{ceiling}: band="
+                ),
+                F.col("band").cast("string"),
+                F.lit(" bk="),
+                F.col("bk").cast("string"),
+                F.lit(" size="),
+                F.col("bsz").cast("string"),
+                F.lit(
+                    " — a band key this hot has stopped discriminating "
+                    "(boilerplate cluster?); re-key or pre-filter it, or "
+                    "raise/unset the ceiling to pay its quadratic pairs"
+                ),
+            )
+            checked = tagged.withColumn(
+                "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bk"))
+            )
+            checked = checked.where(
+                F.assert_true(F.col("bsz") <= F.lit(ceiling), msg).isNull()
+            ).drop("bsz")
+            probe_new = checked.filter(F.col("is_new")).drop("is_new")
+            probe_prev = checked.filter(~F.col("is_new")).drop("is_new")
+        else:
+            probe_new, probe_prev = bands_new, prev_bands
 
         def id_pairs(left, right, strict_lt):
             id_cond = (
@@ -198,7 +319,7 @@ def run_streaming_dedup_index(
                 .join(
                     right.alias("e"),
                     (F.col("n.band") == F.col("e.band"))
-                    & (F.col("n.band_key") == F.col("e.band_key"))
+                    & (F.col("n.bk") == F.col("e.bk"))
                     & id_cond,
                 )
                 .select(
@@ -208,8 +329,8 @@ def run_streaming_dedup_index(
             )
 
         cand = (
-            id_pairs(bands_new, prev_bands, strict_lt=False)
-            .unionByName(id_pairs(bands_new, bands_new, strict_lt=True))
+            id_pairs(probe_new, probe_prev, strict_lt=False)
+            .unionByName(id_pairs(probe_new, probe_new, strict_lt=True))
             .distinct()
             # reused by the bucket collect, both verify sides (via
             # cand_ids) and the stats join — persist, same rationale as
@@ -226,25 +347,36 @@ def run_streaming_dedup_index(
         # array — the heavy log — and the verify only ever reads the
         # CANDIDATE docs' rows. Its base is hive-partitioned on dk
         # (SIGS_BUCKETS above), so the candidate ids' bucket set — a
-        # BOUNDED collect, ≤ SIGS_BUCKETS ints by construction — prunes
-        # the base scan to the colliding buckets (PartitionFilters),
-        # and the broadcast semi join prunes rows within them. Before
-        # this, the whole hs-carrying log was scanned AND shuffled
-        # (dropDuplicates) twice per batch — the dominant index-sized
-        # term at a 10⁶-doc index (BASELINE.md r11).
-        cand_bks = [
-            r[0]
-            for r in cand_ids.select(_dk(F.col("doc_id")).alias("dk"))
-            .distinct()
+        # BOUNDED collect, ≤ SIGS_BUCKETS rows by construction (the
+        # groupBy also yields the candidate-id COUNT for the broadcast
+        # decision below, one job for both) — prunes the base scan to
+        # the colliding buckets (PartitionFilters), and a semi join
+        # prunes rows within them. Before r11 the whole hs-carrying log
+        # was scanned AND shuffled (dropDuplicates) twice per batch —
+        # the dominant index-sized term at a 10⁶-doc index.
+        bk_rows = (
+            cand_ids.groupBy(_dk(F.col("doc_id")).alias("dk"))
+            .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        ]
+        )
+        cand_bks = [r["dk"] for r in bk_rows]
+        n_cand = sum(r["n"] for r in bk_rows)
         if cand_bks:
             prev_sigs = _read_set_log(spark, sigs_log, _SIGS_SCHEMA).filter(
                 F.col("dk").isin(cand_bks)
             )
+            # broadcast the candidate ids only while they are genuinely
+            # small (ADVICE r11): under a degenerate bucket the set is
+            # collision-sized, and forcing a broadcast there is driver
+            # memory pressure — drop the hint and let AQE pick the join.
+            sem_ids = (
+                F.broadcast(cand_ids)
+                if n_cand <= STREAM_BCAST_IDS_CAP
+                else cand_ids
+            )
             all_sigs = (
                 prev_sigs.unionByName(sig_new)
-                .join(F.broadcast(cand_ids), "doc_id", "left_semi")
+                .join(sem_ids, "doc_id", "left_semi")
                 .dropDuplicates(["doc_id"])  # replayed sigs: same SET, any order
                 .drop("dk")
             )
@@ -278,13 +410,24 @@ def run_streaming_dedup_index(
         statelog.append_delta(pairs, pairs_log, batch_id)
         statelog.append_delta(sig_new, sigs_log, batch_id)
         statelog.append_delta(bands_new, bands_log, batch_id)
-        for log_dir, schema, part in (
-            (pairs_log, _PAIRS_SCHEMA, None),
-            (sigs_log, _SIGS_SCHEMA, "dk"),
-            (bands_log, _BANDS_SCHEMA, None),
+        # sort_within (r12 layout lever): cluster each base file on its
+        # probe keys at compaction — sigs by (dk, doc_id) inside the dk
+        # partition dirs, bands by (band, bk) — so the sorted int64
+        # columns delta-encode and the per-batch probe scan shrinks
+        # (BASELINE.md r12 before/after).
+        for log_dir, schema, part, sortw in (
+            (pairs_log, _PAIRS_SCHEMA, None, None),
+            (sigs_log, _SIGS_SCHEMA, "dk", ("dk", "doc_id")),
+            (bands_log, _BANDS_SCHEMA, None, ("band", "bk")),
         ):
             _maybe_compact_set_log(
-                spark, log_dir, schema, batch_id, compact_fanin, partition_by=part
+                spark,
+                log_dir,
+                schema,
+                batch_id,
+                compact_fanin,
+                partition_by=part,
+                sort_within=sortw,
             )
 
     return (

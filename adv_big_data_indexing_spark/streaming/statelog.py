@@ -139,6 +139,7 @@ def maybe_compact(
     fanin: int,
     partition_by: str | None = None,
     repartition: bool = False,
+    sort_within: tuple[str, ...] | None = None,
 ) -> None:
     """Fold the delta batches into the base once ``fanin`` accumulate —
     the shared trigger for every log-structured twin (code-review r11:
@@ -155,12 +156,34 @@ def maybe_compact(
     walk that counts them) grow forever (code-review r11 on the pairs
     log).
 
+    CALLER CONTRACT of the guard (ADVICE r11): the guard checks
+    ``log_rows`` (base + deltas from parquet footers), NOT the merged
+    frame — so ``merged_fn`` must return a NON-EMPTY frame whenever the
+    log holds any rows. Every current merge satisfies this structurally
+    (``distinct()`` and per-key ``max()`` both retain at least one row
+    per input row's key); a merge that can FILTER every row away (e.g.
+    a hypothetical retention compaction dropping closed cohorts) would
+    commit a zero-row partitioned base past the guard, recreating the
+    schema-less-base hazard. Such a merge must keep a frontier row per
+    partition value or not use a partitioned base. (A driver-side
+    footer check of the just-committed base with rollback was
+    considered and rejected: it would widen the torn-compaction window
+    the crash certification pins — the base swap must stay the single
+    commit point.)
+
     ``repartition=True`` shuffles the merged frame onto the partition
     column first so the partitionBy write emits one file per bucket dir
     instead of shuffle_partitions × buckets small files — right for a
     many-bucket key (the sigs log's 64 dk buckets), WRONG for a
     low-cardinality key like the funnel's kind (it would serialize the
-    data-sized write into #kinds tasks)."""
+    data-sized write into #kinds tasks).
+
+    ``sort_within`` sorts rows inside each write task at compaction
+    (``sortWithinPartitions`` — no extra exchange) so the base's
+    parquet files carry clustered values: sorted int64 keys delta/RLE
+    encode instead of PLAIN and row-group min/max stats become tight
+    (the r12 layout lever on the dedup index's probe-scanned bases —
+    measured in BASELINE.md). Compaction-only cost; reads unchanged."""
     if delta_batches(log_dir) < fanin:
         return
     if partition_by is not None and log_rows(log_dir) == 0:
@@ -168,6 +191,8 @@ def maybe_compact(
     merged = merged_fn()
     if repartition and partition_by is not None:
         merged = merged.repartition(partition_by)
+    if sort_within:
+        merged = merged.sortWithinPartitions(*sort_within)
     compact(spark, log_dir, merged, batch_id, partition_by=partition_by)
 
 

@@ -246,6 +246,133 @@ def test_sigs_base_bucketed_layout_and_torn_compaction(spark, tmp_path, batch_pa
     assert statelog.read_set_log(spark, sigs_log, sc._SIGS_SCHEMA).count() == 0
 
 
+def test_layout_marker_stamps_and_raises_on_mismatch(spark, tmp_path):
+    """ADVICE r11: stored dk/bk values bake SIGS_BUCKETS and the bk64
+    encoding into the state dir — the `_layout` marker must stamp the
+    contract on first touch, accept the same contract on resume, and
+    raise LOUDLY (not silently drop pairs) when the constants differ.
+    End-to-end: a tampered marker fails the next micro-batch."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    # unit: stamp → re-check same passes → different raises
+    log = str(tmp_path / "somelog")
+    sc._check_layout(log, "sigs_buckets=64")
+    sc._check_layout(log, "sigs_buckets=64")  # idempotent
+    with pytest.raises(ValueError, match="layout mismatch"):
+        sc._check_layout(log, "sigs_buckets=128")
+    # marker is invisible to Spark's parquet reader machinery
+    assert os.path.basename(
+        os.path.join(log, "_layout")
+    ).startswith("_")
+
+    # end-to-end: build a small index, tamper the sigs marker, resume —
+    # the next batch must fail with the mismatch error, not run
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    small = docs.limit(40)
+    _got, state, _ck, _schema, src = _stream_pairs(
+        spark, tmp_path, [small], "marker"
+    )
+    with open(os.path.join(state, "sigs", "_layout"), "w", encoding="utf-8") as f:
+        f.write("sigs_buckets=32")
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") == 0).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = sc.run_streaming_dedup_index(stream, state, str(tmp_path / "ck_marker2"))
+    with pytest.raises(StreamingQueryException, match="layout mismatch"):
+        q.awaitTermination(600)
+
+
+def test_streaming_honors_max_lsh_bucket_ceiling(spark, tmp_path):
+    """ADVICE r11: the streaming probe honors the batch tier's opt-in
+    spark.advbdi.maxLshBucket fail-fast — a colliding bucket above the
+    ceiling RAISES naming the offending (band, bk); unset, the same
+    stream converges to the batch pair set (plan untouched)."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    # 12 docs with identical text → one clique bucket of size 12 in
+    # every band (the degenerate shape the ceiling exists for)
+    rows = [(d, "alpha beta gamma delta epsilon zeta eta theta") for d in range(12)]
+    clique = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    try:
+        spark.conf.set("spark.advbdi.maxLshBucket", "8")
+        src = str(tmp_path / "src_ceiling")
+        clique.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(clique.schema).parquet(src)
+        q = sc.run_streaming_dedup_index(
+            stream, str(tmp_path / "state_ceiling"), str(tmp_path / "ck_ceiling")
+        )
+        with pytest.raises(StreamingQueryException, match="maxLshBucket") as ei:
+            q.awaitTermination(600)
+        assert "band=" in str(ei.value) and "size=12" in str(ei.value)
+    finally:
+        spark.conf.unset("spark.advbdi.maxLshBucket")
+
+    # unset: the identical stream pairs the clique fully — C(12,2)
+    got, *_ = _stream_pairs(spark, tmp_path, [clique], "ceiling_ok")
+    assert len(got) == 66
+
+
+def test_broadcast_cap_drops_hint_with_identical_pairs(spark, tmp_path, batch_pairs):
+    """ADVICE r11: past STREAM_BCAST_IDS_CAP the candidate-id semi join
+    drops its broadcast hint (AQE picks the join) — results must be
+    IDENTICAL on both sides of the cap. Force the no-hint path by
+    zeroing the cap and re-converge to the batch pair set."""
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    orig = sc.STREAM_BCAST_IDS_CAP
+    sc.STREAM_BCAST_IDS_CAP = 0  # every batch takes the no-hint path
+    try:
+        got, *_ = _stream_pairs(spark, tmp_path, [docs], "nobcast")
+    finally:
+        sc.STREAM_BCAST_IDS_CAP = orig
+    assert got == batch_pairs
+
+
+def test_compacted_bases_are_sorted_for_encoding(spark, tmp_path, batch_pairs):
+    """r12 layout lever: after compaction the bands base files are
+    sorted by (band, bk) and each sigs dk-partition file by doc_id —
+    the clustering that lets parquet delta-encode the int64 probe
+    columns and keeps row-group min/max tight (BASELINE.md r12)."""
+    import pyarrow.parquet as pq
+
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    got, state, *_ = _stream_pairs(
+        spark, tmp_path, [docs], "sorted", compact_fanin=1
+    )
+    assert got == batch_pairs
+
+    bands_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(state, "bands", "base"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert bands_files
+    for path in bands_files:
+        t = pq.read_table(path, columns=["band", "bk"])
+        pairs = list(zip(t.column("band").to_pylist(), t.column("bk").to_pylist()))
+        assert pairs == sorted(pairs), f"bands base not (band, bk)-sorted: {path}"
+
+    sigs_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(state, "sigs", "base"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert sigs_files
+    for path in sigs_files:
+        ids = pq.read_table(path, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert ids == sorted(ids), f"sigs base not doc_id-sorted: {path}"
+
+
 def test_sigs_bucket_filter_reaches_partition_filters(spark, tmp_path):
     """Plan-level pin for the r11 lever: the candidate-bucket isin on
     the dk-partitioned sigs base must show up as PartitionFilters on

@@ -1,10 +1,15 @@
-"""Crash-kill certification of the statelog twins (VERDICT r10 item 5):
-kill -9 the whole driver process group mid-batch and — deterministically
-— inside the TORN-COMPACTION window (base committed, delta reset never
-ran) on the funnel and dedup-index twins at sf1, restart from the same
-checkpoint + state, drain, and assert exact equality with the batch
-operator. The unit tests pin these invariants on synthetic fixtures;
-this probe executes the real kill on the real pipelines end-to-end.
+"""Crash-kill certification of the statelog twins (VERDICT r10 item 5;
+r11 item 5 extends it to the retention-log and survival twins): kill -9
+the whole driver process group mid-batch and — deterministically —
+inside the TORN-COMPACTION window (base committed, delta reset never
+ran) on each statelog twin at sf1, restart from the same checkpoint +
+state, drain, and assert exact equality with the batch operator. The
+unit tests pin these invariants on synthetic fixtures; this probe
+executes the real kill on the real pipelines end-to-end.
+
+Ops: funnel, dedup (the dedup index — re-certified in r12 on the
+bk64 + sorted-compaction layout), retention (the log-structured
+retention twin), survival (the KM frontier log).
 
 Roles (subprocesses of this same file, each with its own Spark session,
 launched in their own process group so SIGKILL takes the JVM down too):
@@ -21,7 +26,9 @@ run-to-drain, verify. Kill modes: 'mid' (a fixed delay after
 STREAM_STARTED, landing mid-batch) and 'torn' (on the marker).
 
 Usage: python tools/probe_crash_kill.py [sf_dir] [mid_delay_funnel]
-       [mid_delay_dedup]
+       [mid_delay_dedup] [--ops funnel,dedup,retention,survival]
+       (retention/survival mid-delay defaults to 12 s — their sf1
+       batches drain faster than the funnel's)
 """
 
 from __future__ import annotations
@@ -39,6 +46,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 FUNNEL_FANIN = 3
 DEDUP_FANIN = 3
 N_CHUNKS = 8
+ALL_OPS = ("funnel", "dedup", "retention", "survival")
 
 
 def _spark():
@@ -65,11 +73,11 @@ def role_prep(op: str, work: str, sf_dir: str) -> None:
     if os.path.isdir(src):
         print("SRC_EXISTS", flush=True)
         return
-    table = "events" if op == "funnel" else "documents"
+    table = "documents" if op == "dedup" else "events"
     df = load_table(spark, sf_dir, table)
     if op == "dedup":
         df = df.select("doc_id", "text")
-    key = "event_id" if op == "funnel" else "doc_id"
+    key = "doc_id" if op == "dedup" else "event_id"
     for k in range(N_CHUNKS):
         df.filter(F.col(key) % N_CHUNKS == k).coalesce(1).write.mode(
             "append"
@@ -106,19 +114,7 @@ def role_run(op: str, work: str, sf_dir: str, torn: bool) -> None:
     if torn:
         _torn_wrap()
     src, state, ck = f"{work}/src", f"{work}/state", f"{work}/ck"
-    if op == "funnel":
-        from adv_big_data_indexing_spark.streaming import events as ev
-
-        schema = load_table(spark, sf_dir, "events").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        q = ev.run_streaming_funnel(
-            stream, state, ck, delay_sec=10**9, compact_fanin=FUNNEL_FANIN
-        )
-    else:
+    if op == "dedup":
         from adv_big_data_indexing_spark.streaming import corpus as sc
 
         schema = (
@@ -132,6 +128,29 @@ def role_run(op: str, work: str, sf_dir: str, torn: bool) -> None:
         q = sc.run_streaming_dedup_index(
             stream, state, ck, compact_fanin=DEDUP_FANIN
         )
+    else:
+        from adv_big_data_indexing_spark.streaming import events as ev
+
+        schema = load_table(spark, sf_dir, "events").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        if op == "funnel":
+            q = ev.run_streaming_funnel(
+                stream, state, ck, delay_sec=10**9, compact_fanin=FUNNEL_FANIN
+            )
+        elif op == "retention":
+            q = ev.run_streaming_retention_log(
+                stream, state, ck, compact_fanin=FUNNEL_FANIN
+            )
+        elif op == "survival":
+            q = ev.run_streaming_survival(
+                stream, state, ck, compact_fanin=FUNNEL_FANIN
+            )
+        else:
+            raise SystemExit(f"unknown op {op}")
     print("STREAM_STARTED", flush=True)
     q.awaitTermination(3600)
     print("DRAINED", flush=True)
@@ -153,6 +172,24 @@ def role_verify(op: str, work: str, sf_dir: str) -> None:
         got, exp = ev.streaming_funnel_result(spark, state), ts_funnel(
             spark, sf_dir
         )
+    elif op == "retention":
+        from adv_big_data_indexing_spark.operators.timeseries import (
+            ts_retention_cohort,
+        )
+        from adv_big_data_indexing_spark.streaming import events as ev
+
+        cols = ["cohort_day", "day_offset", "active_users"]
+        got = ev.streaming_retention_log_result(spark, state)
+        exp = ts_retention_cohort(spark, sf_dir)
+    elif op == "survival":
+        from adv_big_data_indexing_spark.operators.timeseries import (
+            ts_survival_km,
+        )
+        from adv_big_data_indexing_spark.streaming import events as ev
+
+        cols = ["day", "n_risk", "n_churn", "log_s_q4"]
+        got = ev.streaming_survival_result(spark, state)
+        exp = ts_survival_km(spark, sf_dir)
     else:
         from adv_big_data_indexing_spark.operators.dedup import (
             ns_dedup_minhash_lsh,
@@ -208,13 +245,10 @@ def _killpg(proc):
     proc.wait()
 
 
-def parent(sf_dir: str, mid_delay: dict) -> None:
+def parent(sf_dir: str, mid_delay: dict, ops: tuple[str, ...]) -> None:
     import tempfile
 
-    scenarios = [
-        ("funnel", "mid"), ("funnel", "torn"),
-        ("dedup", "mid"), ("dedup", "torn"),
-    ]
+    scenarios = [(op, mode) for op in ops for mode in ("mid", "torn")]
     for op, mode in scenarios:
         work = tempfile.mkdtemp(prefix=f"crashkill_{op}_{mode}_")
         print(f"== {op} / kill-{mode} ==  work={work}", flush=True)
@@ -258,7 +292,18 @@ if __name__ == "__main__":
         else:
             role_verify(op, work, sf)
     else:
-        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-        d_funnel = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-        d_dedup = int(sys.argv[3]) if len(sys.argv) > 3 else 25
-        parent(sf_dir, {"funnel": d_funnel, "dedup": d_dedup})
+        args = [a for a in sys.argv[1:] if not a.startswith("--ops")]
+        ops = ALL_OPS
+        for a in sys.argv[1:]:
+            if a.startswith("--ops="):
+                ops = tuple(a.split("=", 1)[1].split(","))
+        sf_dir = args[0] if len(args) > 0 else "/tmp/sf1"
+        d_funnel = int(args[1]) if len(args) > 1 else 25
+        d_dedup = int(args[2]) if len(args) > 2 else 25
+        delays = {
+            "funnel": d_funnel,
+            "dedup": d_dedup,
+            "retention": 12,
+            "survival": 12,
+        }
+        parent(sf_dir, delays, ops)

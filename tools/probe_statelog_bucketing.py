@@ -175,73 +175,72 @@ def main() -> None:
         tag = next(iter(results))
         print(f"pairs {tag}={digest(results[tag][4], results[tag][3])[0]}")
 
-    # component attribution on the NEW state's 10⁶-doc logs: the
-    # old-form vs new-form probe/verify expressions, same index
+    # component attribution: the SAME representative batch's semi-pruned
+    # probe and pruned verify, each form run against ITS OWN variant's
+    # 10⁶-doc logs — so old-vs-new isolates the layout terms (r12: bk64
+    # bands schema + sorted compaction) at identical index content.
     from adv_big_data_indexing_spark.operators.dedup import _banded, shingles_of
     from adv_big_data_indexing_spark.streaming import statelog
 
-    if "new" not in results:
-        shutil.rmtree(work, ignore_errors=True)
-        return
-    new_mod, new_state = results["new"][4], results["new"][3]
     batch = steady.filter(F.col("doc_id") % n_steady == 0)
     banded, _ = _banded(shingles_of(batch))
     from pyspark import StorageLevel
 
     banded = banded.persist(StorageLevel.DISK_ONLY)
     banded.count()
-    bands_new = banded.select("doc_id", "band", "band_key")
-    sigs_log, bands_log = f"{new_state}/sigs", f"{new_state}/bands"
 
     def timed(label, fn):
         t = time.time()
         n = fn()
         print(f"  {label:55s} {time.time() - t:7.2f}s  (rows={n})")
 
-    full_bands = statelog.read_set_log(
-        spark, bands_log, new_mod._BANDS_SCHEMA
-    )
     print("component attribution (1250-doc batch vs the 10^6-doc index):")
-    timed("bands probe OLD: raw join (index shuffled)", lambda: (
-        bands_new.alias("n")
-        .join(
-            full_bands.alias("e"),
-            (F.col("n.band") == F.col("e.band"))
-            & (F.col("n.band_key") == F.col("e.band_key"))
-            & (F.col("n.doc_id") != F.col("e.doc_id")),
+    for tag, (_t, _b, _s, state, mod) in results.items():
+        bands_schema = mod._BANDS_SCHEMA
+        bk64 = "bk bigint" in bands_schema
+        key = "bk" if bk64 else "band_key"
+        bands_new = (
+            banded.select("doc_id", "band", F.xxhash64("band_key").alias("bk"))
+            if bk64
+            else banded.select("doc_id", "band", "band_key")
         )
-        .count()
-    ))
-    keys = bands_new.select("band", "band_key").distinct()
-    timed("bands probe NEW: broadcast semi prune first", lambda: (
-        bands_new.alias("n")
-        .join(
-            full_bands.join(
-                F.broadcast(keys), ["band", "band_key"], "left_semi"
-            ).alias("e"),
-            (F.col("n.band") == F.col("e.band"))
-            & (F.col("n.band_key") == F.col("e.band_key"))
-            & (F.col("n.doc_id") != F.col("e.doc_id")),
+        full_bands = statelog.read_set_log(
+            spark, f"{state}/bands", bands_schema
         )
-        .count()
-    ))
-    full_sigs = statelog.read_set_log(spark, sigs_log, new_mod._SIGS_SCHEMA)
-    timed("sigs verify OLD: full dedup panel (index shuffled)", lambda: (
-        full_sigs.drop("dk").dropDuplicates(["doc_id"]).count()
-    ))
-    some_ids = banded.filter(F.col("band") == 0).select("doc_id").limit(200)
-    bks = [
-        r[0]
-        for r in some_ids.select(new_mod._dk(F.col("doc_id")).alias("dk"))
-        .distinct()
-        .collect()
-    ]
-    timed(f"sigs verify NEW: {len(bks)}-bucket prune + semi + dedup", lambda: (
-        full_sigs.filter(F.col("dk").isin(bks))
-        .join(F.broadcast(some_ids), "doc_id", "left_semi")
-        .dropDuplicates(["doc_id"])
-        .count()
-    ))
+        keys = bands_new.select("band", key).distinct()
+        timed(f"bands probe [{tag}]: semi prune + join ({key})", lambda fb=full_bands, bn=bands_new, ks=keys, k=key: (
+            bn.alias("n")
+            .join(
+                fb.join(F.broadcast(ks), ["band", k], "left_semi").alias("e"),
+                (F.col("n.band") == F.col("e.band"))
+                & (F.col(f"n.{k}") == F.col(f"e.{k}"))
+                & (F.col("n.doc_id") != F.col("e.doc_id")),
+            )
+            .count()
+        ))
+        full_sigs = statelog.read_set_log(
+            spark, f"{state}/sigs", mod._SIGS_SCHEMA
+        )
+        some_ids = banded.filter(F.col("band") == 0).select("doc_id").limit(200)
+        bks = [
+            r[0]
+            for r in some_ids.select(mod._dk(F.col("doc_id")).alias("dk"))
+            .distinct()
+            .collect()
+        ]
+        timed(f"sigs verify [{tag}]: {len(bks)}-bucket prune + semi", lambda fs=full_sigs, si=some_ids, b=bks: (
+            fs.filter(F.col("dk").isin(b))
+            .join(F.broadcast(si), "doc_id", "left_semi")
+            .dropDuplicates(["doc_id"])
+            .count()
+        ))
+        # layout context: bytes actually on disk under each base
+        for log in ("bands", "sigs"):
+            nbytes = sum(
+                f.stat().st_size
+                for f in Path(f"{state}/{log}").rglob("*.parquet")
+            )
+            print(f"  {tag} {log} log on disk: {nbytes / 1e6:.1f} MB")
     banded.unpersist()
     shutil.rmtree(work, ignore_errors=True)
 

@@ -143,6 +143,7 @@ _FINAL_CIN = f"c{KMEANS_ITERS}" if KMEANS_ITERS else "cent0"
 
 @query(
     "ns_semdedup_kmeans",
+    bench=True,  # r12 headline-set refresh (VERDICT r11 item 2)
     oracle=f"""
     WITH qv AS (
       SELECT vec_id, {DUCK_QUANTIZE.format(col="embedding")} AS q FROM embeddings

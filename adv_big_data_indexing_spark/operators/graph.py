@@ -165,6 +165,7 @@ FROM membership
 
 @query(
     "ns_dedup_components",
+    bench=True,  # r12 headline-set refresh (VERDICT r11 item 2)
     oracle=_COMPONENTS_ORACLE,
     doc="NS dedup-cluster resolution: n-gram-Jaccard near-dup pairs → "
     "connected components (large-star/small-star) → one canonical doc "
@@ -338,6 +339,7 @@ def _duck_pr_iter(i: int) -> str:
 
 @query(
     "ns_graph_pagerank",
+    bench=True,  # r12 headline-set refresh (VERDICT r11 item 2)
     oracle=f"""
     WITH {_DUCK_PR_EDGES},
     r0 AS (SELECT v, {RANK_SCALE} // nn.n AS r FROM nodes CROSS JOIN nn),

@@ -775,6 +775,7 @@ def _pca_oracle(iters: int = _PCA_ITERS) -> str:
 
 @query(
     "ns_embed_pca_power",
+    bench=True,  # r12 headline-set refresh (VERDICT r11 item 2)
     oracle=_pca_oracle(),
     doc="NS distributed PCA, top principal direction: the D x D Gram "
     "matrix is aggregated in one distributed pass (per-Arrow-batch exact "

@@ -1641,6 +1641,7 @@ _DEC_OFF = 1 << 40
 
 @query(
     "ts_seasonal_decompose",
+    bench=True,  # r12 headline-set refresh (VERDICT r11 item 2)
     oracle=f"""
     WITH hourly AS (
       SELECT event_type,

@@ -116,34 +116,9 @@ def _dk(col):
     return F.pmod(F.xxhash64(col), SIGS_BUCKETS).cast("int")
 
 
-def _check_layout(log_dir: str, expect: str) -> None:
-    """Stamp the log's layout contract into the state dir; fail loudly
-    on mismatch (ADVICE r11). Stored values bake layout constants in —
-    the sigs log's dk column is pmod(xxhash64(doc_id), SIGS_BUCKETS)
-    and the bands log's bk column is xxhash64(band_key) — so resuming
-    over a state dir written under a different modulus/encoding would
-    SILENTLY drop verify candidates (the bucket isin and the probe
-    equi-join compare against stale stored values: wrong results, no
-    error). The marker turns that into an immediate raise. A
-    pre-marker dir (written by the same constants before r12) is
-    stamped with the current contract on first touch; the marker name
-    is '_'-prefixed so Spark's readers ignore it."""
-    os.makedirs(log_dir, exist_ok=True)
-    marker = os.path.join(log_dir, "_layout")
-    if os.path.exists(marker):
-        with open(marker, encoding="utf-8") as f:
-            stored = f.read().strip()
-        if stored != expect:
-            raise ValueError(
-                f"statelog layout mismatch under {log_dir}: state dir was "
-                f"written with '{stored}' but this build expects "
-                f"'{expect}'. Stored rows bake that constant in — rebuild "
-                "the index (or run the matching build) instead of "
-                "resuming; resuming would silently drop duplicate pairs."
-            )
-    else:
-        with open(marker, "w", encoding="utf-8") as f:
-            f.write(expect)
+#: shared marker protocol (statelog.check_layout): stamp-or-verify the
+#: constants baked into stored rows — dk's modulus, bk's encoding
+_check_layout = statelog.check_layout
 
 
 def _read_set_log(spark, log_dir: str, schema: str):

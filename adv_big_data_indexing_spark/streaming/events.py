@@ -2462,6 +2462,13 @@ def run_streaming_retention_log(
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # layout contract (ADVICE r11 class): the stored d-rows are
+        # PRUNED at RETENTION_MAX_OFFSET, so resuming with a WIDER
+        # window over an existing state dir would read pruned-away days
+        # as absent — silently wrong retention counts. Stamp + verify.
+        statelog.check_layout(
+            state_dir, f"retention_max_offset={RETENTION_MAX_OFFSET}"
+        )
         daily = batch.select(
             "user_id",
             (epoch_us(F.col("ts")) / F.lit(86_400_000_000))

@@ -41,6 +41,44 @@ def _deltas_dir(log_dir: str) -> str:
     return os.path.join(log_dir, "deltas")
 
 
+def check_layout(log_dir: str, expect: str) -> None:
+    """Stamp a log's layout contract into its state dir; fail loudly on
+    mismatch (ADVICE r11). Stored rows can bake layout constants in —
+    the dedup sigs log's dk = pmod(xxhash64(doc_id), SIGS_BUCKETS), the
+    bands log's bk = xxhash64(band_key) encoding, the retention log's
+    d-rows pruned at RETENTION_MAX_OFFSET — so resuming over a state
+    dir written under different constants would produce WRONG RESULTS
+    with no error (mismatched bucket prunes drop verify candidates;
+    a widened retention window reads pruned-away days as absent). The
+    marker turns that into an immediate raise at fold time. A
+    pre-marker dir (written by the same constants before the marker
+    existed) is stamped with the current contract on first touch; the
+    '_'-prefixed name keeps it invisible to Spark's readers and to
+    ``_visible_parquet_paths``."""
+    os.makedirs(log_dir, exist_ok=True)
+    marker = os.path.join(log_dir, "_layout")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            stored = f.read().strip()
+        if stored != expect:
+            raise ValueError(
+                f"statelog layout mismatch under {log_dir}: state dir was "
+                f"written with '{stored}' but this build expects "
+                f"'{expect}'. Stored rows bake that constant in — rebuild "
+                "the state (or run the matching build) instead of "
+                "resuming; resuming would silently produce wrong results."
+            )
+    else:
+        # atomic stamp (tmp + rename): a kill -9 mid-write must not
+        # leave a truncated marker that would block the crash-recovery
+        # resume with a spurious mismatch — the same crash-window
+        # discipline as the base commit's tmp-swap
+        tmp = marker + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(expect)
+        os.replace(tmp, marker)
+
+
 def _visible_parquet_paths(root_dir: str):
     """Full paths of every parquet file Spark's reader would see —
     mirroring its hidden-path filter ('_'/'.'-prefixed dirs and files,

@@ -2343,6 +2343,54 @@ def test_streaming_retention_matches_batch_any_chunking(spark, tmp_path):
         ), f"{n_chunks}-chunk stream diverged from batch"
 
 
+def test_retention_log_layout_marker_guards_window_width(spark, tmp_path):
+    """ADVICE r11 class, extended in r12: the retention log's stored
+    d-rows are PRUNED at RETENTION_MAX_OFFSET, so resuming with a
+    different window width over an existing state dir must RAISE (the
+    stamped `_layout` marker), not silently serve wrong counts."""
+    import os
+
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    docs = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "mk_src")
+    state = str(tmp_path / "mk_state")
+    docs.limit(200).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    ev.run_streaming_retention_log(
+        stream, state, str(tmp_path / "mk_ck")
+    ).awaitTermination(300)
+    marker = os.path.join(state, "_layout")
+    assert (
+        open(marker, encoding="utf-8").read().strip()
+        == f"retention_max_offset={ev.RETENTION_MAX_OFFSET}"
+    )
+
+    # tamper as if the build's window width changed → next batch raises
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("retention_max_offset=14")
+    time.sleep(1.1)
+    docs.limit(10).coalesce(1).write.mode("append").parquet(src)
+    q = ev.run_streaming_retention_log(
+        spark.readStream.schema(docs.schema).parquet(src),
+        state,
+        str(tmp_path / "mk_ck2"),
+    )
+    with pytest.raises(StreamingQueryException, match="layout mismatch"):
+        q.awaitTermination(300)
+
+    # and the shared helper is idempotent on the correct value
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(f"retention_max_offset={ev.RETENTION_MAX_OFFSET}")
+    statelog.check_layout(
+        state, f"retention_max_offset={ev.RETENTION_MAX_OFFSET}"
+    )
+
+
 def test_streaming_retention_rebase_replay_and_prune(spark, tmp_path):
     """A late earlier day REBASES the user's cohort: days that were
     inside the ≤7-offset window fall out (the window only shrinks —

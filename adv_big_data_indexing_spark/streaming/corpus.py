@@ -189,9 +189,16 @@ def run_streaming_dedup_index(
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         # layout contracts stamped/verified before anything touches the
-        # logs (ADVICE r11): stored dk/bk values bake these constants in
-        _check_layout(sigs_log, f"sigs_buckets={SIGS_BUCKETS}")
-        _check_layout(bands_log, "bands=bk64")
+        # logs (ADVICE r11): stored dk/bk values bake these constants
+        # in. data_cols catches a marker-less LEGACY dir (the r12
+        # band_key→bk rename) via a driver-side footer probe before the
+        # stamp can mislabel it (code-review r12).
+        _check_layout(
+            sigs_log, f"sigs_buckets={SIGS_BUCKETS}", data_cols={"doc_id", "hs"}
+        )
+        _check_layout(
+            bands_log, "bands=bk64", data_cols={"doc_id", "band", "bk"}
+        )
         banded_new, _carry = _banded(shingles_of(batch))
         # reused by the probe join, both verify sides and both appends;
         # persist, NOT localCheckpoint: reuse is all that is needed
@@ -244,17 +251,25 @@ def run_streaming_dedup_index(
 
         # opt-in bucket-degeneracy ceiling (ADVICE r11): honor the batch
         # tier's spark.advbdi.maxLshBucket on the streaming probe view —
-        # any colliding (band, bk) bucket across new ∪ indexed rows
-        # above the ceiling RAISES with the offending key (never a
-        # silent drop), the dedup._lsh_pair_stats contract. Read at
+        # any colliding (band, bk) bucket above the ceiling RAISES with
+        # the offending key (never a silent drop), the same
+        # window-count + assert_true contract as dedup._lsh_pair_stats
+        # (operators/dedup.py — the two sites differ only in key column
+        # and the replay dedup below; evolve them together). Read at
         # BUILD time like the batch tier; unset/0 (default) leaves the
-        # probe plan untouched.
+        # probe plan untouched. Bucket size counts DISTINCT doc_ids: a
+        # re-delivered doc (crash replay, duplicate ingest) appears in
+        # BOTH bands_new and the indexed log, and a raw row count would
+        # double-count it — spuriously tripping the ceiling on every
+        # restart and wedging a stream the batch tier would pass
+        # (code-review r12).
         ceiling = int(spark.conf.get("spark.advbdi.maxLshBucket", "0") or "0")
         if ceiling > 0:
-            from pyspark.sql.window import Window  # noqa: PLC0415
-
-            tagged = bands_new.withColumn("is_new", F.lit(True)).unionByName(
-                prev_bands.withColumn("is_new", F.lit(False))
+            bsz = (
+                bands_new.unionByName(prev_bands)
+                .dropDuplicates(["band", "bk", "doc_id"])
+                .groupBy("band", "bk")
+                .agg(F.count(F.lit(1)).alias("bsz"))
             )
             msg = F.concat(
                 F.lit(
@@ -272,14 +287,15 @@ def run_streaming_dedup_index(
                     "raise/unset the ceiling to pay its quadratic pairs"
                 ),
             )
-            checked = tagged.withColumn(
-                "bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bk"))
-            )
-            checked = checked.where(
+            guard = bsz.where(
                 F.assert_true(F.col("bsz") <= F.lit(ceiling), msg).isNull()
-            ).drop("bsz")
-            probe_new = checked.filter(F.col("is_new")).drop("is_new")
-            probe_prev = checked.filter(~F.col("is_new")).drop("is_new")
+            ).select("band", "bk")
+            # inner join on the guarded key set: every surviving key
+            # passed the assert, and the join forces the assert into
+            # the executed probe plan (collision-sized exchange on the
+            # keys the probe exchanges on anyway; opt-in only)
+            probe_new = bands_new.join(guard, ["band", "bk"])
+            probe_prev = prev_bands.join(guard, ["band", "bk"])
         else:
             probe_new, probe_prev = bands_new, prev_bands
 

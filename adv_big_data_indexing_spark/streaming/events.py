@@ -418,7 +418,11 @@ def _applied_batch(prev) -> int:
 
 
 def _commit_state(
-    df, path: str, single_file: bool = True, partition_by: str | None = None
+    df,
+    path: str,
+    single_file: bool = True,
+    partition_by: str | None = None,
+    sort_within: tuple[str, ...] | None = None,
 ) -> None:
     """tmp-write → read-back → overwrite main → remove tmp. The df
     typically derives from reading ``path`` itself, so writing directly
@@ -442,17 +446,29 @@ def _commit_state(
     must round-trip partition-directory type inference — the funnel's
     non-numeric kind strings do; a high-cardinality key (the dedup
     index's band_key) needs metastore-bucketed tables at cluster
-    scale instead, not this."""
+    scale instead, not this.
+
+    ``sort_within`` re-applies a partition-local sort to the READ-BACK
+    frame before the main write (code-review r12): the read of tmp can
+    PACK several small files into one task, whose output would
+    otherwise be a concatenation of sorted runs — per-FILE sortedness
+    of the committed base must be applied on the last write, not
+    upstream, to be structural. sortWithinPartitions adds no exchange,
+    and re-sorting nearly-sorted runs is cheap."""
     import shutil  # noqa: PLC0415
 
     tmp = path + ".tmp"
     out = df.coalesce(1) if single_file else df
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
     w = out.write.mode("overwrite")
     if partition_by is not None:
         w = w.partitionBy(partition_by)
     w.parquet(tmp)
     back = df.sparkSession.read.parquet(tmp)
     back = back.coalesce(1) if single_file else back
+    if sort_within:
+        back = back.sortWithinPartitions(*sort_within)
     wb = back.write.mode("overwrite")
     if partition_by is not None:
         wb = wb.partitionBy(partition_by)

@@ -41,7 +41,9 @@ def _deltas_dir(log_dir: str) -> str:
     return os.path.join(log_dir, "deltas")
 
 
-def check_layout(log_dir: str, expect: str) -> None:
+def check_layout(
+    log_dir: str, expect: str, data_cols: frozenset[str] | set[str] | None = None
+) -> None:
     """Stamp a log's layout contract into its state dir; fail loudly on
     mismatch (ADVICE r11). Stored rows can bake layout constants in —
     the dedup sigs log's dk = pmod(xxhash64(doc_id), SIGS_BUCKETS), the
@@ -50,11 +52,19 @@ def check_layout(log_dir: str, expect: str) -> None:
     dir written under different constants would produce WRONG RESULTS
     with no error (mismatched bucket prunes drop verify candidates;
     a widened retention window reads pruned-away days as absent). The
-    marker turns that into an immediate raise at fold time. A
-    pre-marker dir (written by the same constants before the marker
-    existed) is stamped with the current contract on first touch; the
-    '_'-prefixed name keeps it invisible to Spark's readers and to
-    ``_visible_parquet_paths``."""
+    marker turns that into an immediate raise at fold time.
+
+    A pre-marker dir is stamped with the current contract on first
+    touch ONLY if it is empty or its data passes the ``data_cols``
+    probe: when given, a marker-less dir that already holds parquet is
+    checked driver-side (one footer) for the expected column set, so a
+    dir written under a RENAMED layout (the r12 band_key→bk migration —
+    necessarily marker-less) raises the designed error instead of being
+    silently mislabeled with the current contract (code-review r12).
+    Constants that don't change the schema (a modulus, a window width)
+    remain undetectable in pre-marker dirs — the marker exists to make
+    every FUTURE change loud. The '_'-prefixed name keeps the marker
+    invisible to Spark's readers and to ``_visible_parquet_paths``."""
     os.makedirs(log_dir, exist_ok=True)
     marker = os.path.join(log_dir, "_layout")
     if os.path.exists(marker):
@@ -68,15 +78,28 @@ def check_layout(log_dir: str, expect: str) -> None:
                 "the state (or run the matching build) instead of "
                 "resuming; resuming would silently produce wrong results."
             )
-    else:
-        # atomic stamp (tmp + rename): a kill -9 mid-write must not
-        # leave a truncated marker that would block the crash-recovery
-        # resume with a spurious mismatch — the same crash-window
-        # discipline as the base commit's tmp-swap
-        tmp = marker + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(expect)
-        os.replace(tmp, marker)
+        return
+    if data_cols is not None:
+        first = next(_visible_parquet_paths(log_dir), None)
+        if first is not None:
+            import pyarrow.parquet as pq  # noqa: PLC0415
+
+            have = set(pq.ParquetFile(first).schema_arrow.names)
+            if not set(data_cols) <= have:
+                raise ValueError(
+                    f"statelog layout mismatch under {log_dir}: marker-less "
+                    f"state holds columns {sorted(have)} but this build "
+                    f"expects {sorted(data_cols)} ('{expect}') — a legacy "
+                    "layout; rebuild the state instead of resuming."
+                )
+    # atomic stamp (tmp + rename): a kill -9 mid-write must not leave a
+    # truncated marker that would block the crash-recovery resume with
+    # a spurious mismatch — the same crash-window discipline as the
+    # base commit's tmp-swap
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(expect)
+    os.replace(tmp, marker)
 
 
 def _visible_parquet_paths(root_dir: str):
@@ -153,18 +176,22 @@ def compact(
     merged: DataFrame,
     batch_id: int,
     partition_by: str | None = None,
+    sort_within: tuple[str, ...] | None = None,
 ) -> None:
     """Commit the caller-merged table as the new base (natural
     partitioning — the base is data-sized), then reset the delta log.
     Order matters: deltas are removed only AFTER the base commit, so a
     crash in between re-absorbs them harmlessly. ``partition_by``
     hive-partitions the base on one low-cardinality column so readers
-    filtering on it get partition pruning (see events._commit_state)."""
+    filtering on it get partition pruning; ``sort_within`` clusters
+    each committed file on the given columns — forwarded to the COMMIT
+    so the tmp read-back cannot undo it (see events._commit_state)."""
     _commit_state(
         merged.withColumn("batch_id", F.lit(batch_id)),
         os.path.join(log_dir, "base"),
         single_file=False,
         partition_by=partition_by,
+        sort_within=sort_within,
     )
     shutil.rmtree(_deltas_dir(log_dir), ignore_errors=True)
 
@@ -216,12 +243,15 @@ def maybe_compact(
     low-cardinality key like the funnel's kind (it would serialize the
     data-sized write into #kinds tasks).
 
-    ``sort_within`` sorts rows inside each write task at compaction
-    (``sortWithinPartitions`` — no extra exchange) so the base's
-    parquet files carry clustered values: sorted int64 keys delta/RLE
-    encode instead of PLAIN and row-group min/max stats become tight
-    (the r12 layout lever on the dedup index's probe-scanned bases —
-    measured in BASELINE.md). Compaction-only cost; reads unchanged."""
+    ``sort_within`` sorts rows inside each write task at commit time
+    (``sortWithinPartitions`` — no extra exchange; applied by
+    ``_commit_state`` on the FINAL write, since the tmp read-back can
+    pack several sorted files into one task and an upstream-only sort
+    would commit concatenated runs — code-review r12) so the base's
+    parquet files carry clustered values: sorted int64 key columns
+    compress tightly and row-group min/max stats stay tight (the r12
+    layout lever on the dedup index's probe-scanned bases — measured
+    in BASELINE.md). Compaction-only cost; reads unchanged."""
     if delta_batches(log_dir) < fanin:
         return
     if partition_by is not None and log_rows(log_dir) == 0:
@@ -229,9 +259,14 @@ def maybe_compact(
     merged = merged_fn()
     if repartition and partition_by is not None:
         merged = merged.repartition(partition_by)
-    if sort_within:
-        merged = merged.sortWithinPartitions(*sort_within)
-    compact(spark, log_dir, merged, batch_id, partition_by=partition_by)
+    compact(
+        spark,
+        log_dir,
+        merged,
+        batch_id,
+        partition_by=partition_by,
+        sort_within=sort_within,
+    )
 
 
 def read_set_log(spark, log_dir: str, schema: str) -> DataFrame:

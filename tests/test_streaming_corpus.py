@@ -317,6 +317,96 @@ def test_streaming_honors_max_lsh_bucket_ceiling(spark, tmp_path):
     assert len(got) == 66
 
 
+def test_ceiling_counts_distinct_docs_not_replayed_rows(spark, tmp_path):
+    """code-review r12: a re-delivered doc appears in BOTH the batch
+    and the indexed log — bucket size must count DISTINCT doc_ids, or
+    a whole-stream replay doubles every count and spuriously trips the
+    ceiling on a stream the batch tier would pass (wedging recovery)."""
+    rows = [(d, "alpha beta gamma delta epsilon zeta eta theta") for d in range(12)]
+    clique = spark.createDataFrame(rows, "doc_id: long, text: string")
+    src = str(tmp_path / "src_replay_ceiling")
+    state = str(tmp_path / "state_replay_ceiling")
+    clique.coalesce(1).write.mode("append").parquet(src)
+    try:
+        # exactly at the ceiling: first pass must succeed
+        spark.conf.set("spark.advbdi.maxLshBucket", "12")
+        sc.run_streaming_dedup_index(
+            spark.readStream.schema(clique.schema).parquet(src),
+            state,
+            str(tmp_path / "ck_rc1"),
+        ).awaitTermination(600)
+        n1 = sc.streaming_dedup_pairs(spark, state).count()
+        assert n1 == 66  # C(12,2)
+        # whole-stream replay on the warm index: every doc is now in
+        # both bands_new and the log — a row count would see 24 > 12
+        sc.run_streaming_dedup_index(
+            spark.readStream.schema(clique.schema).parquet(src),
+            state,
+            str(tmp_path / "ck_rc2"),
+        ).awaitTermination(600)
+        assert sc.streaming_dedup_pairs(spark, state).count() == 66
+    finally:
+        spark.conf.unset("spark.advbdi.maxLshBucket")
+
+
+def test_marker_less_legacy_bands_layout_raises(spark, tmp_path):
+    """code-review r12: a marker-less bands dir written under the
+    pre-r12 band_key-string layout must RAISE the designed layout error
+    (driver-side footer probe), not be silently stamped 'bands=bk64'
+    and then fail later with an unresolved-column error."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    state = str(tmp_path / "state_legacy")
+    legacy = spark.createDataFrame(
+        [(1, 0, "123,456,789,0")], "doc_id long, band int, band_key string"
+    )
+    statelog.append_delta(legacy, os.path.join(state, "bands"), 0)
+
+    docs = spark.createDataFrame([(5, "some text here")], "doc_id long, text string")
+    src = str(tmp_path / "src_legacy")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    q = sc.run_streaming_dedup_index(
+        spark.readStream.schema(docs.schema).parquet(src),
+        state,
+        str(tmp_path / "ck_legacy"),
+    )
+    with pytest.raises(StreamingQueryException, match="layout mismatch"):
+        q.awaitTermination(600)
+
+
+def test_compact_sort_survives_readback_packing(spark, tmp_path):
+    """code-review r12: _commit_state's tmp read-back can PACK several
+    sorted files into one rewrite task — per-file sortedness of the
+    committed base must therefore be applied on the LAST write. Feed
+    compact() a deliberately multi-partition unsorted merge and assert
+    every committed base file is individually sorted."""
+    import pyarrow.parquet as pq
+
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    log = str(tmp_path / "sortlog")
+    rows = spark.range(0, 4000).select(
+        (F.xxhash64("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    statelog.append_delta(rows, log, 0)
+    merged = statelog.read_set_log(spark, log, "k bigint, v bigint").repartition(4)
+    statelog.compact(spark, log, merged, 1, sort_within=("k", "v"))
+    files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(log, "base"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    for path in files:
+        t = pq.read_table(path, columns=["k", "v"])
+        pairs = list(zip(t.column("k").to_pylist(), t.column("v").to_pylist()))
+        assert pairs == sorted(pairs), f"base file not (k, v)-sorted: {path}"
+
+
 def test_broadcast_cap_drops_hint_with_identical_pairs(spark, tmp_path, batch_pairs):
     """ADVICE r11: past STREAM_BCAST_IDS_CAP the candidate-id semi join
     drops its broadcast hint (AQE picks the join) — results must be

@@ -26,9 +26,11 @@ run-to-drain, verify. Kill modes: 'mid' (a fixed delay after
 STREAM_STARTED, landing mid-batch) and 'torn' (on the marker).
 
 Usage: python tools/probe_crash_kill.py [sf_dir] [mid_delay_funnel]
-       [mid_delay_dedup] [--ops funnel,dedup,retention,survival]
-       (retention/survival mid-delay defaults to 12 s — their sf1
-       batches drain faster than the funnel's)
+       [mid_delay_dedup] [--ops=funnel,dedup,retention,survival]
+       (NOTE: only the --ops=a,b form is parsed — a space-separated
+       value would be taken as a positional arg; retention/survival
+       mid-delay defaults to 12 s — their sf1 batches drain faster
+       than the funnel's)
 """
 
 from __future__ import annotations
@@ -93,12 +95,15 @@ def _torn_wrap():
     from adv_big_data_indexing_spark.streaming import statelog
     from adv_big_data_indexing_spark.streaming.events import _commit_state
 
-    def torn_compact(spark, log_dir, merged, batch_id, partition_by=None):
+    def torn_compact(
+        spark, log_dir, merged, batch_id, partition_by=None, sort_within=None
+    ):
         _commit_state(
             merged.withColumn("batch_id", F.lit(batch_id)),
             os.path.join(log_dir, "base"),
             single_file=False,
             partition_by=partition_by,
+            sort_within=sort_within,
         )
         print("TORN_WINDOW_OPEN", flush=True)
         time.sleep(15)  # the parent SIGKILLs us inside this window
@@ -292,11 +297,16 @@ if __name__ == "__main__":
         else:
             role_verify(op, work, sf)
     else:
-        args = [a for a in sys.argv[1:] if not a.startswith("--ops")]
+        if "--ops" in sys.argv:
+            raise SystemExit("use --ops=a,b (space-separated value not parsed)")
+        args = [a for a in sys.argv[1:] if not a.startswith("--ops=")]
         ops = ALL_OPS
         for a in sys.argv[1:]:
             if a.startswith("--ops="):
                 ops = tuple(a.split("=", 1)[1].split(","))
+        unknown = set(ops) - set(ALL_OPS)
+        if unknown:
+            raise SystemExit(f"unknown ops {sorted(unknown)}; choose from {ALL_OPS}")
         sf_dir = args[0] if len(args) > 0 else "/tmp/sf1"
         d_funnel = int(args[1]) if len(args) > 1 else 25
         d_dedup = int(args[2]) if len(args) > 2 else 25

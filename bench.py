@@ -157,11 +157,27 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # r12 set refresh continuity: the headline set grew 19 → 24 (VERDICT
+    # r11 item 2); the old-19 subtotal is reported alongside so the
+    # artifact itself carries the r6–r11 comparison (old totals compare
+    # against the 34.70 s DuckDB baseline, the 24-query total against
+    # the re-measured 37.55 s — BASELINE.md r12).
+    _NEW_IN_R12 = {
+        "ns_semdedup_kmeans",
+        "ns_embed_pca_power",
+        "ns_graph_pagerank",
+        "ts_seasonal_decompose",
+        "ns_dedup_components",
+    }
+    old19 = round(
+        sum(v for n, v in timings.items() if n not in _NEW_IN_R12), 3
+    )
     out = {
         "metric": "bench_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "old19_subtotal_sec": old19,
         "sf": sf,
         "load_before": load_before,
         "load_after": _loadavg(),

@@ -280,7 +280,21 @@ def _band_keys() -> list[Column]:
 
 
 def _banded(sh: DataFrame, with_mhs: bool = False) -> tuple[DataFrame, list[str]]:
-    """(band, band_key, doc_id, hs[, mhs]) rows — one per doc per band."""
+    """(band, bk, doc_id, hs[, mhs]) rows — one per doc per band.
+
+    ``bk = xxhash64(band_key)``: the 8-byte hash of the ~40-byte
+    comma-joined minhash string, computed map-side BEFORE the band
+    shuffle so the string never crosses an exchange (r13 — the batch
+    tier adopts the streaming bands log's r12 layout lever; VERDICT r12
+    item 3). Equal band keys hash equal, so no collision is ever lost;
+    a 2⁻⁶⁴ cross-key hash collision only ADDS a candidate pair, which
+    survives into the result only if the pair ALSO passes the exact
+    jaccard verify — so the pair set is a probabilistically-negligible
+    superset, not guaranteed-identical (ADVICE r12 wording). The
+    encoding is byte-identical to streaming/corpus.py's stored bands
+    log (same xxhash64 over the same string), so stored indexes keep
+    colliding with fresh probes and the ``bands=bk64`` layout marker is
+    unchanged."""
     hp = sh.select("doc_id", (base_hash48(F.col("sh")) % MINHASH_P).alias("hp"))
     per_doc = hp.groupBy("doc_id").agg(
         *[
@@ -298,7 +312,7 @@ def _banded(sh: DataFrame, with_mhs: bool = False) -> tuple[DataFrame, list[str]
         carry.append("mhs")
     bands = per_doc.select(
         *carry, F.posexplode(F.array(*_band_keys())).alias("band", "band_key")
-    )
+    ).select(*carry, "band", F.xxhash64("band_key").alias("bk"))
     return bands, carry
 
 
@@ -316,8 +330,11 @@ def _lsh_pair_stats(
        columns (map-side combined — no seed explosion) PLUS the doc's
        distinct shingle-hash set, carried along so the exact-overlap
        verify never re-reads the corpus;
-    3. posexplode 4 band keys, count bucket sizes, and expand in-bucket
-       pairs along two size-tiered paths:
+    3. posexplode 4 band keys — bucketed as bk = xxhash64(band_key), an
+       8-byte int in place of the ~40-byte concat string, so the band
+       shuffle carries ints (r13; see _banded for the collision
+       argument) — count bucket sizes, and expand in-bucket pairs along
+       two size-tiered paths:
        - size ≤ ``inrow_cap``: collect_list + array transforms — one
          bucket per row, cheapest (a self-join would execute the
          signature build twice when exchange reuse misses);
@@ -348,7 +365,7 @@ def _lsh_pair_stats(
     runtime confs such as shuffle.partitions under AQE)."""
     bands, carry = _banded(sh, with_mhs)
     # Bucket size via a PARTITIONED window, not a count+join-back: the
-    # window adds no exchange beyond the (band, band_key) shuffle the
+    # window adds no exchange beyond the (band, bk) shuffle the
     # group-by needs anyway, keeps every downstream consumer's exchange
     # subtree canonically identical (a join-back pushed isnotnull into
     # one branch's scan and defeated reuse — measured 6 scans, 10×), and
@@ -356,7 +373,7 @@ def _lsh_pair_stats(
     # collect_list row cannot — a degenerate bucket streams through
     # disk instead of OOMing an executor.
     sized = bands.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("band", "band_key"))
+        "bsz", F.count("*").over(Window.partitionBy("band", "bk"))
     ).filter(F.col("bsz") > 1)
 
     # Optional LOUD ceiling on bucket degeneracy (ADVICE r10): since the
@@ -378,8 +395,8 @@ def _lsh_pair_stats(
                 f"{ceiling}: band="
             ),
             F.col("band").cast("string"),
-            F.lit(" band_key="),
-            F.col("band_key"),
+            F.lit(" bk="),
+            F.col("bk").cast("string"),
             F.lit(" size="),
             F.col("bsz").cast("string"),
             F.lit(
@@ -395,7 +412,7 @@ def _lsh_pair_stats(
     # ---- tier 1: in-row expansion of small buckets
     grouped = (
         sized.filter(F.col("bsz") <= inrow_cap)
-        .groupBy("band", "band_key")
+        .groupBy("band", "bk")
         .agg(F.array_sort(F.collect_list(F.struct(*carry))).alias("ms"))
     )
 
@@ -437,7 +454,7 @@ def _lsh_pair_stats(
     hot_pairs = x.join(
         y,
         (F.col("x.band") == F.col("y.band"))
-        & (F.col("x.band_key") == F.col("y.band_key"))
+        & (F.col("x.bk") == F.col("y.bk"))
         & (F.col("x.doc_id") < F.col("y.doc_id")),
     ).select(
         *pair_fields(
@@ -651,7 +668,10 @@ def ns_dedup_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ns_dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands, _ = _banded(_shingle_df(spark, sf_dir))
-    sizes = bands.groupBy("band", "band_key").agg(
+    # (band, bk) buckets == (band, band_key) buckets up to a 2⁻⁶⁴
+    # cross-key hash collision (which would merge two buckets' sizes);
+    # the string-keyed oracle CTE is the equality witness.
+    sizes = bands.groupBy("band", "bk").agg(
         F.count("*").cast("bigint").alias("bsz")
     )
     tier = (

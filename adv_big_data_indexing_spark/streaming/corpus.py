@@ -32,11 +32,16 @@ at a 10⁶-doc index in BASELINE.md):
   arithmetic: ~4 band keys per batch doc means any realistic batch
   hits every bucket, so partition pruning cannot bind there;
 - the bands log stores bk = xxhash64(band_key) instead of the
-  ~40-byte comma-joined minhash STRING the batch tier buckets on
-  (r12): equal strings hash equal, so no collision is ever lost, and
-  a 2⁻⁶⁴ cross-key collision only ADDS a candidate the verify then
-  rejects — the pair set is unchanged while the probe-scanned log
-  shrinks ~4× per row. The layout is stamped (`_layout` marker) and
+  ~40-byte comma-joined minhash STRING (r12; the batch tier buckets
+  on the same bk since r13 — dedup._banded emits it directly): equal
+  strings hash equal, so no collision is ever lost, and a 2⁻⁶⁴
+  cross-key collision only ADDS a candidate pair — which reaches the
+  result only if it ALSO passes the exact-jaccard verify, so the pair
+  set is a probabilistically-negligible superset of the string-keyed
+  result (a colliding pair of genuinely-similar docs that never
+  shared a true band would survive; odds ~2⁻⁶⁴ per key pair), not
+  guaranteed-identical (ADVICE r12). The probe-scanned log shrinks
+  ~4× per row; the layout is stamped (`_layout` marker) and
   mismatches fail loudly at fold time;
 - compaction SORTS each base within write tasks (statelog
   ``sort_within``): sigs by (dk, doc_id), bands by (band, bk) — the
@@ -105,9 +110,11 @@ STREAM_BCAST_IDS_CAP = 2_000_000
 _PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, n_inter bigint, jaccard double"
 _SIGS_SCHEMA = "doc_id bigint, dk int, hs array<bigint>"
 #: bk = xxhash64(band_key): the probe log stores the 8-byte hash of the
-#: batch tier's ~40-byte minhash-concat string (r12 layout lever). Equal
-#: keys hash equal → no collision lost; a 2⁻⁶⁴ cross-key hash collision
-#: only adds a candidate pair the jaccard verify rejects.
+#: ~40-byte minhash-concat string (r12 layout lever; the batch tier
+#: shares the encoding since r13). Equal keys hash equal → no collision
+#: lost; a 2⁻⁶⁴ cross-key hash collision only adds a candidate pair,
+#: kept only if it also passes the exact-jaccard verify (negligible
+#: superset, not guaranteed-identical — ADVICE r12).
 _BANDS_SCHEMA = "doc_id bigint, band int, bk bigint"
 
 
@@ -228,12 +235,11 @@ def run_streaming_dedup_index(
         sig_new = banded_new.filter(F.col("band") == 0).select(
             "doc_id", _dk(F.col("doc_id")).alias("dk"), F.array_sort("hs").alias("hs")
         )
-        # bk64 layout (r12): the log stores the 8-byte hash of the batch
-        # tier's band_key string — see _BANDS_SCHEMA. Both probe sides
-        # hash the same expression, so collision detection is unchanged.
-        bands_new = banded_new.select(
-            "doc_id", "band", F.xxhash64("band_key").alias("bk")
-        )
+        # bk64 layout (r12): the log stores the 8-byte hash of the
+        # band-key string — see _BANDS_SCHEMA. Since r13 _banded emits
+        # bk itself (same xxhash64 over the same string, so stored
+        # indexes keep colliding with fresh probes byte-for-byte).
+        bands_new = banded_new.select("doc_id", "band", "bk")
 
         # probe prune (VERDICT r10 item 3): the indexed band log grows
         # with the corpus, and joining it raw would SHUFFLE the whole

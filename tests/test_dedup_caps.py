@@ -76,7 +76,7 @@ def test_max_lsh_bucket_ceiling_raises_never_drops(spark):
         # the message names the offending bucket: band index, band key,
         # and the size that tripped the ceiling
         msg = str(ei.value)
-        assert "band=" in msg and "band_key=" in msg and "size=12" in msg
+        assert "band=" in msg and "bk=" in msg and "size=12" in msg
         # at/below the ceiling and at 0: bit-identical to the baseline
         spark.conf.set("spark.advbdi.maxLshBucket", "12")
         assert _pairset(_lsh_pair_stats(sh)) == baseline
@@ -98,7 +98,7 @@ def test_audit_reports_degenerate_bucket_pairs(spark):
 
     sh = _synthetic_sh(spark, n_hot=12, n_small=3)
     bands, _ = D._banded(sh)
-    sizes = bands.groupBy("band", "band_key").agg(
+    sizes = bands.groupBy("band", "bk").agg(
         F.count("*").cast("bigint").alias("bsz")
     )
     tier = (

@@ -199,11 +199,14 @@ def main() -> None:
         bands_schema = mod._BANDS_SCHEMA
         bk64 = "bk bigint" in bands_schema
         key = "bk" if bk64 else "band_key"
-        bands_new = (
-            banded.select("doc_id", "band", F.xxhash64("band_key").alias("bk"))
-            if bk64
-            else banded.select("doc_id", "band", "band_key")
-        )
+        if not bk64:
+            # r13: _banded emits bk directly (no band_key column), so a
+            # string-keyed (pre-r12) variant can no longer be probed
+            # with the current tree's batch expressions — the r12 A/B is
+            # on record in BASELINE.md.
+            print(f"  [{tag}] string-keyed bands layout: skipping (pre-r12)")
+            continue
+        bands_new = banded.select("doc_id", "band", "bk")
         full_bands = statelog.read_set_log(
             spark, f"{state}/bands", bands_schema
         )

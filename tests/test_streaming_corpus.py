@@ -502,3 +502,135 @@ def test_sigs_bucket_filter_reaches_partition_filters(spark, tmp_path):
     # and execution agrees with the unpruned read
     full = statelog.read_set_log(spark, sigs_log, sc._SIGS_SCHEMA)
     assert pruned.count() == full.filter(F.col("dk").isin([3, 7])).count() > 0
+
+
+def test_marker_less_dk_less_sigs_dir_raises_not_stamped(spark, tmp_path):
+    """ADVICE r12: the sigs probe must REQUIRE dk — a marker-less
+    pre-r11 sigs dir holding only {doc_id, hs} would otherwise be
+    stamped sigs_buckets=64, after which _SIGS_SCHEMA reads yield null
+    dk and the isin bucket prune silently drops every stored sig."""
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    log = str(tmp_path / "sigs_dkless")
+    legacy = spark.createDataFrame(
+        [(1, [10, 20])], "doc_id long, hs array<bigint>"
+    )
+    statelog.append_delta(legacy, log, 0)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        statelog.verify_layout(
+            log, "sigs_buckets=64", data_cols={"doc_id", "dk", "hs"}
+        )
+    # and the raise left no marker behind
+    assert not os.path.exists(os.path.join(log, "_layout"))
+
+
+def test_partition_path_segment_satisfies_data_cols(spark, tmp_path):
+    """A dk=N hive path segment counts as the dk column being present:
+    the sigs BASE stores dk in the directory name, not the footer, and
+    the dk-required probe must still accept it (ADVICE r12 fix must not
+    reject every legitimately-partitioned marker-less base)."""
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    log = str(tmp_path / "sigs_hive")
+    rows = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        sc._dk(F.col("id")).alias("dk"),
+        F.array(F.col("id")).alias("hs"),
+    )
+    # write a partitioned base directly (dk leaves the footer, enters
+    # the path), then delete the marker compaction would have stamped
+    statelog.append_delta(rows, log, 0)
+    statelog.maybe_compact(
+        spark,
+        log,
+        lambda: statelog.read_set_log(spark, log, sc._SIGS_SCHEMA),
+        1,
+        fanin=1,
+        partition_by="dk",
+        repartition=True,
+    )
+    marker = os.path.join(log, "_layout")
+    if os.path.exists(marker):
+        os.remove(marker)
+    statelog.check_layout(
+        log, "sigs_buckets=64", data_cols={"doc_id", "dk", "hs"}
+    )  # must stamp, not raise
+    assert open(marker, encoding="utf-8").read().strip() == "sigs_buckets=64"
+
+
+def test_check_layouts_verifies_all_before_stamping_any(spark, tmp_path):
+    """ADVICE r12: with a legacy bands dir next to a fresh sigs dir,
+    the combined check must raise AND leave the sigs dir unstamped —
+    the sequential form stamped sigs first, mislabeling a state the
+    operator is about to rebuild."""
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    state = str(tmp_path / "state_twophase")
+    sigs_log = os.path.join(state, "sigs")
+    bands_log = os.path.join(state, "bands")
+    legacy_bands = spark.createDataFrame(
+        [(1, 0, "123,456,789,0")], "doc_id long, band int, band_key string"
+    )
+    statelog.append_delta(legacy_bands, bands_log, 0)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        statelog.check_layouts(
+            [
+                (sigs_log, "sigs_buckets=64", {"doc_id", "dk", "hs"}),
+                (bands_log, "bands=bk64", {"doc_id", "band", "bk"}),
+            ]
+        )
+    assert not os.path.exists(os.path.join(sigs_log, "_layout"))
+    assert not os.path.exists(os.path.join(bands_log, "_layout"))
+
+
+def test_mixed_layout_dir_raises_regardless_of_walk_order(spark, tmp_path):
+    """ADVICE r12: a dir holding BOTH layouts (hand-migrated base,
+    legacy deltas) must raise on the probe no matter which file os.walk
+    yields first — the probe reads one footer from base/ and one from
+    deltas/."""
+    from adv_big_data_indexing_spark.streaming import statelog
+
+    log = str(tmp_path / "bands_mixed")
+    current = spark.createDataFrame(
+        [(1, 0, 12345)], "doc_id long, band int, bk bigint"
+    )
+    legacy = spark.createDataFrame(
+        [(2, 1, "9,8,7,6")], "doc_id long, band int, band_key string"
+    )
+    # current-layout base, legacy delta
+    statelog.compact(spark, log, current, 0)
+    statelog.append_delta(legacy, log, 1)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        statelog.verify_layout(
+            log, "bands=bk64", data_cols={"doc_id", "band", "bk"}
+        )
+
+
+def test_delta_appends_are_sorted_on_probe_keys(spark, tmp_path):
+    """r13 (VERDICT r12 item 4): between compactions the probe reads
+    base + accumulated deltas, and unsorted deltas were the intra-cycle
+    batch-time climb — every sigs/bands DELTA file must now be
+    internally sorted on the same keys the compacted base is."""
+    import pyarrow.parquet as pq
+
+    from adv_big_data_indexing_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    chunks = [
+        docs.filter(F.col("doc_id") % 3 == k).repartition(4) for k in range(3)
+    ]
+    _pairs, state, _ck, _schema, _src = _stream_pairs(
+        spark, tmp_path, chunks, "sorted_deltas"
+    )
+    checked = 0
+    for log, keys in (("sigs", ("dk", "doc_id")), ("bands", ("band", "bk"))):
+        dd = os.path.join(state, log, "deltas")
+        for root, _dirs, files in os.walk(dd):
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                t = pq.read_table(os.path.join(root, f), columns=list(keys))
+                rows = list(zip(*(t.column(c).to_pylist() for c in keys)))
+                assert rows == sorted(rows), f"{log} delta {f} unsorted"
+                checked += 1
+    assert checked > 0  # non-vacuous: deltas existed and were checked

@@ -62,83 +62,86 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs/ROTATION_LEDGER.md (tools/rotation_ledger.py) records each query's
 # last driver-green round so staleness is auditable.
 #
-# Round 12 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r11
-# FIRST; all 50 r11 rows green, so the r11 window retires whole). Priority
-# order per VERDICT r11 item 1:
-#   1. ALL 36 r7-stale rows (the oldest tier in the regenerated ledger:
-#      21 ext_*, 6 ns_*, 8 op_a*, ts_max_concurrency);
-#   2. the 14 oldest-r8 rows alphabetical (ext_skew_salted_join ..
-#      ns_hybrid_rrf_fusion);
-#   3. any query whose implementation changes during round 12 displaces
-#      from the TAIL of the r8 block (never an r7 row).
-# After this round no green row is older than r8.
-_DRIVER_WINDOW_R12 = (
-    # --- all 36 r7-stale rows ---
-    "ext_percentile",
-    "ext_pivot",
-    "ext_posexplode",
-    "ext_range_join",
-    "ext_referential_audit",
-    "ext_rfm_segmentation",
-    "ext_scalar_date",
-    "ext_scalar_date_arith",
-    "ext_scalar_hash",
-    "ext_scalar_math",
-    "ext_scalar_regex",
-    "ext_scalar_string",
-    "ext_setops",
-    "ext_stats_moments",
-    "ext_table_diff",
-    "ext_topk_orderby",
-    "ext_tpch_q11_shape",
-    "ext_tpch_q12_shape",
-    "ext_tpch_q2_shape",
-    "ext_window_distribution",
-    "ext_window_ntile",
-    "ns_corpus_shuffle",
-    "ns_dedup_exact",
-    "ns_preference_pairs",
-    "ns_sketch_cms_heavy_hitters",
-    "ns_text_heavy_hitters",
-    "ns_text_top_terms",
-    "op_a10_predicate_delete",
-    "op_a1_point_lookup",
-    "op_a2_existence_probe",
-    "op_a3_point_lookup_hash",
-    "op_a5_full_scan_limit",
-    "op_a6_upsert",
-    "op_a7_guarded_insert",
-    "op_a9_keyed_delete",
-    "ts_max_concurrency",
-    # --- 14 oldest-r8 rows, alphabetical (displacement comes from the
-    #     TAIL of this block: ns_hybrid_rrf_fusion first, then upward) ---
-    "ext_skew_salted_join",
-    "ext_tpch_q18_shape",
-    "ext_tpch_q3_shape",
-    "ext_union_by_name",
-    "ext_unpivot",
-    "ext_window_frame",
-    "ext_window_lag",
-    "ext_window_rank",
-    "ext_window_values",
-    "ext_winsorized_stats",
-    "ns_ann_lsh_bucketed",
-    "ns_ann_lsh_recall",
-    "ns_graph_link_prediction",
-    "ns_hybrid_rrf_fusion",
+# Round 13 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r12
+# FIRST; all 50 r12 rows green, so the r12 window retires whole). Priority
+# order per VERDICT r12 item 1:
+#   1. ALL 28 r8-stale rows (the oldest tier in the regenerated ledger);
+#   2. the 15 oldest-r9 rows alphabetical (ext_agg_groupby ..
+#      ns_multimodal_decode);
+#   3. the 7 queries whose implementation changed THIS round (the bk64
+#      batch-LSH port — dedup._banded/_lsh_pair_stats consumers:
+#      minhash_lsh, lsh_pair_recall, lsh_bucket_audit, incremental, and
+#      the routed_pairs consumers components/cluster_stats/curation),
+#      displacing from the TAIL of the r9 block per the rotation rule;
+#      all 7 were r10-green, so they also reduce staleness.
+# After this round no green row is older than r9.
+_DRIVER_WINDOW_R13 = (
+    # --- all 28 r8-stale rows ---
+    "ns_layout_zorder",
+    "ns_text_bigram_freq",
+    "ns_text_repetition",
+    "ns_text_simpson_diversity",
+    "ns_udf_group_zscore",
+    "op_b1_conjunctive_filter",
+    "op_b2_filter_by_id",
+    "op_b3_filter_by_routing",
+    "op_b4_range_predicate",
+    "op_b5_projection",
+    "op_b6_prefix_scan",
+    "op_c1_reconstruct_flat",
+    "op_c3_has_child_range",
+    "op_c4_has_parent",
+    "op_c5_edges",
+    "op_d1_hit_count",
+    "op_f1_key_synthesis",
+    "op_f2_content_hash",
+    "op_f3_date_validation",
+    "ts_dedup_first",
+    "ts_enriched_by_segment",
+    "ts_funnel",
+    "ts_gap_filled_minutes",
+    "ts_hypertable_rollup",
+    "ts_markov_transitions",
+    "ts_period_over_period",
+    "ts_point_in_time_join",
+    "ts_retention_cohort",
+    # --- 15 oldest-r9 rows, alphabetical ---
+    "ext_agg_groupby",
+    "ext_asof_join",
+    "ext_skew_profile",
+    "ns_ann_ivf",
+    "ns_dataset_diff",
+    "ns_decontaminate",
+    "ns_dedup_embedding_cosine",
+    "ns_dedup_embedding_topk",
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_simhash",
+    "ns_embed_centroids",
+    "ns_embed_dim_stats",
+    "ns_embed_outliers",
+    "ns_mixture_weights",
+    "ns_multimodal_decode",
+    # --- the 7 bk64-touched queries (displaced r9-tail back-fill) ---
+    "ns_corpus_curation",
+    "ns_dedup_cluster_stats",
+    "ns_dedup_components",
+    "ns_dedup_incremental",
+    "ns_dedup_lsh_bucket_audit",
+    "ns_dedup_lsh_pair_recall",
+    "ns_dedup_minhash_lsh",
 )
 
-# ROUND-13 ROTATION PLAN: regenerate docs/ROTATION_LEDGER.md from
-# CORRECTNESS_r12 FIRST, then fill in this priority order:
-#   1. the ~28 remaining r8-stale rows (trust the REGENERATED ledger,
+# ROUND-14 ROTATION PLAN: regenerate docs/ROTATION_LEDGER.md from
+# CORRECTNESS_r13 FIRST, then fill in this priority order:
+#   1. the ~34 remaining r9-stale rows (trust the REGENERATED ledger,
 #      never this comment);
-#   2. the remaining slots from oldest-r9 alphabetical;
-#   3. any query whose implementation changes during round 13 displaces
-#      from the TAIL of the r9 block (never an r8 row).
-# After r13 no green row should be older than r9.
+#   2. the remaining slots from oldest-r10 alphabetical;
+#   3. any query whose implementation changes during round 14 displaces
+#      from the TAIL of the r10 block (never an r9 row).
+# After r14 no green row should be older than r10.
 
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R12 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R13 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

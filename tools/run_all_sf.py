@@ -7,7 +7,11 @@ Usage: python tools/run_all_sf.py [SF_DIR] [checkpoint_mode] [start_from]
   through consistent_materialize) end-to-end across the whole registry
   (VERDICT r7 item 4).
   start_from: resume the alphabetical sweep at this query name
-  (inclusive) — for continuing after a mid-sweep kernel OOM kill (r9)."""
+  (inclusive) — for continuing after a mid-sweep kernel OOM kill (r9).
+
+RUN_ONLY=<a,b,c> (env) restricts the sweep to the named queries — the
+r13 idle-window re-timing of the sweep's slowest tail (VERDICT r12
+item 6) without paying a whole-registry pass."""
 import os
 import shutil
 import sys
@@ -34,9 +38,14 @@ if mode == "reliable":
 start_from = sys.argv[3] if len(sys.argv) > 3 else None
 print(f"sweep: sf_dir={sf} checkpoint={mode} start_from={start_from}", flush=True)
 fails = []
+n_run = 0
+only = {n for n in os.environ.get("RUN_ONLY", "").split(",") if n}
 for name, spec in sorted(registry().items()):
     if start_from is not None and name < start_from:
         continue
+    if only and name not in only:
+        continue
+    n_run += 1
     t0 = time.time()
     try:
         spec.fn(spark, sf).write.format("noop").mode("overwrite").save()
@@ -49,6 +58,6 @@ for name, spec in sorted(registry().items()):
 print("\n=== failures ===")
 for n, m in fails:
     print(n, "::", m)
-print(f"{len(fails)} failures / {len(registry())} queries")
+print(f"{len(fails)} failures / {n_run} queries run ({len(registry())} registered)")
 if ckpt_dir:
     shutil.rmtree(ckpt_dir, ignore_errors=True)

@@ -12,10 +12,10 @@ corpus). This module implements the full loop as batch dataframes:
 - ``KMEANS_ITERS`` Lloyd iterations entirely in exact int64 arithmetic:
   distances are Σ(qᵢ−cᵢ)² over :func:`quantize_vec` integers, centroid
   updates are element-wise integer means computed as
-  ``(s + OFFSET·n) DIV n − OFFSET`` so the floor division only ever sees
-  non-negative operands (Spark ``DIV`` truncates toward zero while
-  DuckDB ``//`` floors — identical on non-negatives, divergent on
-  negatives, so the offset removes the sign from the problem),
+  ``(s + OFFSET·n) // n − OFFSET`` so the floor division only ever sees
+  non-negative operands (Python ``//`` floors, Spark ``DIV`` and DuckDB
+  ``//`` truncate — all three identical on non-negatives, so the offset
+  removes the sign from the problem),
 - empty clusters carry their previous centroid forward (both engines,
   same rule),
 - a final within-cluster pairwise stage: a BLOCKED exact matmul per
@@ -25,8 +25,23 @@ corpus). This module implements the full loop as batch dataframes:
 
 Every intermediate is an integer (bit-portable, merge-order-free — so
 map-side partial aggregation is safe everywhere) except the final
-cosine double. The whole iteration state that crosses stages is
-K·DIM integers — broadcast as ONE wide row, never collected.
+cosine double.
+
+Iteration state (r13 optimization round): the K·DIM centroid integers
+live on the DRIVER and are folded per iteration from a bounded
+collect of ≤ K·DIM partial-sum rows — the Spark-MLlib k-means
+discipline (``KMeans.runAlgorithmWithWeight`` collects cluster
+centers every Lloyd step). The per-row assignment and the per-batch
+partial sums run in ONE Arrow kernel (``mapInArrow`` + exact int64
+numpy), replacing the former 8-cluster × 64-dim unrolled SQL
+expression whose Catalyst analysis alone cost ~8 s per bench run at
+ANY data size (measured r13: build 9.7 s vs 0.8 s execute at sf0.1 —
+guide §1.1 first-principles: the work was in the driver, not the
+executors). Results are bit-identical: numpy int64 arithmetic is the
+same exact arithmetic, ``argmin`` keeps the first (lowest-j) minimum
+exactly like the oracle's ``ORDER BY d, cluster`` tie-break, and the
+centroid fold applies the same offset-division and empty-cluster
+carry-forward rules.
 """
 
 from __future__ import annotations
@@ -37,7 +52,6 @@ from pyspark.sql import functions as F
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.operators.advanced import (
     consistent_materialize,
-    release_superseded_materializations,
 )
 from adv_big_data_indexing_spark.functions.exact import DUCK_QUANTIZE, quantize_vec
 from adv_big_data_indexing_spark.sources.catalog import load_table, spread
@@ -82,18 +96,41 @@ def _cosine_row_blocks(mat_int, sq):
     yield from cosine_blocks_exact(mat_int, sq, mat_int, sq, _PAIRWISE_BLOCK_ELEMS)
 
 
-def _dist2_sql(q: str, c: str) -> str:
-    """Exact squared L2 distance of two array<bigint> columns as SQL text
-    (Spark array indexing is 0-based). Text, not Column arithmetic: the
-    unrolled form is DIM terms × K clusters × iterations — building it
-    from Column objects costs thousands of Py4J round trips (~40 s of
-    pure driver time for K=8, D=64, 3 assignments), while one expr()
-    string parses in milliseconds and compiles to the identical plan."""
-    return (
-        "CAST(("
-        + " + ".join(f"({q}[{i}] - {c}[{i}]) * ({q}[{i}] - {c}[{i}])" for i in range(DIM))
-        + ") AS BIGINT)"
-    )
+#: row-block width for the Arrow assignment kernel: the (block × K × DIM)
+#: int64 difference tensor stays ~16 MB per block at K=8, DIM=64, so a
+#: wide Arrow batch never materializes a batch-sized 3-D intermediate.
+_ASSIGN_BLOCK_ROWS = 4096
+
+
+def _mat_of(col) -> "object":
+    """pyarrow list<int64> column → (n, DIM) contiguous int64 ndarray.
+    ``flatten()`` honors list offsets, so sliced/offset arrays are safe."""
+    import numpy as np  # noqa: PLC0415
+
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat, dtype=np.int64).reshape(len(col), DIM)
+
+
+def _np_assign(mat, cents):
+    """Exact int64 Lloyd assignment: per row the squared L2 distance to
+    every centroid and the argmin with ties broken toward the LOWEST
+    centroid index (``np.argmin`` keeps the first minimum — the same
+    rule as the oracle's ``ORDER BY d, cluster``). All arithmetic is
+    int64: |q|,|c| ≤ 2·10⁶ so a squared difference is ≤ 1.6·10¹³ and
+    the DIM-term sum ≤ ~10¹⁵ — far inside int64."""
+    import numpy as np  # noqa: PLC0415
+
+    n = len(mat)
+    idx = np.empty(n, dtype=np.int64)
+    dd = np.empty(n, dtype=np.int64)
+    for i0 in range(0, n, _ASSIGN_BLOCK_ROWS):
+        blk = mat[i0 : i0 + _ASSIGN_BLOCK_ROWS]
+        diff = blk[:, None, :] - cents[None, :, :]
+        d = np.einsum("ijk,ijk->ij", diff, diff)  # int64 in, int64 out
+        a = d.argmin(axis=1)
+        idx[i0 : i0 + len(blk)] = a
+        dd[i0 : i0 + len(blk)] = d[np.arange(len(blk)), a]
+    return idx, dd
 
 
 _DUCK_D = (
@@ -190,11 +227,12 @@ _FINAL_CIN = f"c{KMEANS_ITERS}" if KMEANS_ITERS else "cent0"
     f"iterations ({KMEANS_ITERS}×) in exact int64 over quantized embeddings, "
     "then within-cluster near-dup stats (max intra-cluster cosine, pair "
     "count ≥ τ) per final cluster. Scale shape: each iteration is one "
-    "broadcast of K·DIM integers + one map-side-combined (cluster, dim) "
-    "partial-sum shuffle; the pairwise stage is O(Σ cluster²) — bounded "
-    "because K grows with N in the SemDeDup design, never O(corpus²). "
-    "Iteration state crosses stages as ONE wide broadcast row, not a "
-    "driver collect.",
+    "Arrow map stage (exact-int64 numpy assignment + per-batch partial "
+    "sums) + one ≤ K·DIM-row aggregate; the pairwise stage is "
+    "O(Σ cluster²) — bounded because K grows with N in the SemDeDup "
+    "design, never O(corpus²). Iteration state is the K·DIM centroid "
+    "integers folded on the driver from a BOUNDED collect — the "
+    "Spark-MLlib k-means discipline (r13).",
 )
 def ns_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = kmeans_assign(spark, sf_dir)
@@ -249,7 +287,11 @@ def ns_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cluster_stats,
         schema="cluster int, max_intra_cosine double, n_dup_pairs long",
     )
-    return members.join(pstats, "cluster", "left").select(
+    # both sides are ≤ K rows; the checkpointed lineage loses size stats
+    # and the planner would otherwise pick a SortMergeJoin (r13 —
+    # guide §3.1, K is a compile-time constant so the broadcast is
+    # bounded at any corpus size)
+    return members.join(F.broadcast(pstats), "cluster", "left").select(
         "cluster",
         "n_members",
         "inertia_q",
@@ -260,7 +302,25 @@ def ns_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared Lloyd loop: returns the final (vec_id, q, cluster, d)
-    assignment frame, checkpointed (it feeds multiple downstream stages)."""
+    assignment frame, checkpointed (it feeds multiple downstream stages).
+
+    r13 optimization-round shape (guide §1.2 step 1 + §4.2): the
+    centroid state (≤ K·DIM = 512 integers) lives on the driver —
+    initialized from a bounded K-row collect, folded per iteration from
+    a bounded ≤ K·DIM-row partial-sum collect (both inside the §2.I
+    bounded-collect discipline, same class as the DIM² Gram collect) —
+    and each pass over the data is ONE ``mapInArrow`` stage whose numpy
+    kernel computes exact-int64 assignments and per-batch partial sums.
+    The former formulation carried the centroids as a broadcast one-row
+    frame and unrolled K×DIM distance terms into SQL text; Catalyst
+    re-analysis of those ~2500-node trees per materialization was 9.7 s
+    of an sf0.1 bench run that executes in 0.8 s — a data-size-invariant
+    driver floor that the Arrow kernel removes (plans/r13/
+    ns_semdedup_kmeans_{before,after}.txt). Per-batch partial sums also
+    replace the 64× ``posexplode`` shuffle: only (cluster, dim) partial
+    rows cross the exchange (guide §2.3 aggregate-before-shuffle)."""
+    import numpy as np  # noqa: PLC0415
+
     e = (
         spread(load_table(spark, sf_dir, "embeddings"))
         .select("vec_id", quantize_vec(F.col("embedding")).alias("q"))
@@ -271,90 +331,103 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(consistent_materialize)
     )
 
-    def wide_centroids(cent: DataFrame, j_col: str, c_col: str) -> DataFrame:
-        return cent.groupBy().agg(
-            *[
-                F.max(F.when(F.col(j_col) == j, F.col(c_col))).alias(f"c{j}")
-                for j in range(K_CLUSTERS)
-            ]
-        )
-
-    wide = wide_centroids(
-        e.filter(F.col("vec_id") < K_CLUSTERS).select(
-            F.col("vec_id").cast("int").alias("j"), F.col("q").alias("c")
-        ),
-        "j",
-        "c",
+    # deterministic init — centroid j = quantized embedding of vec_id j,
+    # present rows only (the oracle's cent0 CTE has exactly these rows).
+    # Bounded collect: ≤ K rows.
+    init = e.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("j"), "q"
+    )
+    init_rows = sorted(init.collect(), key=lambda r: r.j)
+    cluster_ids = np.array([r.j for r in init_rows], dtype=np.int64)
+    cents = np.array([r.q for r in init_rows], dtype=np.int64).reshape(
+        len(init_rows), DIM
     )
 
-    # one parsed expression per assignment pass: array_min over
-    # (distance, cluster) structs — struct ordering gives argmin with
-    # lowest-j tie-break, matching the oracle's ORDER BY d, cluster
-    m_sql = (
-        "array_min(array("
-        + ", ".join(
-            f"struct({_dist2_sql('q', f'c{j}')} AS d, {j} AS j)"
-            for j in range(K_CLUSTERS)
-        )
-        + "))"
-    )
+    def partial_sums(c):
+        """One Arrow pass: assign each row to its nearest centroid and
+        emit per-batch (cluster, pos0, s, n) partial sums — the map-side
+        combine of the centroid update."""
+        cents_c = c.copy()
+        ids_c = cluster_ids.copy()
 
-    def assign(frame: DataFrame, wide_row: DataFrame) -> DataFrame:
-        a = frame.crossJoin(F.broadcast(wide_row)).withColumn("m", F.expr(m_sql))
-        return a.select(
-            "vec_id",
-            "q",
-            F.col("m").getField("j").cast("int").alias("cluster"),
-            F.col("m").getField("d").alias("d"),
+        def gen(batches):
+            import numpy as np  # noqa: PLC0415
+            import pyarrow as pa  # noqa: PLC0415
+
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                mat = _mat_of(b.column(0))
+                idx, _ = _np_assign(mat, cents_c)
+                cl_out, pos_out, s_out, n_out = [], [], [], []
+                for j in np.unique(idx):
+                    sel = mat[idx == j]
+                    s = sel.sum(axis=0)
+                    cl_out.extend([int(ids_c[j])] * DIM)
+                    pos_out.extend(range(DIM))
+                    s_out.extend(int(v) for v in s)
+                    n_out.extend([len(sel)] * DIM)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cl_out, pa.int32()),
+                        pa.array(pos_out, pa.int32()),
+                        pa.array(s_out, pa.int64()),
+                        pa.array(n_out, pa.int64()),
+                    ],
+                    names=["cluster", "pos0", "s", "n"],
+                )
+
+        return e.select("q").mapInArrow(
+            gen, "cluster int, pos0 int, s long, n long"
         )
 
     for _ in range(KMEANS_ITERS):
-        assigned = assign(e, wide)
-        sums = (
-            assigned.select("cluster", F.posexplode("q").alias("pos0", "v"))
+        # bounded collect: ≤ K·DIM rows of exact int64 partial sums
+        rows = (
+            partial_sums(cents)
             .groupBy("cluster", "pos0")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
         )
-        newc = (
-            sums.withColumn(
-                "cv", F.expr(f"(s + {_OFFSET} * n) DIV n - {_OFFSET}")
-            )
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos0", "cv"))),
-                    lambda st: st.getField("cv"),
-                ).alias("c")
-            )
-        )
-        new_wide = newc.groupBy().agg(
-            *[
-                F.max(F.when(F.col("cluster") == j, F.col("c"))).alias(f"n{j}")
-                for j in range(K_CLUSTERS)
-            ]
-        )
-        # empty clusters keep their previous centroid. consistent_materialize
-        # the ONE-ROW centroid frame per iteration: without it the wide
-        # chain nests every prior iteration's full plan and Catalyst
-        # re-analyzes a linearly deepening tree each pass (measured
-        # 9.6 → 7.0 s full-run at sf0.1; the rest is the per-job
-        # scheduling floor of an iterative algorithm at toy scale)
-        wide = (
-            wide.crossJoin(new_wide)
-            .select(
-                *[
-                    F.coalesce(F.col(f"n{j}"), F.col(f"c{j}")).alias(f"c{j}")
-                    for j in range(K_CLUSTERS)
-                ]
-            )
-            .transform(consistent_materialize)
-        )
-        # per-iteration shuffle files (the data-sized assignment groupBy)
-        # otherwise accumulate until an arbitrary GC — see
-        # release_superseded_materializations (sf10 ENOSPC post-mortem)
-        release_superseded_materializations(wide.sparkSession)
+        # centroid fold on the driver — same offset-division rule as the
+        # oracle ((s + OFF·n) // n − OFF with non-negative operands, so
+        # Python floor == Spark DIV == DuckDB //); clusters with no
+        # members this round keep their previous centroid.
+        new = cents.copy()
+        pos_of = {int(j): i for i, j in enumerate(cluster_ids)}
+        for r in rows:
+            new[pos_of[r.cluster], r.pos0] = (
+                r.s + _OFFSET * r.n
+            ) // r.n - _OFFSET
+        cents = new
 
-    return assign(e, wide).transform(consistent_materialize)
+    def assign_arrow(c):
+        cents_c = c.copy()
+        ids_c = cluster_ids.copy()
+
+        def gen(batches):
+            import pyarrow as pa  # noqa: PLC0415
+
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                mat = _mat_of(b.column(1))
+                idx, dd = _np_assign(mat, cents_c)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column(0),
+                        b.column(1),
+                        pa.array(ids_c[idx].astype("int32")),
+                        pa.array(dd, pa.int64()),
+                    ],
+                    names=["vec_id", "q", "cluster", "d"],
+                )
+
+        return e.select("vec_id", "q").mapInArrow(
+            gen, "vec_id bigint, q array<bigint>, cluster int, d bigint"
+        )
+
+    return assign_arrow(cents).transform(consistent_materialize)
 
 
 @query(

@@ -387,11 +387,25 @@ def ns_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar the teleport term needs — on a large graph this is one
     # metadata-cheap count, not a collect
 
+    # r13 optimization round: outw / inbound / nodes are bounded by
+    # |nation| = 25 — a SCHEMA constant of THIS aggregated graph, not a
+    # data size — but the checkpointed edge lineage loses size stats and
+    # the planner degraded all six per-iteration joins to SortMergeJoin
+    # (16 SMJs / 28 Exchanges, plans/r13/ns_graph_pagerank_before.txt).
+    # Explicit broadcast hints restore BroadcastHashJoin on those three
+    # (guide §3.1: estimates are often wrong after checkpoints — hint
+    # when you KNOW a side is small); an interleaved min-of-4 A/B at
+    # sf0.1 reads wall-neutral (2.69 vs 2.71 s — the cost is the
+    # data-sized edge aggregation), so the hint is a plan-shape fix for
+    # scale, not a local win. `ranks` stays UNHINTED: it is node-sized
+    # in the general loop (the shape that runs on a billion-node graph),
+    # and nesting its iteration chain inside broadcast builds serializes
+    # the driver.
     ranks = nodes.select("v", F.lit(RANK_SCALE // n_nodes).cast("bigint").alias("r"))
     for _ in range(PAGERANK_ITERS):
         inbound = (
             edges.join(ranks, edges.src == ranks.v)
-            .join(outw, "src")
+            .join(F.broadcast(outw), "src")
             .select(
                 F.col("dst").alias("v"),
                 F.expr(
@@ -403,7 +417,7 @@ def ns_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         teleport = ((_DAMP_DEN - _DAMP_NUM) * RANK_SCALE) // (_DAMP_DEN * n_nodes)
         ranks = (
-            nodes.join(inbound, "v", "left")
+            nodes.join(F.broadcast(inbound), "v", "left")
             .select(
                 "v",
                 (F.lit(teleport) + F.coalesce("inbound", F.lit(0)))
@@ -412,6 +426,6 @@ def ns_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return (
-        ranks.join(nodes, "v")
+        ranks.join(F.broadcast(nodes), "v")
         .select(F.col("v").alias("nationkey"), "n_name", F.col("r").alias("rank_q"))
     )

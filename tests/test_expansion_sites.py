@@ -29,7 +29,10 @@ DOC = os.path.join(os.path.dirname(__file__), "..", "docs", "EXPANSION_SITES.md"
 # group materialization. Mirror of docs/EXPANSION_SITES.md §"In-row".
 EXPECTED_COLLECT_SITES = {
     ("operators/advanced.py", "ext_listagg"): "bounded-filtered",
-    ("operators/clustering.py", "kmeans_assign"): "bounded-constant",
+    # r13: clustering.py:kmeans_assign's bounded-constant collect_list
+    # (the per-iteration centroid row) is gone — the centroid fold moved
+    # to the driver (bounded K·DIM collect; see the matmul table's
+    # block-vs-centroids entry for the Arrow kernel)
     ("operators/dedup.py", "_banded"): "bounded-per-row",
     ("operators/dedup.py", "_lsh_pair_stats"): "tiered",
     ("operators/dedup.py", "ns_dedup_simhash"): "tiered",
@@ -142,6 +145,11 @@ EXPECTED_MATMUL_SITES = {
     ("operators/similarity.py", "gram_partials"): "gram-accumulate",
     # position weights · one asset's decoded bytes — scalar per row
     ("operators/multimodal.py", "run"): "bounded-per-row",
+    # r13: Lloyd assignment kernel — 4096-row block × K·DIM constant
+    # centroid panel; the (block × K × DIM) int64 difference tensor is
+    # ~16 MB and the einsum contracts DIM away, so peak memory is
+    # O(block · K · DIM) at ANY corpus size
+    ("operators/clustering.py", "_np_assign"): "block-vs-centroids",
 }
 
 #: the two wrappers every data-sized cosine product must route through

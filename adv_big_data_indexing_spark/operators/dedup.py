@@ -320,6 +320,7 @@ def _lsh_pair_stats(
     sh: DataFrame,
     with_mhs: bool = False,
     inrow_cap: int = BUCKET_INROW_CAP,
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, n_inter, n_a, n_b) for every LSH-colliding doc pair —
     ONE pipeline over the corpus, no second pass for the verify.
@@ -408,6 +409,20 @@ def _lsh_pair_stats(
         sized = sized.where(
             F.assert_true(F.col("bsz") <= F.lit(ceiling), msg).isNull()
         )
+
+    # Materialize the sized band rows ONCE before the tier split (r13,
+    # guide §3.3/§5): the split's three consumers (the small-bucket
+    # groupBy and BOTH sides of the hot-bucket self-join) are separate
+    # plan branches, and Catalyst shares no subtrees across them —
+    # measured on the executed AQE plan: 3 FileScans, 0 ReusedExchange,
+    # i.e. the whole scan→shingle→minhash→band pipeline ran three
+    # times. The checkpoint holds only colliding rows (bsz > 1), is
+    # the same bytes the (band, bk) shuffle already carries, and
+    # preserves that hash partitioning, so the tier consumers read it
+    # exchange-free. `materialize=False` keeps the old single-dataflow
+    # shape (A/B probe only).
+    if materialize:
+        sized = consistent_materialize(sized)
 
     # ---- tier 1: in-row expansion of small buckets
     grouped = (

@@ -31,10 +31,16 @@ import time
 from pathlib import Path
 
 REPO = "/root/repo"
-QUERIES = (
-    "ns_dedup_minhash_lsh",
-    "ns_dedup_lsh_pair_recall",
-    "ns_dedup_lsh_bucket_audit",
+#: PROBE_QUERIES=a,b (env) restricts the list (the sf10 sitting times
+#: only the two VERDICT-named queries); PROBE_WARM=0 skips the warm
+#: pass (sf10: minutes-long queries amortize JIT within the run, and
+#: both variants are equally cold, so the A/B stays fair).
+QUERIES = tuple(
+    os.environ.get(
+        "PROBE_QUERIES",
+        "ns_dedup_minhash_lsh,ns_dedup_lsh_pair_recall,"
+        "ns_dedup_lsh_bucket_audit",
+    ).split(",")
 )
 
 
@@ -89,7 +95,8 @@ def child(sf_dir: str) -> None:
             ).collect()[0]
             return int(row.n), (None if row.h is None else int(row.h))
 
-        digest()  # warm
+        if os.environ.get("PROBE_WARM", "1") != "0":
+            digest()  # warm
         sw0, sr0 = _shuffle_totals(ui)
         t0 = time.perf_counter()
         n, h = digest()
@@ -125,8 +132,10 @@ def main() -> None:
     try:
         for tag, tree in (("old", wt), ("new", REPO)):
             print(f"== variant {tag} ({tree}) sf_dir={sf_dir} ==", flush=True)
+            # always the CONTROLLING repo's copy of this script (the old
+            # ref predates it); cwd picks which tree the child imports
             p = subprocess.Popen(
-                [sys.executable, str(Path(tree) / "tools/probe_bk64_batch.py"),
+                [sys.executable, str(Path(REPO) / "tools/probe_bk64_batch.py"),
                  "child", sf_dir],
                 cwd=tree,
                 stdout=subprocess.PIPE,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from adv_big_data_indexing_spark.contract import query
 from adv_big_data_indexing_spark.operators.advanced import (
@@ -416,13 +417,30 @@ def _lsh_pair_stats(
     # plan branches, and Catalyst shares no subtrees across them —
     # measured on the executed AQE plan: 3 FileScans, 0 ReusedExchange,
     # i.e. the whole scan→shingle→minhash→band pipeline ran three
-    # times. The checkpoint holds only colliding rows (bsz > 1), is
-    # the same bytes the (band, bk) shuffle already carries, and
+    # times. The persisted frame holds only colliding rows (bsz > 1),
+    # is the same bytes the (band, bk) shuffle already carries, and
     # preserves that hash partitioning, so the tier consumers read it
-    # exchange-free. `materialize=False` keeps the old single-dataflow
-    # shape (A/B probe only).
+    # exchange-free.
+    #
+    # LAZY persist, not consistent_materialize: an eager localCheckpoint
+    # runs the whole pipeline as a SEPARATE job before the consumer job,
+    # and on an unsaturated local[n] that serialization costs more than
+    # the triple execution it removes (in-session best-of-6 at sf0.1:
+    # single dataflow 2.29 s, eager checkpoint 4.14 s, lazy persist
+    # 1.49 s). The CacheManager substitutes the cached plan into all
+    # three branches at planning time, so the pipeline still executes
+    # once, inside the consumer's own action; lineage is retained, so a
+    # lost executor recomputes instead of failing the job (strictly
+    # better than localCheckpoint on a cluster). DISK_ONLY because the
+    # frame is corpus-linear: MEMORY_AND_DISK unroll pins the protected
+    # storage half of the unified pool against the very aggregations
+    # consuming it (the r9 sf10 starvation find — see
+    # disk_consistent_materialize); blocks are freed by the
+    # ContextCleaner when the frame is garbage-collected, same as the
+    # repo's checkpoint blocks. `materialize=False` keeps the old
+    # single-dataflow shape (A/B probe only).
     if materialize:
-        sized = consistent_materialize(sized)
+        sized = sized.persist(StorageLevel.DISK_ONLY)
 
     # ---- tier 1: in-row expansion of small buckets
     grouped = (

@@ -79,7 +79,7 @@ def _loadavg5() -> float | None:
         return None
 
 
-def _standing_query_times(sf: float | None) -> dict[str, float]:
+def _standing_query_times(sf: float | None, root: Path | None = None) -> dict[str, float]:
     """Best (minimum) per-query reading across every prior BENCH_r*.json
     in the repo root — the reference for the mid-run outlier flag
     (VERDICT r12 item 2b). The MIN over rounds is immune to any one
@@ -88,11 +88,20 @@ def _standing_query_times(sf: float | None) -> dict[str, float]:
     and the flagged re-run below then shows whether it reproduces on a
     settled machine."""
     standing: dict[str, float] = {}
-    for path in sorted(Path(__file__).resolve().parent.glob("BENCH_r*.json")):
+    if root is None:
+        root = Path(__file__).resolve().parent
+    for path in sorted(root.glob("BENCH_r*.json")):
         try:
             data = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(data.get("queries"), dict):
+            # the driver wraps this script's JSON line under "parsed"
+            # ({"n": ..., "rc": ..., "tail": ..., "parsed": {...}}) — the
+            # repo-root BENCH_r*.json are that shape, so reading only the
+            # top level would leave the standing table empty and the
+            # outlier flag permanently dark.
+            data = data.get("parsed") or {}
         if data.get("sf") != sf:
             continue  # prior readings are SF-specific
         for name, sec in (data.get("queries") or {}).items():

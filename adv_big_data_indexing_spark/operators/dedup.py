@@ -317,6 +317,18 @@ def _banded(sh: DataFrame, with_mhs: bool = False) -> tuple[DataFrame, list[str]
     return bands, carry
 
 
+#: the band-row frames persisted by prior _lsh_pair_stats builds, still
+#: registered in the session CacheManager; drained (unpersisted) at the
+#: next build. At most one frame is pending at a time — every query path
+#: builds the pair pipeline at most once — so the session-lifetime cache
+#: footprint is bounded by ONE corpus-linear DISK_ONLY frame instead of
+#: one per plan shape (ADVICE r13), and a bench rebuild of the same
+#: query recomputes instead of silently reading the previous run's
+#: cache (VERDICT r13 item 1). See the release comment in
+#: _lsh_pair_stats.
+_pending_lsh_persists: list[DataFrame] = []
+
+
 def _lsh_pair_stats(
     sh: DataFrame,
     with_mhs: bool = False,
@@ -435,12 +447,43 @@ def _lsh_pair_stats(
     # frame is corpus-linear: MEMORY_AND_DISK unroll pins the protected
     # storage half of the unified pool against the very aggregations
     # consuming it (the r9 sf10 starvation find — see
-    # disk_consistent_materialize); blocks are freed by the
-    # ContextCleaner when the frame is garbage-collected, same as the
-    # repo's checkpoint blocks. `materialize=False` keeps the old
+    # disk_consistent_materialize). `materialize=False` keeps the old
     # single-dataflow shape (A/B probe only).
+    #
+    # RELEASE (r14, VERDICT r13 item 1 + ADVICE r13): a Dataset-level
+    # persist is registered in the session CacheManager, which holds a
+    # strong reference to the InMemoryRelation and its cached RDD — the
+    # ContextCleaner can NEVER free the blocks on Python-side GC (unlike
+    # localCheckpoint blocks; the r13 comment claimed otherwise and was
+    # wrong). Two consequences, both fixed by the drain below:
+    #   (a) disk leak: every distinct plan shape pinned a corpus-linear
+    #       DISK_ONLY cache for the session lifetime — the exact
+    #       ENOSPC-at-sf10 accumulation class the repo documents in
+    #       release_superseded_materializations;
+    #   (b) bench integrity: the CacheManager matches the CANONICALIZED
+    #       plan across DataFrame rebuilds, so a warmup run populated the
+    #       cache and every timed rebuild of the same query read the
+    #       persisted band rows instead of re-running
+    #       scan→shingle→minhash→band — the r13 per-run number was a
+    #       warm-cache number. Draining at the next build makes each
+    #       rebuild recompute from the parquet inputs (cold per run),
+    #       while the three tier branches within one build still share
+    #       the single cached execution.
+    # The drain keeps at most ONE pending frame alive (the one the
+    # caller is about to consume); it is released at the next
+    # _lsh_pair_stats build — the _pending_lazy_caches discipline of
+    # consistent_materialize, without the count() barrier because a
+    # persist (unlike a lazy reliable checkpoint) has no unwritten-file
+    # boundary-consistency hazard: dropping it merely recomputes.
     if materialize:
+        for prev in _pending_lsh_persists:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # frame's session already stopped — nothing to free
+        _pending_lsh_persists.clear()
         sized = sized.persist(StorageLevel.DISK_ONLY)
+        _pending_lsh_persists.append(sized)
 
     # ---- tier 1: in-row expansion of small buckets
     grouped = (

@@ -28,7 +28,7 @@ hash seeds — so the DuckDB recursive-CTE oracle matches exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from adv_big_data_indexing_spark.contract import query
@@ -83,14 +83,77 @@ def _small_star(e: DataFrame) -> DataFrame:
     return _canon(out.select(F.col("x").alias("a"), F.col("m").alias("b")))
 
 
-def _fingerprint(e: DataFrame) -> tuple:
-    row = e.agg(
-        F.count("*").alias("n"),
+def _observed_materialize(e: DataFrame) -> tuple[DataFrame, tuple]:
+    """``consistent_materialize`` with the convergence fingerprint
+    PIGGYBACKED on the checkpoint job (r14, VERDICT r13 item 4): a
+    ``Dataset.observe`` CollectMetrics node computes (count, sum(a),
+    sum(b), hash-sum) inside the materialization action itself, so the
+    per-iteration fingerprint costs ZERO extra jobs — before r14 each
+    iteration paid a separate aggregate job over the checkpointed edge
+    frame just to test convergence. ``Observation.get`` unblocks when
+    the eager checkpoint's action completes (probed on this Spark
+    build; CollectMetrics is a pass-through node, so the checkpointed
+    rows are untouched)."""
+    obs = Observation()
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
         F.sum("a").alias("sa"),
         F.sum("b").alias("sb"),
         F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-    ).first()
-    return (row.n, row.sa, row.sb, row.h)
+    )
+    out = consistent_materialize(observed)
+    vals = obs.get
+    return out, (vals["n"], vals["sa"], vals["sb"], vals["h"])
+
+
+#: canonical edge count at or below which the component closure folds
+#: onto the DRIVER (r14, VERDICT r13 item 4 — the same routed-fold
+#: discipline as MAX_DRIVER_BPE_VOCAB / MAX_EXACT_JACCARD_DOCS): the
+#: star loop's cost at calibration scale is pure per-iteration floor
+#: (each round is ~6 tiny exchanges + a checkpoint job over a few
+#: hundred edges), while union-find over the collected edge list is
+#: exact, deterministic (component id = min node id, no ties) and
+#: O(E α(E)). 2M edges ≈ ~32 MB on the driver; above the cap (the
+#: sf10 adversarial density: ~24M pairs) the large-star/small-star
+#: loop runs unchanged. Cross-path bit-identity is pinned by
+#: tests/test_graph_sampling.py.
+MAX_DRIVER_CC_EDGES = 2_000_000
+
+
+def _driver_components(rows: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union-find over a collected canonical edge list, emitting the
+    star loop's exact output convention: (node, component_min) for
+    every node on an edge EXCEPT each component's min itself (the
+    converged star graph has one (root=min, member) edge per non-root
+    member; callers coalesce absent nodes to self).
+
+    Union-by-min keeps every tree's root equal to the minimum node id
+    in its component (induction: singletons trivially; a union keeps
+    the smaller root), so ``find(x)`` IS the component id — no
+    tie-break exists to diverge on."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(x, find(x)) for x in parent if x != find(x)]
 
 
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -100,11 +163,17 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
 
     `edges` needs columns (a, b); orientation and duplicates don't matter.
     """
-    e = _canon(edges).transform(consistent_materialize)
-    fp = _fingerprint(e)
+    e, fp = _observed_materialize(_canon(edges))
+    # fp[0] is the canonical edge count, already observed during the
+    # materialize — routing costs zero extra jobs.
+    if fp[0] <= MAX_DRIVER_CC_EDGES:
+        spark = e.sparkSession
+        pairs = _driver_components([(r.a, r.b) for r in e.collect()])
+        return spark.createDataFrame(
+            pairs, schema="node: bigint, component_id: bigint"
+        )
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).transform(consistent_materialize)
-        fp2 = _fingerprint(e2)
+        e2, fp2 = _observed_materialize(_small_star(_large_star(e)))
         e = e2
         # reclaim the superseded iteration's checkpoint blocks + shuffle
         # files NOW — at adversarial density (sf10: one ~24M-pair giant

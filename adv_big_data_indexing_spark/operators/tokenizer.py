@@ -54,6 +54,22 @@ from adv_big_data_indexing_spark.sources.catalog import load_table
 #: real trainings run ~30k merges of the identical step.
 BPE_MERGES = 10
 
+#: vocab rows at or below which the merge loop folds onto the DRIVER
+#: (r14, VERDICT r13 item 3 — the kmeans discipline): the corpus→vocab
+#: aggregation stays distributed (the only corpus-sized work), and the
+#: per-merge argmax loop then runs over the collected (freq, sym) table
+#: in exact integer arithmetic instead of paying a Catalyst plan build +
+#: TakeOrdered job per merge (~0.17 s/iteration of pure driver-side
+#: floor at any SF — the BASELINE r6 build/exec split). 2M rows ≈
+#: ~150 MB on the driver, well under driver memory; a web-scale vocab
+#: above the cap routes through the distributed per-iteration loop
+#: unchanged (same routing pattern as MAX_EXACT_JACCARD_DOCS). Results
+#: are bit-identical on both paths: pure integer counts, and Python's
+#: code-point string order equals Spark's UTF8String binary order for
+#: the (count DESC, lsym, rsym) tie-break — pinned by
+#: tests/test_timeseries_tokenizer.py.
+MAX_DRIVER_BPE_VOCAB = 2_000_000
+
 
 def _pair_counts(words: DataFrame) -> DataFrame:
     """(lsym, rsym, pair_count) over the vocab table's symbol strings.
@@ -79,6 +95,78 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _driver_train_merges(vocab: list[tuple[int, str]], n_merges: int) -> list[tuple]:
+    """The merge loop of :func:`_train_merges_list` over a collected
+    (freq, sym) vocab — exact replica of the distributed/oracle
+    semantics in pure integer arithmetic:
+
+    - pair counts are over ``split(trim(sym), '  ')`` (the double-space
+      symbol encoding); Python's ``strip(' ')``/``split('  ')`` match
+      Spark's ``trim``/regex-literal split on these strings (symbols
+      never contain whitespace — ``tokens()`` splits on ``\\s+``);
+    - the argmax tie-break (count DESC, lsym ASC, rsym ASC) compares
+      strings by code point, which equals Spark's UTF8String binary
+      order and DuckDB's binary collation (UTF-8 byte order preserves
+      code-point order);
+    - a merge is greedy left-to-right non-overlapping — exactly what
+      ``replace(sym, ' l  r ', ' lr ')`` does on the sentinel encoding
+      (both JVM String.replace and DuckDB replace scan that way).
+
+    Pair counts are maintained INCREMENTALLY (the classic BPE-trainer
+    discipline): one full counting pass up front, then per merge only
+    the words containing the merged pair are re-counted — identical to
+    a full recount because each word's old contributions are subtracted
+    exactly before its new ones are added.
+    """
+    from collections import defaultdict
+
+    words: list[list] = [[freq, sym.strip(" ").split("  ")] for freq, sym in vocab]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (freq, ls) in enumerate(words):
+        for i in range(len(ls) - 1):
+            p = (ls[i], ls[i + 1])
+            pair_counts[p] += freq
+            pair_words[p].add(wi)
+
+    out: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        if not pair_counts:
+            break
+        (lsym, rsym), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = lsym + rsym
+        out.append((rank, lsym, rsym, merged, cnt))
+        best = (lsym, rsym)
+        for wi in list(pair_words.get(best, ())):
+            freq, ls = words[wi]
+            # subtract this word's old pair contributions
+            for i in range(len(ls) - 1):
+                p = (ls[i], ls[i + 1])
+                pair_counts[p] -= freq
+                if pair_counts[p] == 0:
+                    del pair_counts[p]
+                pair_words[p].discard(wi)
+            # apply the merge greedily left-to-right, non-overlapping
+            nls: list[str] = []
+            i, n = 0, len(ls)
+            while i < n:
+                if i < n - 1 and ls[i] == lsym and ls[i + 1] == rsym:
+                    nls.append(merged)
+                    i += 2
+                else:
+                    nls.append(ls[i])
+                    i += 1
+            words[wi][1] = nls
+            # add the new contributions
+            for i in range(len(nls) - 1):
+                p = (nls[i], nls[i + 1])
+                pair_counts[p] += freq
+                pair_words[p].add(wi)
+    return out
+
+
 def _train_merges_list(docs: DataFrame, n_merges: int) -> list[tuple]:
     """(rank, lsym, rsym, merged, pair_count) rows of the learned merges."""
     words = (
@@ -96,6 +184,14 @@ def _train_merges_list(docs: DataFrame, n_merges: int) -> list[tuple]:
         )
         .transform(consistent_materialize)
     )
+    # r14 (VERDICT r13 item 3): the vocab is checkpointed, so this count
+    # reads the materialized blocks — no second corpus pass. At or below
+    # the cap the merge loop folds onto the driver (one bounded collect,
+    # then pure-Python exact integer BPE); above it, the distributed
+    # per-iteration loop below runs unchanged at any vocab size.
+    if words.count() <= MAX_DRIVER_BPE_VOCAB:
+        vocab = [(r.freq, r.sym) for r in words.select("freq", "sym").collect()]
+        return _driver_train_merges(vocab, n_merges)
     out = []
     for rank in range(1, n_merges + 1):
         best = (

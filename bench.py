@@ -91,6 +91,16 @@ def _standing_query_times(sf: float | None, root: Path | None = None) -> dict[st
     if root is None:
         root = Path(__file__).resolve().parent
     for path in sorted(root.glob("BENCH_r*.json")):
+        # r1–r5 artifacts used the materialize-only timing convention
+        # (fn() built once, only the downstream noop timed); r6+ rebuilds
+        # the DataFrame inside the clock. Mixing conventions made
+        # build-heavy queries permanent "outliers" (ns_bpe standing
+        # 0.246 s vs full-run 2.46 s — 6 false flags in BENCH_r13, every
+        # re-run confirming the timed value), so the reference is r6+
+        # only (VERDICT r13 item 8 / harness-nit).
+        rm = re.search(r"BENCH_r0*(\d+)", path.name)
+        if rm and int(rm.group(1)) < 6:
+            continue
         try:
             data = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -100,8 +110,13 @@ def _standing_query_times(sf: float | None, root: Path | None = None) -> dict[st
             # ({"n": ..., "rc": ..., "tail": ..., "parsed": {...}}) — the
             # repo-root BENCH_r*.json are that shape, so reading only the
             # top level would leave the standing table empty and the
-            # outlier flag permanently dark.
+            # outlier flag permanently dark. The wrapper may carry "sf"
+            # only at the TOP level (ADVICE r13): fall back to it rather
+            # than silently dropping the round from the table.
+            outer = data
             data = data.get("parsed") or {}
+            if data.get("sf") is None and outer.get("sf") is not None:
+                data = {**data, "sf": outer.get("sf")}
         if data.get("sf") != sf:
             continue  # prior readings are SF-specific
         for name, sec in (data.get("queries") or {}).items():

@@ -246,3 +246,36 @@ def test_pair_recall_slices_above_cap(spark, tmp_path, monkeypatch):
         expected.n_exact, expected.n_hit, expected.recall,
     )
     assert sliced.n_exact > 0  # non-vacuous: the slice still has dups
+
+
+def test_lsh_persist_drained_on_next_build(spark):
+    """r14 (VERDICT r13 item 1 + ADVICE r13): the band-row persist must
+    be RELEASED at the next pipeline build — (a) the CacheManager pins a
+    persisted Dataset for the session lifetime otherwise (disk-leak
+    class), and (b) a cached canonicalized plan would let a timed bench
+    rebuild read the previous run's cache instead of recomputing."""
+    from adv_big_data_indexing_spark.operators import dedup as D
+
+    # two DIFFERENT source frames: df.storageLevel resolves through the
+    # CacheManager by canonicalized plan, so rebuilding the SAME plan
+    # would make the first frame report cached again the moment the
+    # second build persists — distinct plans keep the probe honest.
+    sh1 = _synthetic_sh(spark, n_hot=6)
+    sh2 = _synthetic_sh(spark, n_hot=7)
+    D._lsh_pair_stats(sh1).count()  # build 1, materialized -> cache filled
+    assert len(D._pending_lsh_persists) == 1
+    first = D._pending_lsh_persists[0]
+    assert first.storageLevel.useDisk  # persisted (DISK_ONLY)
+
+    D._lsh_pair_stats(sh2)  # build 2 drains build 1
+    assert len(D._pending_lsh_persists) == 1
+    second = D._pending_lsh_persists[0]
+    assert second is not first
+    # the first frame is out of the CacheManager: its storage level is
+    # back to NONE, so a rebuild recomputes from the inputs
+    assert not first.storageLevel.useDisk
+    assert not first.storageLevel.useMemory
+    # drain build 2 too so this test leaves no cache behind
+    for f in D._pending_lsh_persists:
+        f.unpersist()
+    D._pending_lsh_persists.clear()

@@ -323,3 +323,26 @@ def test_ngram_jaccard_query_surface_routes_above_cap(spark):
         ns_dedup_ngram_jaccard(
             spark, SF_CORRECTNESS, exact_only=True, exact_cap=0
         ).collect()
+
+
+def test_cc_driver_fold_matches_star_loop(spark, monkeypatch):
+    """r14 (VERDICT r13 item 4): below MAX_DRIVER_CC_EDGES the closure
+    folds onto the driver (union-find); the emitted (node, component_id)
+    row set must be IDENTICAL to the distributed large-star/small-star
+    loop (cap forced to -1), including the converged-star convention of
+    omitting each component's min node."""
+    from adv_big_data_indexing_spark.operators import graph as G
+
+    pairs = (
+        [(i, i + 1) for i in range(1, 9)]  # chain (diameter stress)
+        + [(20, 21), (22, 21), (23, 22), (20, 23)]  # cycle
+        + [(40, 41)]  # pair
+        + [(50, 50), (41, 40)]  # self-loop + duplicate orientation
+    )
+    e = spark.createDataFrame(pairs, "a long, b long")
+    driver = {(r.node, r.component_id) for r in G.connected_components(e).collect()}
+    monkeypatch.setattr(G, "MAX_DRIVER_CC_EDGES", -1)
+    dist = {(r.node, r.component_id) for r in G.connected_components(e).collect()}
+    assert driver == dist
+    assert (2, 1) in driver and (23, 20) in driver and (41, 40) in driver
+    assert not any(n == c for n, c in driver)  # min node itself omitted

@@ -319,3 +319,26 @@ def test_matryoshka_monotone(spark):
     for r in rows:
         assert r.n == n_vec
         assert 0 <= r.min_ret_ppm <= r.mean_ret_ppm <= r.max_ret_ppm <= 1_000_000
+
+
+def test_bpe_driver_fold_matches_distributed_loop(spark, monkeypatch):
+    """r14 (VERDICT r13 item 3): below MAX_DRIVER_BPE_VOCAB the merge
+    loop folds onto the driver; the learned merges must be BIT-IDENTICAL
+    to the distributed per-iteration loop (cap forced to 0), including
+    the (count DESC, lsym, rsym) tie-break and greedy merge semantics."""
+    from adv_big_data_indexing_spark.operators import tokenizer as T
+
+    docs = spark.createDataFrame(
+        [
+            ("aaaaa baba cadabra",),
+            ("the cat and the hat and the bat",),
+            ("zz zz zz yy yy xy xy xy",),  # count ties across pairs
+            ("",),
+        ],
+        "text string",
+    )
+    driver = T._train_merges_list(docs, 8)  # default cap: driver path
+    monkeypatch.setattr(T, "MAX_DRIVER_BPE_VOCAB", 0)
+    dist = T._train_merges_list(docs, 8)  # forced distributed path
+    assert driver == dist
+    assert len(driver) == 8  # non-vacuous: the loop actually ran 8 merges

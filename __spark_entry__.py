@@ -62,86 +62,88 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs/ROTATION_LEDGER.md (tools/rotation_ledger.py) records each query's
 # last driver-green round so staleness is auditable.
 #
-# Round 13 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r12
-# FIRST; all 50 r12 rows green, so the r12 window retires whole). Priority
-# order per VERDICT r12 item 1:
-#   1. ALL 28 r8-stale rows (the oldest tier in the regenerated ledger);
-#   2. the 15 oldest-r9 rows alphabetical (ext_agg_groupby ..
-#      ns_multimodal_decode);
-#   3. the 7 queries whose implementation changed THIS round (the bk64
-#      batch-LSH port — dedup._banded/_lsh_pair_stats consumers:
-#      minhash_lsh, lsh_pair_recall, lsh_bucket_audit, incremental, and
-#      the routed_pairs consumers components/cluster_stats/curation),
-#      displacing from the TAIL of the r9 block per the rotation rule;
-#      all 7 were r10-green, so they also reduce staleness.
-# After this round no green row is older than r9.
-_DRIVER_WINDOW_R13 = (
-    # --- all 28 r8-stale rows ---
-    "ns_layout_zorder",
-    "ns_text_bigram_freq",
-    "ns_text_repetition",
-    "ns_text_simpson_diversity",
-    "ns_udf_group_zscore",
-    "op_b1_conjunctive_filter",
-    "op_b2_filter_by_id",
-    "op_b3_filter_by_routing",
-    "op_b4_range_predicate",
-    "op_b5_projection",
-    "op_b6_prefix_scan",
-    "op_c1_reconstruct_flat",
-    "op_c3_has_child_range",
-    "op_c4_has_parent",
-    "op_c5_edges",
-    "op_d1_hit_count",
-    "op_f1_key_synthesis",
-    "op_f2_content_hash",
-    "op_f3_date_validation",
-    "ts_dedup_first",
-    "ts_enriched_by_segment",
-    "ts_funnel",
-    "ts_gap_filled_minutes",
-    "ts_hypertable_rollup",
-    "ts_markov_transitions",
-    "ts_period_over_period",
-    "ts_point_in_time_join",
-    "ts_retention_cohort",
-    # --- 15 oldest-r9 rows, alphabetical ---
-    "ext_agg_groupby",
-    "ext_asof_join",
-    "ext_skew_profile",
-    "ns_ann_ivf",
-    "ns_dataset_diff",
-    "ns_decontaminate",
-    "ns_dedup_embedding_cosine",
-    "ns_dedup_embedding_topk",
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_simhash",
-    "ns_embed_centroids",
-    "ns_embed_dim_stats",
-    "ns_embed_outliers",
-    "ns_mixture_weights",
-    "ns_multimodal_decode",
-    # --- the 7 bk64-touched queries (displaced r9-tail back-fill) ---
+# Round 14 window (regenerated docs/ROTATION_LEDGER.md from CORRECTNESS_r13
+# FIRST; all 50 r13 rows green, so the r13 window retires whole). Priority
+# order per the r13 rotation plan:
+#   1. ALL 34 r9-stale rows (the oldest tier in the regenerated ledger);
+#   2. the 6 r10-stale rows (the whole next tier — alphabetical);
+#   3. the 10 queries whose implementation changed THIS round:
+#      ns_bpe_train_merges / ns_bpe_apply_fertility (driver-folded merge
+#      loop), ns_dedup_components / ns_dedup_cluster_stats /
+#      ns_corpus_curation (capped driver union-find + observed
+#      fingerprints), and the _lsh_pair_stats persist-drain consumers
+#      ns_dedup_minhash_lsh / ns_dedup_ngram_jaccard /
+#      ns_dedup_lsh_pair_recall / ns_dedup_incremental /
+#      ns_minhash_jaccard_estimate. They fill the remaining 10 slots
+#      (which would otherwise draw from the r11 tier), so no r9/r10 row
+#      is displaced.
+# After this round no green row is older than r11.
+_DRIVER_WINDOW_R14 = (
+    # --- all 34 r9-stale rows ---
+    "ns_multimodal_metadata",
+    "ns_negative_sampling",
+    "ns_pack_sequences",
+    "ns_pack_stats",
+    "ns_phrase_search",
+    "ns_pii_mask",
+    "ns_reservoir_sample",
+    "ns_semdedup_kmeans",
+    "ns_semdedup_prune",
+    "ns_split_train_eval",
+    "ns_stratified_sample",
+    "ns_text_bigram_surprisal",
+    "ns_text_fingerprint",
+    "ns_text_langid",
+    "ns_text_langid_confusion",
+    "ns_text_quality",
+    "ns_text_token_entropy_exact",
+    "ns_text_token_stats",
+    "ns_udf_ewma",
+    "ns_weighted_sample",
+    "op_c1_reconstruct_nested",
+    "op_c2_has_child_eq",
+    "op_g2_merge_patch",
+    "op_g4_cascade_closure",
+    "ts_anomaly_zscore",
+    "ts_cms_event_types",
+    "ts_interval_join",
+    "ts_rolling_range_frame",
+    "ts_scd2_history",
+    "ts_session_window",
+    "ts_sliding_window",
+    "ts_time_weighted_avg",
+    "ts_tumbling_window",
+    "ts_user_stats",
+    # --- the whole r10-stale tier (6 rows, alphabetical) ---
+    "ext_ab_wilson_ci",
+    "ext_benford_audit",
+    "ext_chi2_contingency",
+    "ext_column_stats",
+    "ext_dq_expectations",
+    "ext_fuzzy_join_levenshtein",
+    # --- the 10 queries whose implementation changed in r14 ---
+    "ns_bpe_train_merges",
+    "ns_bpe_apply_fertility",
     "ns_corpus_curation",
     "ns_dedup_cluster_stats",
     "ns_dedup_components",
     "ns_dedup_incremental",
-    "ns_dedup_lsh_bucket_audit",
     "ns_dedup_lsh_pair_recall",
     "ns_dedup_minhash_lsh",
+    "ns_dedup_ngram_jaccard",
+    "ns_minhash_jaccard_estimate",
 )
 
-# ROUND-14 ROTATION PLAN: regenerate docs/ROTATION_LEDGER.md from
-# CORRECTNESS_r13 FIRST, then fill in this priority order:
-#   1. the ~34 remaining r9-stale rows (trust the REGENERATED ledger,
+# ROUND-15 ROTATION PLAN: regenerate docs/ROTATION_LEDGER.md from
+# CORRECTNESS_r14 FIRST, then fill in this priority order:
+#   1. all remaining r10/r11-stale rows (trust the REGENERATED ledger,
 #      never this comment);
-#   2. the remaining slots from oldest-r10 alphabetical;
-#   3. any query whose implementation changes during round 14 displaces
-#      from the TAIL of the r10 block (never an r9 row).
-# After r14 no green row should be older than r10.
+#   2. the remaining slots from oldest-r12 alphabetical;
+#   3. any query whose implementation changes during round 15 displaces
+#      from the TAIL of the newest block (never an older-stale row).
 
 def _driver_name(name: str) -> str:
-    return f"a_{name}" if name in _DRIVER_WINDOW_R13 else name
+    return f"a_{name}" if name in _DRIVER_WINDOW_R14 else name
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
